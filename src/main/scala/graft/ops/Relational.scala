@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Relational operator sweep (SURVEY.md §2.4) — the capabilities the
+  * reference can only express through user map/reduce code, exposed as
+  * first-class declarative operators.
+  *
+  * Double-precision policy: any SUM/AVG over a double column is
+  * computed in decimal (exact, order-independent) and cast to double
+  * at the end. Spark and DuckDB then agree bit-for-bit regardless of
+  * partitioning / accumulation order — the property the driver's
+  * hash-compare needs, and the property that keeps results stable when
+  * the same query runs on 32 or 100,000 partitions.
+  */
+object Relational {
+
+  /** Exact money/quantity arithmetic: double → decimal(18,2). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------
+  // Aggregation: TPC-H Q1-style pricing summary (hash agg with
+  // partial aggregation; one shuffle on a 6-value grouping key).
+  // ---------------------------------------------------------------
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sq"),
+        sum(dec(col("l_extendedprice"))).as("sbp"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("sdp"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).as("sc"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sbp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sc").cast("double").as("sum_charge"),
+        (col("sq").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sbp").cast("double") / col("count_order")).as("avg_price"),
+        col("count_order"))
+  }
+
+  private val q1Sql =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS d,
+      |    CAST(l_tax AS DECIMAL(18,2)) AS t
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(q) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(p * (1 - d)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(p * (1 - d) * (1 + t)) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM l GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q1_agg", q1Sql)(q1Agg),
+  )
+}
