@@ -13,7 +13,10 @@ object SparkEntry {
     * fast instead.
     */
   lazy val registry: Seq[Q] = {
-    val qs = graft.text.TextOps.all ++ graft.ops.Relational.all
+    val qs = graft.text.TextOps.all ++ graft.ops.Relational.all ++
+      graft.ops.Joins.all ++ graft.ops.Aggregates.all ++
+      graft.ops.WindowOps.all ++ graft.ops.ScalarOps.all ++
+      graft.ops.SetOps.all ++ graft.ops.AsOf.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

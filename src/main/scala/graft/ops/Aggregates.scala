@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Aggregation surface (SURVEY.md §2.4): distinct aggregates,
+  * moment-based statistics, rollup/cube/grouping-sets, pivot, approx
+  * distinct. The reference's only aggregation is a full group-by-key
+  * with a user reducer and no combiner (reference worker.py:193-207);
+  * every query here gets Catalyst's partial aggregation for free.
+  *
+  * Statistics are computed from exact decimal power sums (sum x,
+  * sum x²) so results are independent of partitioning / accumulation
+  * order — the same plan is correct at 32 or 100,000 partitions.
+  */
+object Aggregates {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+
+  /** min/max/mean/variance via exact power sums, finished in double. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val p = dec(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        sum(p).cast("double").as("s1"),
+        sum(p * p).cast("double").as("s2"))
+      .select(col("l_linestatus"), col("n"), col("min_price"), col("max_price"),
+        (col("s1") / col("n")).as("avg_price"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_price"))
+  }
+
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Pivot: one output column per order status. Spark's pivot yields
+    * NULL for absent combinations; fill 0 to match COUNT FILTER.
+    */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0, Seq("F", "O", "P"))
+
+  /** HLL++ sketch — algorithm differs from DuckDB's approx so no SQL
+    * oracle; ScalaTest bounds it against the exact count instead.
+    * This (not countDistinct) is the 100 TB path for cardinality.
+    */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val all: Seq[Q] = Seq(
+    Q("agg_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggDistinct),
+    Q("agg_stats",
+      """WITH g AS (
+        |  SELECT l_linestatus, COUNT(*) AS n,
+        |    MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, n, min_price, max_price,
+        |  s1 / n AS avg_price,
+        |  (s2 - s1 * s1 / n) / (n - 1) AS var_price
+        |FROM g""".stripMargin)(aggStats),
+    Q("agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)(aggRollup),
+    Q("agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)(aggCube),
+    Q("agg_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)(aggGroupingSets),
+    Q("agg_pivot",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)(aggPivot),
+    Q.noOracle("agg_approx_distinct")(aggApproxDistinct),
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Join surface (SURVEY.md §2.4): equi inner/left/full, semi, anti,
+  * broadcast, theta. The reference can only express joins as user
+  * map/reduce code (tag records by side, group on key, pair in the
+  * reducer); here each is declarative and Catalyst picks the physical
+  * strategy.
+  *
+  * Scale notes: dimension sides (part, supplier, nation) are
+  * broadcast-joined — no shuffle of the fact table; fact-fact joins
+  * shuffle on the join key and AQE handles skew at real scale.
+  */
+object Joins {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Inner equi-join fact→dim, then aggregate. */
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  /** Explicit broadcast of a filtered dimension: the build side ships
+    * to every executor, zero shuffle of lineitem.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** EXISTS — left-semi join keeps only customer columns. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+
+  /** NOT EXISTS — left-anti join. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+
+  /** Left outer join preserving customers with no orders. */
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0d)).as("total"))
+
+  /** Full outer join of two aggregates (nation-level counts). */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("nk"), "full")
+  }
+
+  /** Theta join: equi key plus an inequality residual. */
+  def joinTheta(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("c_nationkey") === col("s_nationkey") && col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_pairs"))
+
+  val all: Seq[Q] = Seq(
+    Q("join_inner",
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)(joinInner),
+    Q("join_broadcast",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10 GROUP BY p_brand""".stripMargin)(joinBroadcast),
+    Q("join_semi",
+      """SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_nationkey""".stripMargin)(joinSemi),
+    Q("join_anti",
+      """SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_nationkey""".stripMargin)(joinAnti),
+    Q("join_left",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin)(joinLeft),
+    Q("join_full",
+      """SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp FROM
+        |  (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN
+        |  (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON c.nk = s.nk""".stripMargin)(joinFull),
+    Q("join_theta",
+      """SELECT c_nationkey, COUNT(*) AS n_pairs
+        |FROM customer JOIN supplier
+        |  ON c_nationkey = s_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY c_nationkey""".stripMargin)(joinTheta),
+  )
+}

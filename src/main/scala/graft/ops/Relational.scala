@@ -65,7 +65,42 @@ object Relational {
       |  COUNT(*) AS count_order
       |FROM l GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Projection + predicate — both push down to the parquet scan
+  // (ReadSchema prunes to 6 columns, PushedFilters carries the
+  // range + quantity predicates).
+  // ---------------------------------------------------------------
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+
+  /** Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition heaps of k rows, never a full sort.
+    */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .limit(100)
+
   val all: Seq[Q] = Seq(
     Q("q1_agg", q1Sql)(q1Agg),
+    Q("filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity >= 45""".stripMargin)(filterProject),
+    Q("sort_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin)(sortLimit),
   )
 }

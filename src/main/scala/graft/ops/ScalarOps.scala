@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Scalar function surface (SURVEY.md §2.4): string, date, math,
+  * conditional, JSON, array. All row-level and codegen'd — these stay
+  * inside WholeStageCodegen with the scan, so at scale they cost one
+  * pass over the data with pushdown intact.
+  *
+  * Oracle parity notes baked into each query:
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  *  - DuckDB floor() returns DOUBLE where Spark returns LONG — the
+  *    oracle casts.
+  *  - round() on doubles is avoided entirely: Spark rounds the exact
+  *    decimal value, DuckDB rounds in double space; they can disagree
+  *    in the last ulp.
+  */
+object ScalarOps {
+
+  def scalarString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_name").contains("e"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "@").as("repl"))
+
+  def scalarDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"))
+
+  def scalarMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        (col("l_orderkey") % 7).as("k_mod7"),
+        (col("l_extendedprice") * col("l_extendedprice")).as("price_sq"),
+        greatest(col("l_quantity"), lit(25.0)).as("qty_hi"),
+        least(col("l_quantity"), lit(25.0)).as("qty_lo"))
+
+  def scalarCase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high").as("band"),
+        col("o_orderstatus").isin("F", "P").as("closed"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"))
+      .groupBy(col("band"), col("closed"), col("st"))
+      .agg(count(lit(1)).as("n"))
+
+  /** JSON extraction from the events.props payload column. */
+  def scalarJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** Array functions over the embedding vector column. */
+  def arrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        size(filter(col("embedding"), _ > 0f)).cast("long").as("n_pos"),
+        element_at(col("embedding"), 1).as("first_elem"))
+
+  val all: Seq[Q] = Seq(
+    Q("scalar_string",
+      """SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len,
+        |  substr(p_name, 1, 5) AS pre5,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS repl
+        |FROM part WHERE p_name LIKE '%e%'""".stripMargin)(scalarString),
+    Q("scalar_date",
+      """SELECT o_orderkey,
+        |  EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |  EXTRACT(MONTH FROM o_orderdate) AS mon,
+        |  EXTRACT(DAY FROM o_orderdate) AS dom,
+        |  EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders""".stripMargin)(scalarDate),
+    Q("scalar_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  l_orderkey % 7 AS k_mod7,
+        |  l_extendedprice * l_extendedprice AS price_sq,
+        |  greatest(l_quantity, 25.0) AS qty_hi,
+        |  least(l_quantity, 25.0) AS qty_lo
+        |FROM lineitem""".stripMargin)(scalarMath),
+    Q("scalar_case",
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |            WHEN o_totalprice < 300000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  o_orderstatus IN ('F', 'P') AS closed,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin)(scalarCase),
+    Q("scalar_json",
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin)(scalarJson),
+    Q("array_ops",
+      """SELECT vec_id, len(embedding) AS dim,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  embedding[1] AS first_elem
+        |FROM embeddings""".stripMargin)(arrayOps),
+  )
+}

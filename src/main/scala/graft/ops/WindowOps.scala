@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Window-function surface (SURVEY.md §2.4): ranking, running frames,
+  * lag/lead. Each query orders by a unique tiebreaker so results are
+  * deterministic under any partitioning.
+  *
+  * Scale: one shuffle on the partition key; per-partition sort is
+  * spillable. Per-group top-k via row_number keeps only k rows per
+  * group past the filter — never a global sort.
+  */
+object WindowOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Top-3 orders per customer with all three rank flavors. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running (cumulative) sum per user over event time. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("running"))
+  }
+
+  /** lag/lead: previous value and inter-event gap in microseconds. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("dt_us"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3""".stripMargin)(windowRank),
+    Q("window_running",
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events""".stripMargin)(windowRunning),
+    Q("window_lag",
+      """SELECT event_id,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS dt_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)(windowLag),
+  )
+}
