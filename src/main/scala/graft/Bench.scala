@@ -1,24 +1,67 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main (driver contract): times every registry query on
+  * SPARK_GRAFT_SF_DIR and emits ONE JSON line, also written to a file
+  * so the result survives sbt log noise.
+  *
+  * Methodology (each point a round-1 bench defect):
+  *  - registry order, not hash-map order — deterministic across rounds;
+  *  - one untimed warm-up pass absorbs JVM/codegen/broadcast warm-up;
+  *  - the action is a noop-sink write, so every projected expression is
+  *    actually evaluated (a bare count() lets Catalyst prune the
+  *    projections and would time only scan+count);
+  *  - two timed passes, min reported — less scheduler noise at local
+  *    scale while staying honest (no best-of-N cherry-picking beyond 2);
+  *  - a query that throws is recorded as -1 with its name in "errors",
+  *    never silently timed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+
+    val qs = SparkEntry.registry
+    qs.foreach(q => runOne(q.name, q.fn)) // warm-up, untimed
+    val timed = qs.map { q =>
+      val r1 = runOne(q.name, q.fn)
+      val r2 = runOne(q.name, q.fn)
+      val best = (r1, r2) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), _) => Right(a)
+        case (_, Right(b)) => Right(b)
+        case (Left(e), _) => Left(e)
+      }
+      q.name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = timed.collect { case (n, Left(e)) => s"""\"$n\":\"$e\"""" }
+    val qJson = timed.map {
+      case (n, Right(t)) => s"""\"$n\":${"%.3f".format(t)}"""
+      case (n, Left(_)) => s"""\"$n\":-1"""
+    }.mkString("{", ",", "}")
+    val total = timed.collect { case (_, Right(t)) => t }.sum
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(out), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
     val qs = graft.text.TextOps.all ++ graft.ops.Relational.all ++
       graft.ops.Joins.all ++ graft.ops.Aggregates.all ++
       graft.ops.WindowOps.all ++ graft.ops.ScalarOps.all ++
-      graft.ops.SetOps.all ++ graft.ops.AsOf.all
+      graft.ops.SetOps.all ++ graft.ops.AsOf.all ++
+      graft.dedup.DedupOps.all ++ graft.sim.SimOps.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

@@ -1,0 +1,269 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators for a large-scale training-data pipeline —
+  * the capability the reference's MapReduce contract would be used for
+  * at corpus scale (its jobs are the word-count / inverted-index shape,
+  * reference word_count.py:44-56; dedup is the same explode→group
+  * pattern over content keys).
+  *
+  * Scale design, per operator:
+  *  - exact dedup: one hash-groupBy — a single shuffle on the content
+  *    hash; no window over a global sort.
+  *  - near-dup: MinHash signatures + banded LSH so candidate
+  *    generation is a bucket equi-join (shuffle on band key), never an
+  *    all-pairs product; exact Jaccard verification touches only
+  *    candidates. This is the 100 TB path. The exact shingle-join
+  *    variant (`dedup_ngram_jaccard`) is the correctness reference and
+  *    is itself an equi-join on shingle, not a cross join.
+  *  - embedding near-dup: brute-force here (correctness baseline);
+  *    the bucketed scale path is `graft.sim.SimOps.cosineTopkLsh`.
+  */
+object DedupOps {
+
+  import graft.text.TextOps.tokens
+
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** Exact dedup by content hash: one representative (min doc_id) per
+    * distinct text plus the duplicate count. Aggregation, not a
+    * row_number window — partial agg keeps it one shuffle at any scale.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(md5(col("text").cast("binary")).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep-latest dedup over an event stream: one row per
+    * (user_id, event_type), the one with the greatest (ts, event_id).
+    * The window ranks within each key partition — Spark sorts within
+    * hash partitions only, no global sort.
+    */
+  def dedupKeepLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+  }
+
+  /** Distinct word-3-gram shingle set per document (the near-dup
+    * content key). Guarded: <3 tokens → empty set.
+    */
+  def shingleSet(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet(tokens(col("text"))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+
+  /** Exact pairwise n-gram Jaccard ≥ 0.8 via an inverted shingle join:
+    * explode distinct shingles, equi-join on shingle (doc_a < doc_b),
+    * count shared shingles, J = |∩| / (|A|+|B|−|∩|). Shuffles on the
+    * shingle key; hot shingles would need a document-frequency cap at
+    * 100 TB (or the MinHash variant below, which subsumes this).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  private val jaccardOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  // ---- MinHash + banded LSH ----------------------------------------
+
+  /** 128 universal hashes h_i(x) = (a_i·x + b_i) mod p over 31-bit
+    * shingle hashes; 32 bands × 4 rows. P[candidate | J=0.8] =
+    * 1−(1−0.8⁴)³² ≈ 1−5e-8, so at the 0.8 threshold LSH recall is ~1
+    * and the verified output equals the exact brute-force oracle.
+    */
+  private val P = 2147483647L // 2^31 − 1
+  private val NumHashes = 128
+  private val Bands = 32
+  private val RowsPerBand = NumHashes / Bands
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumHashes)(1L + 2L * rnd.nextInt(1 << 30)) // odd, < 2^31
+    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** MinHash signature (array of 128 longs) from a shingle-set column.
+    * The base shingle hash is computed once per shingle; each
+    * permutation is arithmetic over it — all codegen'd expressions.
+    * Empty set → sentinel signature of p (matches nothing real).
+    */
+  def minhashSignature(sh: Column): Column = {
+    val base = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    val mins = (0 until NumHashes).map { i =>
+      coalesce(
+        array_min(transform(base, x => pmod(lit(hashA(i)) * x + lit(hashB(i)), lit(P)))),
+        lit(P))
+    }
+    array(mins: _*)
+  }
+
+  /** Banded-LSH candidate pairs verified by exact Jaccard ≥ 0.8 —
+    * same output contract (and oracle) as [[ngramJaccard]], but the
+    * join is on band buckets: shuffle cost O(docs × bands), never
+    * all-pairs. This is the dedup plan that survives 100 TB.
+    */
+  def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir)
+      .withColumn("sig", minhashSignature(col("sh")))
+    // (doc_id, band_id, band_key): band key hashes the band's slice.
+    val bandKeys = (0 until Bands).map { bnd =>
+      val slice = (0 until RowsPerBand).map(r => element_at(col("sig"), bnd * RowsPerBand + r + 1))
+      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bkey"))
+    }
+    val buckets = docs
+      .select(col("doc_id"), col("n_sh"), col("sh"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("n_sh"), col("sh"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_a"),
+      col("n_sh").as("na"), col("sh").as("sha"))
+    val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
+      col("n_sh").as("nb"), col("sh").as("shb"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("sha"), col("shb"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 60-bit SimHash over unigram tokens (occurrence-weighted): bit j
+    * is set iff Σ_tokens (±1 by bit j of the token hash) > 0. Token
+    * hash = first 15 hex chars of md5 — deliberately md5-based so the
+    * DuckDB oracle can reproduce it bit-for-bit (DuckDB lacks
+    * xxhash64). Hamming-distance pairing is covered in DedupSpec.
+    */
+  def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val hs = transform(tokens(col("text")),
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val zeros = typedLit(Seq.fill(60)(0L))
+    val acc = aggregate(hs, zeros, (a, h) =>
+      zip_with(a, array((0 until 60).map(j =>
+        when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*),
+        (x, y) => x + y))
+    val powers = typedLit((0 until 60).map(j => 1L << j))
+    val sim = aggregate(
+      zip_with(acc, powers, (a, p) => when(a > 0, p).otherwise(lit(0L))),
+      lit(0L), (x, y) => x + y)
+    Tables.documents(s, dir).select(col("doc_id"), sim.as("simhash"))
+  }
+
+  // ---- Embedding cosine near-dup ------------------------------------
+
+  /** Sequential-fold double dot product of two float-vector columns —
+    * bit-identical to DuckDB's list_sum(list_transform(...)) with
+    * explicit DOUBLE casts, so cosine scores are oracle-exact.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** All pairs with cosine ≥ 0.45. Brute-force a<b product — the
+    * correctness baseline at fixture scale; at 100 TB use the
+    * LSH-bucketed candidates (graft.sim.SimOps.cosineTopkLsh) in front
+    * of this verification.
+    */
+  def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("nrma"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nrmb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("c", dot(col("va"), col("vb")) / (col("nrma") * col("nrmb")))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact",
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin)(dedupExact),
+    Q("dedup_keep_latest",
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin)(dedupKeepLatest),
+    Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
+    Q("dedup_minhash", jaccardOracle)(minhashNeardup),
+    Q("dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(t,
+        |    tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hl
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(0, 60), j ->
+        |    CASE WHEN coalesce(list_sum(list_transform(hl,
+        |      h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bitvals
+        |  FROM hs)
+        |SELECT doc_id, CAST(coalesce(list_sum(bitvals), 0) AS BIGINT) AS simhash
+        |FROM bits""".stripMargin)(simhashFingerprint),
+    Q("dedup_embedding",
+      """WITH n AS (
+        |  SELECT vec_id, embedding AS v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(c, 6) AS cosine
+        |FROM p WHERE c >= 0.45""".stripMargin)(embeddingNeardup),
+  )
+}

@@ -60,6 +60,17 @@ object Joins {
       .agg(count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0d)).as("total"))
 
+  /** Right outer join — orders side optional, all customers kept.
+    * Same result as joinLeft with sides swapped; registered so the
+    * right-join code path itself is oracle-covered.
+    */
+  def joinRight(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0d)).as("total"))
+
   /** Full outer join of two aggregates (nation-level counts). */
   def joinFull(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
@@ -103,6 +114,11 @@ object Joins {
         |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin)(joinLeft),
+    Q("join_right",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS total
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin)(joinRight),
     Q("join_full",
       """SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp FROM
         |  (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c

@@ -68,6 +68,24 @@ object ScalarOps {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** MapType functions: construct a map, read keys/values/lookups.
+    * The fixtures carry no MapType column, so the map is built from
+    * order columns — the functions under test are map_keys /
+    * map_values / element_at. DuckDB's map extraction returns a
+    * single-element LIST, so the oracle unwraps with [1].
+    */
+  def mapOps(s: SparkSession, dir: String): DataFrame = {
+    val m = map(
+      lit("status"), col("o_orderstatus"),
+      lit("priority"), col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        element_at(m, "status").as("status"),
+        element_at(m, "priority").as("priority"),
+        array_join(sort_array(map_keys(m)), ",").as("keys"),
+        size(map_values(m)).cast("long").as("n_vals"))
+  }
+
   /** Array functions over the embedding vector column. */
   def arrayOps(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -114,6 +132,15 @@ object ScalarOps {
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin)(scalarJson),
+    Q("map_ops",
+      """SELECT o_orderkey,
+        |  m['status'][1] AS status,
+        |  m['priority'][1] AS priority,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS keys,
+        |  len(map_values(m)) AS n_vals
+        |FROM (SELECT o_orderkey,
+        |  map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+        |  FROM orders)""".stripMargin)(mapOps),
     Q("array_ops",
       """SELECT vec_id, len(embedding) AS dim,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,

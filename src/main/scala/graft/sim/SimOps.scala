@@ -1,0 +1,148 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.dedup.DedupOps.{dot, norm}
+
+/** Similarity search over the embeddings table (`array<float>`).
+  *
+  * Two plans for the same capability:
+  *  - [[cosineTopk]]: brute-force exact top-k — the correctness
+  *    baseline. Query side is a small filtered set, so the product is
+  *    |queries| × |corpus|, a broadcast nested-loop with the corpus
+  *    streamed — linear in corpus size, parallel over its partitions.
+  *  - [[cosineTopkLsh]]: the 100 TB path. Random-projection LSH
+  *    (sign-of-dot-product with ±1 plane vectors, Charikar'02 /
+  *    Achlioptas'01) buckets vectors into T tables × 2^B buckets; the
+  *    search is an equi-join on (table, bucket) — shuffle on bucket
+  *    keys, never all-pairs. The planes are deterministic literals
+  *    replicated into the DuckDB oracle SQL, so the approximate
+  *    algorithm itself is differentially tested, not just its recall.
+  */
+object SimOps {
+
+  private val NQueries = 10 // query set = vec_id < 10
+  private val TopK = 5
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("nrm").as("nrmq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    q.join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("c", dot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("c"), 6).as("cosine"))
+  }
+
+  // ---- LSH ---------------------------------------------------------
+
+  private val Dim = 64
+  private val NumTables = 4
+  private val BitsPerTable = 8
+  /** ±1 plane components, seeded — shared verbatim with the oracle. */
+  private val planes: Array[Array[Array[Int]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumTables, BitsPerTable, Dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** Sequential-fold double dot of a float-vector column with a ±1
+    * literal plane — bit-identical to the oracle's list_sum fold.
+    */
+  private def planeDot(v: Column, plane: Array[Int]): Column =
+    aggregate(zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast("double") * p.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Bucket id for one table: B sign bits packed into a long. */
+  private def bucketCol(v: Column, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      when(planeDot(v, planes(t)(b)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql(t: Int): String =
+    (0 until BitsPerTable).map { b =>
+      val plane = planes(t)(b).mkString("[", ",", "]")
+      s"""CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+         |    i -> CAST(v[i] AS DOUBLE) * ($plane[i]))) > 0
+         |  THEN ${1L << b} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed approximate top-3: candidates share a bucket with
+    * the query in ≥1 table; exact cosine ranks only candidates.
+    */
+  def cosineTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val buckets = e.select(col("vec_id"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("tbl"), bucketCol(col("embedding"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qb = buckets.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("nrm").as("nrmq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("c", dot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("c"), 6).as("cosine"))
+  }
+
+  private val normsCte =
+    """n AS (
+      |  SELECT vec_id, embedding AS v,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private val dotSql =
+    """list_sum(list_transform(range(1, len(q.v) + 1),
+      |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("cosine_topk",
+      s"""WITH $normsCte,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (q.nrm * c.nrm) AS c
+         |  FROM n q JOIN n c
+         |    ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= $TopK""".stripMargin)(cosineTopk),
+    Q("cosine_topk_lsh",
+      s"""WITH $normsCte,
+         |bk AS (
+         |${(0 until NumTables).map(t =>
+            s"  SELECT vec_id, v, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+            .mkString("\n  UNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM bk qb JOIN bk cb
+         |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+         |   AND qb.vec_id < $NQueries AND cb.vec_id <> qb.vec_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    $dotSql / (q.nrm * c.nrm) AS c
+         |  FROM cand
+         |  JOIN n q ON q.vec_id = cand.query_id
+         |  JOIN n c ON c.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin)(cosineTopkLsh),
+  )
+}
