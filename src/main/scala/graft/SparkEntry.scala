@@ -17,7 +17,9 @@ object SparkEntry {
       graft.ops.Joins.all ++ graft.ops.Aggregates.all ++
       graft.ops.WindowOps.all ++ graft.ops.ScalarOps.all ++
       graft.ops.SetOps.all ++ graft.ops.AsOf.all ++
-      graft.dedup.DedupOps.all ++ graft.sim.SimOps.all
+      graft.dedup.DedupOps.all ++ graft.sim.SimOps.all ++
+      graft.mr.MrJobs.all ++ graft.text.TextAnalysis.all ++
+      graft.stream.StreamOps.all ++ graft.mm.MultimodalOps.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

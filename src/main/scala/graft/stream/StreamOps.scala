@@ -1,0 +1,104 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Structured Streaming surface (SURVEY.md §2.4: the reference has no
+  * streaming at all — this is part of the capability gap our engine
+  * closes). Each window shape is ONE transform function that accepts
+  * either a batch or a streaming DataFrame:
+  *
+  *  - the batch twin runs over the `events` fixture and is
+  *    differentially checked against a DuckDB oracle (tumbling →
+  *    time_bucket; sliding → each event unnested into its two
+  *    windows; session → gaps-and-islands);
+  *  - the SAME function under `readStream` (MemoryStream in
+  *    StreamingSpec) exercises watermarks, incremental triggers, and
+  *    late-data drop — semantics the oracle can't see.
+  *
+  * Value sums go through DECIMAL(18,2) so results are independent of
+  * partition/accumulation order — same contract as the batch ops.
+  */
+object StreamOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Session windows per user, 30-minute inactivity gap. Spark's
+    * session end = last event + gap; the oracle mirrors that.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
+  /** The streaming forms: same logic, plus an event-time watermark so
+    * state can be evicted and late data (beyond 1 hour) dropped.
+    * Used with readStream sources; exercised in StreamingSpec.
+    */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "1 hour"))
+
+  def sessionStream(events: DataFrame): DataFrame =
+    sessionAgg(events.withWatermark("ts", "1 hour"))
+
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables.events(s, dir))
+
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.events(s, dir))
+
+  def eventsSession(s: SparkSession, dir: String): DataFrame =
+    sessionAgg(Tables.events(s, dir))
+
+  val all: Seq[Q] = Seq(
+    Q("events_tumbling",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)(eventsTumbling),
+    Q("events_sliding",
+      """SELECT ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+        |      time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE
+        |    ]) AS ws, event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin)(eventsSliding),
+    Q("events_session",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, user_id, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin)(eventsSession),
+  )
+}

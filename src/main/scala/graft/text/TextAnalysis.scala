@@ -1,0 +1,205 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline: tf-idf,
+  * n-grams, language ID, quality scoring, token counting, and
+  * content fingerprinting — the corpus-curation layer on top of the
+  * reference's word-count shape (reference word_count.py:44-56).
+  *
+  * Everything is a codegen'd expression or a single hash aggregation:
+  * per-document metrics are one pass over the scan (no shuffle at
+  * all), tf-idf is one groupBy plus a window on the (doc, term)
+  * aggregate. Nothing here collects to the driver.
+  */
+object TextAnalysis {
+
+  import TextOps.tokens
+
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** Bigram counts across the corpus (SURVEY.md §7.3 step 5). */
+  def ngramBigrams(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Smoothed tf-idf per (document, term):
+    * tf · (ln((1+N)/(1+df)) + 1). One shuffle for the (doc, term)
+    * counts; df comes from a window over the term partition of that
+    * same aggregate; N is a broadcast scalar.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    withDf.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1), 6)
+          .as("tfidf"))
+  }
+
+  /** Stopword-marker language ID. Scores = |tokens ∩ markers(lang)|;
+    * prediction = highest score with a fixed priority order on ties.
+    * A deterministic function of the text (the fixture's `lang` column
+    * is random metadata, not a property of its synthetic text —
+    * accuracy on real prose is covered in TextAnalysisSpec).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "una", "es", "que", "por"),
+    "fr" -> Seq("le", "les", "une", "et", "est", "que", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "zai", "le"),
+  )
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = array_distinct(tokens(col("text")))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(t, typedLit(words)))
+    }
+    // argmax with first-listed-wins tie-break, as a when-chain
+    val pred = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, sc), i), els) =>
+        val laterMax = scores.drop(i + 1).map(_._2)
+        when(laterMax.foldLeft(lit(true))((acc, o) => acc && sc >= o), lang).otherwise(els)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pred.as("pred_lang"), best.cast("long").as("score"))
+  }
+
+  private def langIdOracle: String = {
+    val scoreSql = langMarkers.map { case (lang, words) =>
+      s"len(list_intersect(t, ${words.mkString("['", "','", "']")})) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val whenChain = langs.init.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n    ")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS t FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreSql
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CASE $whenChain ELSE '${langs.last}' END AS pred_lang,
+       |  CAST($best AS BIGINT) AS score
+       |FROM sc""".stripMargin
+  }
+
+  /** Per-document quality metrics: char/token counts, average token
+    * length, punctuation ratio, stopword ratio. Pure scan-side
+    * expressions — zero shuffle.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val denom = greatest(nTok, lit(1)).cast("double")
+    val tokLenSum = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+    val stops = size(filter(t, x => x.isInCollection(stopwords)))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(tokLenSum / denom, 6).as("avg_token_len"),
+      round(punct / greatest(length(col("text")), lit(1)).cast("double"), 6).as("punct_ratio"),
+      round(stops / denom, 6).as("stopword_ratio"))
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * segmentation ([a-z]+ | digit runs | single symbols) — the
+    * pretokenization shape BPE vocabularies are trained over.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val ws = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val bpe = size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      ws.cast("long").as("ws_tokens"),
+      bpe.cast("long").as("bpe_tokens"),
+      round(length(col("text")) / greatest(bpe, lit(1)).cast("double"), 6)
+        .as("chars_per_token"))
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash of
+    * the token stream, fold (acc·31 + h(token)) mod (2³¹−1) with
+    * h = first 8 md5 hex chars — md5-based so the oracle reproduces it
+    * exactly. Content-defined, whitespace-insensitive, order-aware
+    * (unlike the bag-of-words SimHash in graft.dedup).
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val p = lit(2147483647L)
+    val hs = transform(tokens(col("text")),
+      tok => conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long") % p)
+    val fp = aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % p)
+    Tables.documents(s, dir).select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("ngram_bigrams",
+      s"""SELECT bigram, COUNT(*) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM (SELECT $tokensSql AS t FROM documents))
+         |GROUP BY bigram""".stripMargin)(ngramBigrams),
+    Q("tfidf",
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |d AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, term,
+         |  round(tf * (ln((1.0 + n.n) / (1.0 + df)) + 1), 6) AS tfidf
+         |FROM d, n""".stripMargin)(tfidf),
+    Q("lang_id", langIdOracle)(langId),
+    Q("text_quality",
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(t) AS n_tokens,
+         |  round(list_sum(list_transform(t, x -> length(x)))
+         |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS avg_token_len,
+         |  round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |  round(len(list_filter(t, x -> list_contains(${stopwords.mkString("['", "','", "']")}, x)))
+         |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $tokensSql AS t FROM documents)""".stripMargin)(textQuality),
+    Q("token_stats",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |  round(length(text) / CAST(greatest(
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS DOUBLE), 6)
+        |    AS chars_per_token
+        |FROM documents""".stripMargin)(tokenStats),
+    Q("doc_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    regexp_extract_all(lower(text), '[a-z]+'),
+        |    tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647)),
+        |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+        |FROM documents""".stripMargin)(docFingerprint),
+  )
+}
