@@ -144,27 +144,35 @@ object DedupOps {
     * same output contract (and oracle) as [[ngramJaccard]], but the
     * join is on band buckets: shuffle cost O(docs × bands), never
     * all-pairs. This is the dedup plan that survives 100 TB.
+    *
+    * Signatures are computed by exploding shingles and taking 128
+    * `min` aggregates — a single partial-aggregated hash agg over
+    * simple codegen'd arithmetic. (The array-expression form in
+    * [[minhashSignature]] builds a 128-branch expression tree that
+    * overflows whole-stage codegen; kept for per-row use in specs.)
     */
   def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(s, dir)
-      .withColumn("sig", minhashSignature(col("sh")))
-    // (doc_id, band_id, band_key): band key hashes the band's slice.
+    val exploded = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P)))
+    val minCols = (0 until NumHashes).map(i =>
+      min(pmod(lit(hashA(i)) * col("x") + lit(hashB(i)), lit(P))).as(s"m$i"))
+    val sigs = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandKeys = (0 until Bands).map { bnd =>
-      val slice = (0 until RowsPerBand).map(r => element_at(col("sig"), bnd * RowsPerBand + r + 1))
+      val slice = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bkey"))
     }
-    val buckets = docs
-      .select(col("doc_id"), col("n_sh"), col("sh"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("n_sh"), col("sh"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val l = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_a"),
-      col("n_sh").as("na"), col("sh").as("sha"))
-    val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
-      col("n_sh").as("nb"), col("sh").as("shb"))
-    l.join(r, Seq("band", "bkey"))
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = buckets.toDF("doc_a", "band", "bkey")
+      .join(buckets.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("sha"), col("shb"))
-      .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
+      .select("doc_a", "doc_b").distinct() // a pair may collide in many bands
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.8)

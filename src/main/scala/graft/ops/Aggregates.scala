@@ -26,7 +26,12 @@ object Aggregates {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n"))
 
-  /** min/max/mean/variance via exact power sums, finished in double. */
+  /** min/max/mean/variance via exact power sums, finished in double.
+    * The finished values are rounded (6 / 2 decimals): the power sums
+    * are order-independent decimals, but the final double divisions
+    * can differ from the oracle's by an ulp, which an exact compare
+    * would flag (seen at sf0.001).
+    */
   def aggStats(s: SparkSession, dir: String): DataFrame = {
     val p = dec(col("l_extendedprice"))
     Tables.lineitem(s, dir)
@@ -37,8 +42,8 @@ object Aggregates {
         sum(p).cast("double").as("s1"),
         sum(p * p).cast("double").as("s2"))
       .select(col("l_linestatus"), col("n"), col("min_price"), col("max_price"),
-        (col("s1") / col("n")).as("avg_price"),
-        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        round(col("s1") / col("n"), 6).as("avg_price"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2)
           .as("var_price"))
   }
 
@@ -97,8 +102,8 @@ object Aggregates {
         |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_linestatus)
         |SELECT l_linestatus, n, min_price, max_price,
-        |  s1 / n AS avg_price,
-        |  (s2 - s1 * s1 / n) / (n - 1) AS var_price
+        |  round(s1 / n, 6) AS avg_price,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 2) AS var_price
         |FROM g""".stripMargin)(aggStats),
     Q("agg_rollup",
       """SELECT l_returnflag, l_linestatus,

@@ -67,7 +67,8 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "bu", "wo", "zai", "le"),
   )
 
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  /** Language ID over any DataFrame with doc_id + text columns. */
+  def langIdOn(docs: DataFrame): DataFrame = {
     val t = array_distinct(tokens(col("text")))
     val scores = langMarkers.map { case (lang, words) =>
       lang -> size(array_intersect(t, typedLit(words)))
@@ -79,9 +80,11 @@ object TextAnalysis {
         when(laterMax.foldLeft(lit(true))((acc, o) => acc && sc >= o), lang).otherwise(els)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), pred.as("pred_lang"), best.cast("long").as("score"))
+    docs.select(col("doc_id"), pred.as("pred_lang"), best.cast("long").as("score"))
   }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langIdOn(Tables.documents(s, dir))
 
   private def langIdOracle: String = {
     val scoreSql = langMarkers.map { case (lang, words) =>

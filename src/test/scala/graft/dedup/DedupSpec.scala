@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs (sf0.01)") {
+    // At threshold 0.8 with 32 bands × 4 rows, LSH recall ≈ 1−5e-8,
+    // so on the fixture the bucketed plan must equal the exact one.
+    val lsh = DedupOps.minhashNeardup(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.ngramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("minhash signature estimates Jaccard on planted pairs") {
+    import spark.implicits._
+    val pairs = DedupOps.ngramJaccard(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sigs = graft.Tables.documents(spark, sfSmall)
+      .select(col("doc_id"),
+        DedupOps.minhashSignature(
+          DedupOps.shingleSet(graft.text.TextOps.tokens(col("text")))).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    pairs.foreach { case (a, b, j) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+      assert(math.abs(est - j) < 0.15, s"pair ($a,$b): est $est vs true $j")
+    }
+  }
+
+  test("simhash: identical texts collide, near-dups are hamming-close") {
+    import spark.implicits._
+    val fps = DedupOps.simhashFingerprint(spark, sfSmall)
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = DedupOps.ngramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    near.foreach { case (a, b) =>
+      assert(hamming(fps(a), fps(b)) <= 12,
+        s"near-dup pair ($a,$b) hamming ${hamming(fps(a), fps(b))}")
+    }
+    // random non-dup pairs should be far apart on average
+    val ids = fps.keys.toSeq.sorted.take(40)
+    val nearSet = near.toSet
+    val dists = for {
+      a <- ids; b <- ids
+      if a < b && !nearSet((a, b))
+    } yield hamming(fps(a), fps(b))
+    assert(dists.sum.toDouble / dists.size > 15.0)
+  }
+
+  test("dedup_exact keeps one representative per distinct content") {
+    val out = DedupOps.dedupExact(spark, sfTiny).collect()
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+    val total = out.map(_.getLong(2)).sum
+    assert(total == graft.Tables.documents(spark, sfTiny).count())
+  }
+
+  test("dedup_keep_latest: one row per (user, type), and it is the latest") {
+    val events = graft.Tables.events(spark, sfTiny)
+    val out = DedupOps.dedupKeepLatest(spark, sfTiny)
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(out.count() ==
+      events.select("user_id", "event_type").distinct().count())
+  }
+}

@@ -1,0 +1,58 @@
+package graft.mm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Pins the mapPartitions feature extractor (no SQL oracle — the fake
+  * decode is JVM code) and the payload schema plumbing.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("mm_features: deterministic fake decode matches a local recompute") {
+    import spark.implicits._
+    val feats = MultimodalOps.mmFeatures(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[Float](3)))
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(feats.length == docs.size)
+    feats.foreach { case (id, nBytes, meanByte, emb) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      assert(nBytes == bytes.length)
+      val mean = bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+      assert(math.abs(meanByte - math.round(mean * 1e6) / 1e6) < 1e-12)
+      assert(emb.length == 16)
+      assert(math.abs(emb.map(_.toDouble).sum - 1.0) < 1e-3,
+        "histogram embedding should sum to ~1")
+    }
+  }
+
+  test("payload schema: binary column + typed metadata struct") {
+    val df = MultimodalOps.withPayload(Tables.documents(spark, sfTiny))
+    val schema = df.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    val meta = schema("meta").dataType
+    assert(meta.typeName == "struct")
+    assert(df.selectExpr("meta.origin", "meta.tag", "meta.declared_size")
+      .count() > 0)
+  }
+
+  test("frame sampling covers start and end of the payload") {
+    import spark.implicits._
+    val frames = MultimodalOps.mmFrameSample(spark, sfTiny).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+      val text = docs(id)
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val first = fs.find(_.getInt(1) == 0).get.getString(2)
+      val last = fs.find(_.getInt(1) == 3).get.getString(2)
+      assert(first == md5hex(text.substring(0, 32)))
+      assert(last == md5hex(text.substring(text.length - 32)))
+    }
+  }
+}

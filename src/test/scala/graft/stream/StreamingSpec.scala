@@ -1,0 +1,95 @@
+package graft.stream
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Top-level so Spark can derive an Encoder (inner classes need an
+  * outer-scope instance).
+  */
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** Streaming semantics the batch-twin oracles can't see: incremental
+  * processing over MemoryStream, watermark advancement, and late-data
+  * drop. The transforms under test are the same functions the oracled
+  * batch queries use (StreamOps.tumblingAgg / sessionAgg).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling stream equals batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1),
+      Ev(ts("2024-01-01 00:40:00"), "click", 2.0, 1),
+      Ev(ts("2024-01-01 01:10:00"), "view", 3.0, 2),
+      Ev(ts("2024-01-01 02:05:00"), "click", 4.0, 3))
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.tumblingStream(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("update").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_t")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val expected = StreamOps.tumblingAgg(events.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.tumblingStream(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_late")
+      .outputMode("update").start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1))
+      q.processAllAvailable()
+      // advance event time → watermark moves to 03:00 − 1h = 02:00
+      stream.addData(Ev(ts("2024-01-01 03:00:00"), "click", 1.0, 1))
+      q.processAllAvailable()
+      // two stragglers: one inside the watermark, one beyond it
+      stream.addData(
+        Ev(ts("2024-01-01 02:30:00"), "click", 1.0, 1), // accepted
+        Ev(ts("2024-01-01 00:20:00"), "click", 9.0, 1)) // dropped (< 02:00)
+      q.processAllAvailable()
+      val w0 = spark.table("tumbling_late")
+        .filter(col("ws") === ts("2024-01-01 00:00:00")).collect()
+      // only the first event ever lands in window 00:00 — the update
+      // for the dropped straggler must not exist
+      assert(w0.map(r => (r.getLong(2), r.getDouble(3))).toSet == Set((1L, 1.0)))
+      val w230 = spark.table("tumbling_late")
+        .filter(col("ws") === ts("2024-01-01 02:00:00")).collect()
+      assert(w230.nonEmpty, "in-watermark straggler must be aggregated")
+    } finally q.stop()
+  }
+
+  test("session stream merges events within the gap, splits beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionStream(stream.toDF())
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 7),
+        Ev(ts("2024-01-01 00:20:00"), "click", 1.0, 7), // same session (gap 20m)
+        Ev(ts("2024-01-01 01:30:00"), "click", 1.0, 7)) // new session
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_t")
+        .filter(col("user_id") === 7)
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+      assert(sessions.toSet == Set(
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:50:00"), 2L),
+        (ts("2024-01-01 01:30:00"), ts("2024-01-01 02:00:00"), 1L)))
+    } finally q.stop()
+  }
+}
