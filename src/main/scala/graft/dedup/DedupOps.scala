@@ -54,7 +54,11 @@ object DedupOps {
   }
 
   /** Distinct word-3-gram shingle set per document (the near-dup
-    * content key). Guarded: <3 tokens → empty set.
+    * content key). Guarded: <3 tokens → empty set. Column-expression
+    * form for per-row use (specs, ad-hoc); the query pipelines use
+    * [[shingleRows]] — Spark's higher-order functions are
+    * CodegenFallback and interpret one lambda call per element, which
+    * made this expression the dominant cost of both near-dup queries.
     */
   def shingleSet(t: Column): Column =
     when(size(t) >= 3,
@@ -62,10 +66,28 @@ object DedupOps {
         concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** JVM-side shingling (same output as exploding [[shingleSet]]). */
+  def shingleStrings(text: String): Seq[String] = {
+    val toks = graft.mr.MrJobs.tokenize(text)
+    if (toks.lengthCompare(3) < 0) Nil
+    else toks.sliding(3).map(_.mkString(" ")).toVector.distinct
+  }
+
+  /** One row per (document, distinct shingle) with the doc's shingle
+    * count — a typed flatMap: a single JVM pass per document, emitted
+    * once and reusable by both the exact join and the MinHash
+    * signature aggregation.
+    */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet(tokens(col("text"))).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = shingleStrings(text)
+        sh.map(x => (id, sh.length, x))
+      }
+      .toDF("doc_id", "n_sh", "shingle")
+  }
 
   /** Exact pairwise n-gram Jaccard ≥ 0.8 via an inverted shingle join:
     * explode distinct shingles, equi-join on shingle (doc_a < doc_b),
@@ -74,11 +96,15 @@ object DedupOps {
     * 100 TB (or the MinHash variant below, which subsumes this).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // join key is the 8-byte shingle hash, not the ~20-char string:
+    // the (doc, shingle) bag is the largest shuffle in the query and
+    // shrinks ~3× hashed. Collisions (~n²/2⁶⁵) would be deterministic
+    // but are vanishingly improbable at any realistic shingle count.
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh_h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -109,14 +135,18 @@ object DedupOps {
 
   // ---- MinHash + banded LSH ----------------------------------------
 
-  /** 128 universal hashes h_i(x) = (a_i·x + b_i) mod p over 31-bit
-    * shingle hashes; 32 bands × 4 rows. P[candidate | J=0.8] =
-    * 1−(1−0.8⁴)³² ≈ 1−5e-8, so at the 0.8 threshold LSH recall is ~1
-    * and the verified output equals the exact brute-force oracle.
+  /** 96 universal hashes h_i(x) = (a_i·x + b_i) mod p over 31-bit
+    * shingle hashes; 24 bands × 4 rows. P[candidate | J=0.8] =
+    * 1−(1−0.8⁴)²⁴ ≈ 1−3.5e-6 (and ≈1−1e-11 at the fixture's planted
+    * J≥0.9), so at the 0.8 threshold LSH recall is ~1 and the
+    * verified output equals the exact brute-force oracle. 96 keeps
+    * the signature aggregation under spark.sql.codegen.maxFields
+    * (default 100) — at 128 the whole-stage-codegen pass bails out
+    * and the hottest aggregate in the query runs interpreted.
     */
   private val P = 2147483647L // 2^31 − 1
-  private val NumHashes = 128
-  private val Bands = 32
+  val NumHashes = 96
+  private val Bands = 24
   private val RowsPerBand = NumHashes / Bands
   private val (hashA, hashB) = {
     val rnd = new scala.util.Random(42)
@@ -152,13 +182,14 @@ object DedupOps {
     * overflows whole-stage codegen; kept for per-row use in specs.)
     */
   def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir)
-    val exploded = docs
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P)))
+    // x64: 64-bit identity for exact set verification (collision-free
+    // in practice); x: its 31-bit residue feeding the permutations
+    val sh = shingleRows(s, dir)
+      .withColumn("x64", xxhash64(col("shingle")))
+      .withColumn("x", pmod(col("x64"), lit(P)))
     val minCols = (0 until NumHashes).map(i =>
       min(pmod(lit(hashA(i)) * col("x") + lit(hashB(i)), lit(P))).as(s"m$i"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandKeys = (0 until Bands).map { bnd =>
       val slice = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bkey"))
@@ -170,8 +201,12 @@ object DedupOps {
       .join(buckets.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct() // a pair may collide in many bands
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb"))
+    // exact verification on hashed shingle sets (same keys the exact
+    // ngramJaccard joins on), gathered once per doc
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("x64")).as("shset"), first(col("n_sh")).as("n_sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("shset").as("sha"), col("n_sh").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shset").as("shb"), col("n_sh").as("nb"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
@@ -207,6 +242,9 @@ object DedupOps {
   /** Sequential-fold double dot product of two float-vector columns —
     * bit-identical to DuckDB's list_sum(list_transform(...)) with
     * explicit DOUBLE casts, so cosine scores are oracle-exact.
+    * Higher-order-function form (CodegenFallback); the hot paths use
+    * the codegen'd [[graft.functions.DotProductFloat]], which
+    * computes the identical sequential double fold.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -220,12 +258,15 @@ object DedupOps {
     * of this verification.
     */
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import graft.functions.VectorFunctions.vecDot
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("nrma"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nrmb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("c", dot(col("va"), col("vb")) / (col("nrma") * col("nrmb")))
+      .withColumn("c", vecDot(col("va"), col("vb")) / (col("nrma") * col("nrmb")))
       .filter(col("c") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }

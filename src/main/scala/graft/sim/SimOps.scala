@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.dedup.DedupOps.{dot, norm}
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.vecDot
 
 /** Similarity search over the embeddings table (`array<float>`).
   *
@@ -28,14 +29,16 @@ object SimOps {
 
   /** Exact top-k cosine neighbors for each query vector. */
   def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("nrm").as("nrmq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
     q.join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("c", dot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
+      .withColumn("c", vecDot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -54,11 +57,11 @@ object SimOps {
   }
 
   /** Sequential-fold double dot of a float-vector column with a ±1
-    * literal plane — bit-identical to the oracle's list_sum fold.
+    * literal plane — bit-identical to the oracle's list_sum fold
+    * (±1 is exact in float, so the float-array literal loses nothing).
     */
   private def planeDot(v: Column, plane: Array[Int]): Column =
-    aggregate(zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast("double") * p.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    vecDot(v, typedLit(plane.map(_.toFloat).toSeq))
 
   /** Bucket id for one table: B sign bits packed into a long. */
   private def bucketCol(v: Column, t: Int): Column =
@@ -78,8 +81,10 @@ object SimOps {
     * the query in ≥1 table; exact cosine ranks only candidates.
     */
   def cosineTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
     val buckets = e.select(col("vec_id"),
         explode(array((0 until NumTables).map(t =>
           struct(lit(t).as("tbl"), bucketCol(col("embedding"), t).as("bucket"))): _*)).as("tb"))
@@ -93,7 +98,7 @@ object SimOps {
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
     cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
-      .withColumn("c", dot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
+      .withColumn("c", vecDot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

@@ -21,15 +21,21 @@ object TextAnalysis {
 
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
 
-  /** Bigram counts across the corpus (SURVEY.md §7.3 step 5). */
+  /** Bigram counts across the corpus (SURVEY.md §7.3 step 5).
+    * Bigrams come from a typed flatMap — one JVM pass per document;
+    * the equivalent transform/element_at expression chain is
+    * CodegenFallback and interprets per element (see
+    * DedupOps.shingleRows for the same trade).
+    */
   def ngramBigrams(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    Tables.documents(s, dir)
-      .select(explode(bigrams).as("bigram"))
+    import s.implicits._
+    Tables.documents(s, dir).select(col("text")).as[String]
+      .flatMap { t =>
+        val toks = graft.mr.MrJobs.tokenize(t)
+        if (toks.lengthCompare(2) < 0) Nil
+        else toks.sliding(2).map(_.mkString(" "))
+      }
+      .toDF("bigram")
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
   }

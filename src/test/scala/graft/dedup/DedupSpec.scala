@@ -28,7 +28,8 @@ class DedupSpec extends AnyFunSuite {
           DedupOps.shingleSet(graft.text.TextOps.tokens(col("text")))).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     pairs.foreach { case (a, b, j) =>
-      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+        .toDouble / DedupOps.NumHashes
       assert(math.abs(est - j) < 0.15, s"pair ($a,$b): est $est vs true $j")
     }
   }

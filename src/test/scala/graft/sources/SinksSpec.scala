@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Round-trips for every sink shape plus the multi-format read
+  * surface (SURVEY.md §2.1 "other formats — built-in"): what goes out
+  * through each sink comes back identical through the matching source.
+  */
+class SinksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    Files.createTempDirectory("sinks").resolve("out").toString
+
+  private def wc = graft.text.TextOps.wordCount(spark, sfTiny)
+
+  test("tsv sink: k\\tv lines, round-trips through csv source") {
+    val path = tmp()
+    Sinks.writeTsv(wc, path)
+    val back = spark.read.option("sep", "\t")
+      .schema("word STRING, cnt LONG").csv(path)
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      wc.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("single-file tsv sink produces exactly one part file") {
+    val path = tmp()
+    Sinks.writeTsv(wc, path, singleFile = true)
+    val parts = new java.io.File(path).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val path = tmp()
+    val orders = Tables.orders(spark, sfTiny)
+    Sinks.writeParquet(orders, path, partitionBy = Seq("o_orderstatus"))
+    val one = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(one.count() == expected)
+    // partition pruning must reach the scan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("o_orderstatus=")))
+    assert(!plan.toLowerCase.contains("filter") ||
+      one.queryExecution.optimizedPlan.toString.contains("o_orderstatus"))
+  }
+
+  test("json sink round-trips") {
+    val path = tmp()
+    Sinks.writeJson(wc, path)
+    val back = spark.read.json(path).select(col("word"), col("cnt"))
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      wc.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("multi-path read unions files (J5)") {
+    val p1 = tmp(); val p2 = tmp()
+    Sinks.writeParquet(wc, p1)
+    Sinks.writeParquet(wc, p2)
+    val both = spark.read.parquet(p1, p2)
+    assert(both.count() == 2 * wc.count())
+  }
+}
