@@ -1,9 +1,13 @@
 package graft.stream
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
+
+/** Output row of the custom-state operator (top-level for encoders). */
+case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface (SURVEY.md §2.4: the reference has no
   * streaming at all — this is part of the capability gap our engine
@@ -58,6 +62,30 @@ object StreamOps {
 
   def sessionStream(events: DataFrame): DataFrame =
     sessionAgg(events.withWatermark("ts", "1 hour"))
+
+  /** Custom arbitrary state — `mapGroupsWithState` (SURVEY.md §2.4):
+    * a per-user running (count, sum) that persists across micro-batch
+    * triggers, the state shape the built-in window aggregations can't
+    * express. Works on batch input too (state spans the one batch).
+    * At scale state lives in the state store, partitioned by the
+    * group key — no driver involvement.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          // round: double accumulation order is per-state sequential,
+          // deterministic within the stream but not vs SQL — this op
+          // is spec-tested, not oracled
+          UserRunning(uid, n, math.round(total * 100) / 100.0)
+      }
+  }
 
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =
     tumblingAgg(Tables.events(s, dir))

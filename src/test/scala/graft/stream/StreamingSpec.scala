@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.runningUserTotals(stream.toDF())
+      .writeStream.format("memory").queryName("running_t")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.5, 1),
+        Ev(ts("2024-01-01 00:01:00"), "click", 2.5, 1),
+        Ev(ts("2024-01-01 00:02:00"), "view", 10.0, 2))
+      q.processAllAvailable()
+      // second trigger: state for user 1 must carry over
+      stream.addData(Ev(ts("2024-01-01 00:03:00"), "click", 6.0, 1))
+      q.processAllAvailable()
+      val latest = spark.table("running_t")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("session stream merges events within the gap, splits beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
