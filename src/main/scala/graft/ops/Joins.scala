@@ -87,6 +87,27 @@ object Joins {
         col("c_nationkey") === col("s_nationkey") && col("s_acctbal") > col("c_acctbal"))
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_pairs"))
 
+  /** Salted join — the manual skew mitigation for when one probe-side
+    * key floods a partition: the probe side gets a deterministic salt
+    * (hash of another column mod R), the build side is replicated
+    * once per salt value, and the join key becomes (key, salt), so a
+    * hot key spreads over R reducers. Result is identical to the
+    * unsalted join (the oracle is the plain SQL); AQE's skew-join
+    * handles this automatically at runtime, this is the explicit form
+    * for engines/plans where it can't.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val R = 8
+    val li = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(R)).cast("int"))
+    val p = Tables.part(s, dir)
+      .withColumn("salt", explode(typedLit(List.range(0, R))))
+    li.join(p, col("l_partkey") === col("p_partkey") && li("salt") === p("salt"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("join_inner",
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
@@ -125,6 +146,12 @@ object Joins {
         |FULL JOIN
         |  (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
         |ON c.nk = s.nk""".stripMargin)(joinFull),
+    Q("join_salted",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin)(joinSalted),
     Q("join_theta",
       """SELECT c_nationkey, COUNT(*) AS n_pairs
         |FROM customer JOIN supplier

@@ -105,6 +105,53 @@ object SimOps {
         round(col("c"), 6).as("cosine"))
   }
 
+  // ---- IVF ---------------------------------------------------------
+
+  private val NumCentroids = 16
+  private val Probes = 4
+
+  /** IVF-style ANN: the corpus is partitioned into inverted lists by
+    * nearest centroid; a query probes only the lists of its closest
+    * [[Probes]] centroids. Centroid "training" is a deterministic
+    * sample (vec_id < 16) so the oracle can replicate the structure —
+    * a k-means refinement would drop in without changing the plan
+    * shape. At scale: assignment is a broadcast join (centroids are
+    * tiny), lists are shuffle-partitioned by centroid id, and a query
+    * touches P/K of the corpus.
+    */
+  def cosineTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("vcent"), col("nrm").as("nrmcent"))
+    val simToCent = e.crossJoin(broadcast(cents))
+      .withColumn("cs", vecDot(col("embedding"), col("vcent")) / (col("nrm") * col("nrmcent")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    val assign = simToCent
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val probes = simToCent
+      .filter(col("vec_id") < NQueries)
+      .withColumn("prn", row_number().over(wAssign))
+      .filter(col("prn") <= Probes)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cand = probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("nrm").as("nrmq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("c", vecDot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("c"), 6).as("cosine"))
+  }
+
   private val normsCte =
     """n AS (
       |  SELECT vec_id, embedding AS v,
@@ -149,5 +196,40 @@ object SimOps {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin)(cosineTopkLsh),
+    Q("cosine_topk_ivf",
+      s"""WITH $normsCte,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, v AS vcent, nrm AS nrmcent
+         |  FROM n WHERE vec_id < $NumCentroids),
+         |simc AS (
+         |  SELECT n.vec_id, cents.cent_id,
+         |    list_sum(list_transform(range(1, len(n.v) + 1),
+         |      i -> CAST(n.v[i] AS DOUBLE) * CAST(cents.vcent[i] AS DOUBLE)))
+         |      / (n.nrm * cents.nrmcent) AS cs
+         |  FROM n, cents),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cent_id) AS prn FROM simc)
+         |  WHERE prn <= $Probes AND vec_id < $NQueries),
+         |cand AS (
+         |  SELECT DISTINCT probes.query_id, assign.neighbor_id
+         |  FROM probes JOIN assign ON probes.cent_id = assign.cent_id
+         |  WHERE assign.neighbor_id <> probes.query_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    $dotSql / (q.nrm * c.nrm) AS c
+         |  FROM cand
+         |  JOIN n q ON q.vec_id = cand.query_id
+         |  JOIN n c ON c.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin)(cosineTopkIvf),
   )
 }
