@@ -88,6 +88,22 @@ object Aggregates {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** Exact percentiles (sort-based, linear interpolation — same
+    * definition as DuckDB quantile_cont) and Pearson correlation.
+    * corr accumulates co-moments whose merge order varies with
+    * partitioning; round(6) absorbs the ~1e-15 relative noise. The
+    * 100 TB variant of the percentile is approx_percentile (sketch,
+    * spec-tested like HLL) — the exact one needs a per-group sort.
+    */
+  def aggPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("price_qty_corr"))
+
   val all: Seq[Q] = Seq(
     Q("agg_distinct",
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
@@ -124,6 +140,13 @@ object Aggregates {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
         |FROM orders GROUP BY o_orderpriority""".stripMargin)(aggPivot),
+    Q("agg_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggPercentiles),
     Q.noOracle("agg_approx_distinct")(aggApproxDistinct),
   )
 }

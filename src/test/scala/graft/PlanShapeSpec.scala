@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB posture depends on —
+  * the "is this the plan you'd want at 1000 executors" checks, as
+  * tests instead of one-off .explain reads:
+  *
+  *  - dimension joins broadcast (no shuffle of the fact side);
+  *  - aggregations are partial+final (map-side combine);
+  *  - filters and column pruning reach the parquet scan;
+  *  - no accidental CartesianProduct/BNL outside the queries that are
+  *    deliberately brute-force (documented correctness baselines).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("join_broadcast broadcasts the dimension side") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg has map-side partial aggregation and a pushed filter") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), "no partial aggregation")
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: ["),
+      "no pushdown info on scan")
+  }
+
+  test("filter_project pushes its predicate to the scan") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull") || p.contains("GreaterThan")
+      || p.contains("LessThan"), s"no pushed predicate in:\n$p")
+  }
+
+  test("word_count prunes to the text column only") {
+    val p = plan("word_count")
+    assert(p.contains("ReadSchema: struct<text:string>"), "scan reads more than text")
+  }
+
+  test("sort_limit plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("only the documented brute-force queries use nested-loop/cartesian joins") {
+    val allowed = Set(
+      "dedup_embedding", "cosine_topk", // brute-force correctness baselines
+      "join_theta", // genuine non-equi residual on equi key — hash join with filter
+      "tfidf", "cosine_topk_ivf") // scalar-N / centroid cross joins (broadcast, tiny side)
+    SparkEntry.registry.foreach { q =>
+      val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
+      val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      if (hasNl && !allowed(q.name))
+        fail(s"${q.name} plans a nested-loop/cartesian join:\n${p.take(2000)}")
+    }
+  }
+
+  test("dedup_minhash verification joins stay equi (bucket keys)") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), "signature mins must partial-aggregate")
+  }
+}

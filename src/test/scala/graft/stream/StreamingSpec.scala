@@ -94,6 +94,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF().join(dim, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type"), col("tier"))
+      .writeStream.format("memory").queryName("enriched_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:01:00"), "view", 1.0, 3)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched_t").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, "click", Some("gold")), (3L, "view", None)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch lands micro-batches in parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb").resolve("t").toString
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.tumblingStream(stream.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }.start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:10:00"), "click", 2.0, 1))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:20:00"), "click", 3.0, 1))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() >= 2) // one update row per batch
+      assert(landed.columns.toSeq == Seq("ws", "event_type", "n", "total"))
+    } finally q.stop()
+  }
+
   test("session stream merges events within the gap, splits beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
