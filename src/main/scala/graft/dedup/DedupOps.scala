@@ -214,6 +214,25 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Edit-distance verification over the near-dup candidate pairs:
+    * Levenshtein is O(len²) per pair, so it only ever runs on the
+    * (few) pairs a cheaper signal already surfaced — the composable
+    * fuzzy-dedup pattern: candidates from Jaccard/MinHash, final call
+    * by character-level distance.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(docs.toDF("doc_a", "ta"), Seq("doc_a"))
+      .join(docs.toDF("doc_b", "tb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        round(levenshtein(col("ta"), col("tb")) /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+          .as("edit_ratio"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 60-bit SimHash over unigram tokens (occurrence-weighted): bit j
@@ -284,6 +303,16 @@ object DedupOps {
         |  FROM events) WHERE rn = 1""".stripMargin)(dedupKeepLatest),
     Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
+    Q("dedup_edit_distance",
+      s"""WITH pairs AS (
+         |$jaccardOracle)
+         |SELECT p.doc_a, p.doc_b,
+         |  levenshtein(a.text, b.text) AS edit_dist,
+         |  round(levenshtein(a.text, b.text)
+         |    / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) AS edit_ratio
+         |FROM pairs p
+         |JOIN documents a ON a.doc_id = p.doc_a
+         |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin)(editDistancePairs),
     Q("dedup_simhash",
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t

@@ -88,8 +88,58 @@ object Relational {
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
       .limit(100)
 
+  // ---------------------------------------------------------------
+  // Subqueries — Catalyst's scalar / IN / correlated-EXISTS rewrite
+  // machinery (decorrelated into joins; the plan-shape sweep keeps
+  // them nested-loop-free). Expressed through spark.sql to exercise
+  // the SQL surface end to end.
+  // ---------------------------------------------------------------
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders_sq
+        |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders_sq)""".stripMargin)
+  }
+
+  def subqueryIn(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_sq")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer_sq
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation_sq WHERE n_regionkey <= 1)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  def subqueryExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_sq2")
+    s.sql(
+      """SELECT s_nationkey, COUNT(*) AS n FROM supplier_sq
+        |WHERE EXISTS (
+        |  SELECT 1 FROM customer_sq2
+        |  WHERE c_nationkey = s_nationkey AND c_acctbal > s_acctbal)
+        |GROUP BY s_nationkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q1_agg", q1Sql)(q1Agg),
+    Q("subquery_scalar",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)""".stripMargin)(subqueryScalar),
+    Q("subquery_in",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+        |GROUP BY c_mktsegment""".stripMargin)(subqueryIn),
+    Q("subquery_exists",
+      """SELECT s_nationkey, COUNT(*) AS n FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM customer
+        |  WHERE c_nationkey = s_nationkey AND c_acctbal > s_acctbal)
+        |GROUP BY s_nationkey""".stripMargin)(subqueryExists),
     Q("filter_project",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem

@@ -23,6 +23,17 @@ object SetOps {
       .unionAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
       .groupBy(col("nk")).agg(count(lit(1)).as("n"))
 
+  /** Multiset (ALL) variants keep duplicates — bag semantics. */
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      .intersectAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+
+  def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      .exceptAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+
   val all: Seq[Q] = Seq(
     Q("set_intersect",
       """SELECT c_nationkey AS nk FROM customer
@@ -38,5 +49,17 @@ object SetOps {
         |  UNION ALL
         |  SELECT s_nationkey AS nk FROM supplier)
         |GROUP BY nk""".stripMargin)(setUnionAll),
+    Q("set_intersect_all",
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nk""".stripMargin)(setIntersectAll),
+    Q("set_except_all",
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nk""".stripMargin)(setExceptAll),
   )
 }
