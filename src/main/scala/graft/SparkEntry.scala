@@ -19,7 +19,8 @@ object SparkEntry {
       graft.ops.SetOps.all ++ graft.ops.AsOf.all ++
       graft.dedup.DedupOps.all ++ graft.sim.SimOps.all ++
       graft.mr.MrJobs.all ++ graft.text.TextAnalysis.all ++
-      graft.stream.StreamOps.all ++ graft.mm.MultimodalOps.all
+      graft.stream.StreamOps.all ++ graft.mm.MultimodalOps.all ++
+      graft.functions.TypedAggregators.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

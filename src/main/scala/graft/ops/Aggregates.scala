@@ -77,6 +77,18 @@ object Aggregates {
       .count()
       .na.fill(0, Seq("F", "O", "P"))
 
+  /** t-digest/Greenwald-Khanna sketch percentile — the 100 TB
+    * replacement for aggPercentiles' exact sort; algorithm differs
+    * from DuckDB's approx so no SQL oracle. ApproxDistinctSpec bounds
+    * it against the exact percentile (≤5% relative at sf0.01).
+    */
+  def aggApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("ap90"))
+
   /** HLL++ sketch — algorithm differs from DuckDB's approx so no SQL
     * oracle; ApproxDistinctSpec bounds it against the exact count
     * (≤5% at sf0.01) instead. Sketch-only on purpose: pairing it with
@@ -148,5 +160,6 @@ object Aggregates {
         |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggPercentiles),
     Q.noOracle("agg_approx_distinct")(aggApproxDistinct),
+    Q.noOracle("agg_approx_percentiles")(aggApproxPercentiles),
   )
 }

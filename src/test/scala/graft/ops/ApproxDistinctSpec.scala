@@ -11,6 +11,19 @@ import graft.{Tables, TestSpark}
 class ApproxDistinctSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("approx_percentile within 5% of exact per group at sf0.01") {
+    val approx = Aggregates.aggApproxPercentiles(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Aggregates.aggPercentiles(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.05, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 <= 0.05, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per group at sf0.01") {
     val approx = Aggregates.aggApproxDistinct(spark, sfSmall).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -114,6 +114,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val left = clicks.toDF().selectExpr("user_id", "ts AS click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val right = views.toDF().selectExpr("user_id AS v_user", "ts AS view_ts")
+      .withWatermark("view_ts", "1 hour")
+    val q = left.join(right,
+        col("user_id") === col("v_user") &&
+          expr("view_ts BETWEEN click_ts AND click_ts + INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("view_ts"))
+      .writeStream.format("memory").queryName("ss_join_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 1))
+      views.addData(
+        Ev(ts("2024-01-01 00:10:00"), "view", 1.0, 1), // within 30 min → joins
+        Ev(ts("2024-01-01 00:50:00"), "view", 1.0, 1)) // outside → dropped
+      q.processAllAvailable()
+      // advance both watermarks so results finalize in append mode
+      clicks.addData(Ev(ts("2024-01-01 03:00:00"), "click", 1.0, 9))
+      views.addData(Ev(ts("2024-01-01 03:00:00"), "view", 1.0, 9))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_t")
+        .filter(col("user_id") === 1)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"))))
+    } finally q.stop()
+  }
+
   test("foreachBatch lands micro-batches in parquet") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("fb").resolve("t").toString
