@@ -111,10 +111,16 @@ object Aggregates {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"),
+        // one array-typed percentile: a single sort serves all three
+        // quantiles instead of three independent sort-aggregations
+        percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
         round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("price_qty_corr"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"),
+        col("price_qty_corr"))
 
   val all: Seq[Q] = Seq(
     Q("agg_distinct",

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Negative-path parity with the reference's error tests (reference
+  * test.py:238-310: zero reducers rejected, nonexistent input fails
+  * gracefully, wrong function name fails): bad inputs raise clean
+  * errors and leave the session usable.
+  */
+class NegativeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("nonexistent input path fails with AnalysisException") {
+    intercept[AnalysisException] {
+      spark.read.parquet("/root/testdata/does_not_exist.parquet").count()
+    }
+  }
+
+  test("query against a bad fixture dir fails; session recovers") {
+    intercept[Exception] {
+      SparkEntry.queries("word_count")(spark, "/nonexistent/dir").count()
+    }
+    // the shared session must still work afterward
+    assert(SparkEntry.queries("word_count")(spark, sfTiny).count() > 0)
+  }
+
+  test("reference to a missing column fails at analysis, not runtime") {
+    intercept[AnalysisException] {
+      Tables.lineitem(spark, sfTiny)
+        .select(org.apache.spark.sql.functions.col("no_such_column")).collect()
+    }
+  }
+
+  test("invalid SQL raises a parse error") {
+    intercept[Exception] { spark.sql("SELEC wrong FROM nowhere") }
+  }
+
+  test("unknown query name is a clean map miss, not a crash") {
+    assert(!SparkEntry.queries.contains("no_such_query"))
+  }
+}
