@@ -240,20 +240,32 @@ object DedupOps {
     * hash = first 15 hex chars of md5 — deliberately md5-based so the
     * DuckDB oracle can reproduce it bit-for-bit (DuckDB lacks
     * xxhash64). Hamming-distance pairing is covered in DedupSpec.
+    * Computed in a typed map — the expression form (aggregate over a
+    * 60-wide zip_with) is CodegenFallback and was the slowest query
+    * in the bench.
     */
+  def simhash60(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Long](60)
+    graft.mr.MrJobs.tokenize(text).foreach { tok =>
+      val hex = md.digest(tok.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var j = 0
+      while (j < 60) {
+        acc(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    (0 until 60).foldLeft(0L)((s, j) => if (acc(j) > 0) s | (1L << j) else s)
+  }
+
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val hs = transform(tokens(col("text")),
-      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
-    val zeros = typedLit(Seq.fill(60)(0L))
-    val acc = aggregate(hs, zeros, (a, h) =>
-      zip_with(a, array((0 until 60).map(j =>
-        when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*),
-        (x, y) => x + y))
-    val powers = typedLit((0 until 60).map(j => 1L << j))
-    val sim = aggregate(
-      zip_with(acc, powers, (a, p) => when(a > 0, p).otherwise(lit(0L))),
-      lit(0L), (x, y) => x + y)
-    Tables.documents(s, dir).select(col("doc_id"), sim.as("simhash"))
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhash60(text)) }
+      .toDF("doc_id", "simhash")
   }
 
   // ---- Embedding cosine near-dup ------------------------------------

@@ -55,6 +55,14 @@ class SinksSpec extends AnyFunSuite {
       wc.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("orc round-trips (multi-format surface)") {
+    val path = tmp()
+    wc.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      wc.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("multi-path read unions files (J5)") {
     val p1 = tmp(); val p2 = tmp()
     Sinks.writeParquet(wc, p1)
