@@ -88,6 +88,26 @@ object Relational {
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
       .limit(100)
 
+  /** Composite pipeline (TPC-H Q3 shape): 3-table join → filter →
+    * aggregate → top-10. The realistic multi-operator query: customer
+    * dim broadcast, orders⋈lineitem shuffle on orderkey, exact
+    * decimal revenue, TakeOrderedAndProject for the limit.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------
   // Subqueries — Catalyst's scalar / IN / correlated-EXISTS rewrite
   // machinery (decorrelated into joins; the plan-shape sweep keeps
@@ -125,6 +145,19 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     Q("q1_agg", q1Sql)(q1Agg),
+    Q("q3_shipping",
+      """SELECT l_orderkey,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, order_day
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)(q3Shipping),
     Q("subquery_scalar",
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders

@@ -56,6 +56,21 @@ class DedupSpec extends AnyFunSuite {
     assert(dists.sum.toDouble / dists.size > 15.0)
   }
 
+  test("JVM shingling equals the column-expression form") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val exprForm = docs
+      .select(col("doc_id"),
+        DedupOps.shingleSet(graft.text.TextOps.tokens(col("text"))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val jvmForm = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> DedupOps.shingleStrings(t) }.toMap
+    assert(exprForm.keySet == jvmForm.keySet)
+    exprForm.foreach { case (id, sh) =>
+      assert(sh.toSet == jvmForm(id).toSet, s"doc $id shingle mismatch")
+    }
+  }
+
   test("dedup_exact keeps one representative per distinct content") {
     val out = DedupOps.dedupExact(spark, sfTiny).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)
