@@ -38,4 +38,20 @@ class MapReducePropSpec extends AnyFunSuite {
       assert(got == expected, s"seed $i, partitions $parts")
     }
   }
+
+  test("combiner path (runReduced) == generic path for random associative folds") {
+    import spark.implicits._
+    (0 until 6).foreach { i =>
+      val kvs = kvGen(Gen.Parameters.default, Seed(100L + i))
+        .getOrElse(fail("gen failed"))
+      val ds = spark.createDataset(kvs)
+      val generic = MapReduce.run[(String, Int), String, Long, (String, Long)](
+        ds, kv => Iterator((kv._1, kv._2.toLong)),
+        (k, vs) => Iterator((k, vs.sum))).collect().toSet
+      val combined = MapReduce.runReduced[(String, Int), String, Long, (String, Long)](
+        ds, kv => Iterator((kv._1, kv._2.toLong)),
+        _ + _, (k, v) => (k, v)).collect().toSet
+      assert(generic == combined, s"seed ${100 + i}")
+    }
+  }
 }

@@ -55,6 +55,14 @@ class SinksSpec extends AnyFunSuite {
       wc.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("parquet with zstd codec round-trips") {
+    val path = tmp()
+    wc.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.exists(_.contains(".zstd.parquet")), files.mkString(","))
+    assert(spark.read.parquet(path).count() == wc.count())
+  }
+
   test("orc round-trips (multi-format surface)") {
     val path = tmp()
     wc.write.mode("overwrite").orc(path)
