@@ -233,6 +233,43 @@ object DedupOps {
           .as("edit_ratio"))
   }
 
+  /** Near-dup cluster resolution — the final dedup step: connected
+    * components over the verified pair graph, each doc labeled with
+    * its component's minimum doc_id (the canonical representative to
+    * keep). Min-label propagation, one broadcast-sized join per
+    * round, early exit on fixpoint: labels only decrease, so the
+    * label sum is a monotone convergence witness. Component diameter
+    * bounds the rounds (near-dup clusters are shallow; the 32-round
+    * cap is a safety net, and the same loop shape is how
+    * GraphX/Pregel would run it at scale).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.toDF("u", "v")
+      .union(pairs.select(col("doc_b"), col("doc_a")).toDF("u", "v"))
+      .cache()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 32) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+        .groupBy(col("u")).agg(min(col("label")).as("nl"))
+      labels = labels
+        .join(neighborMin.withColumnRenamed("u", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      val newSum = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
+      iter += 1
+    }
+    labels.toDF("doc_id", "canonical")
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 60-bit SimHash over unigram tokens (occurrence-weighted): bit j
@@ -315,6 +352,19 @@ object DedupOps {
         |  FROM events) WHERE rn = 1""".stripMargin)(dedupKeepLatest),
     Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
+    Q("dedup_clusters",
+      s"""WITH RECURSIVE pairs AS (
+         |$jaccardOracle),
+         |bi AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM bi
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS canonical
+         |FROM reach GROUP BY u""".stripMargin)(dedupClusters),
     Q("dedup_edit_distance",
       s"""WITH pairs AS (
          |$jaccardOracle)

@@ -166,6 +166,20 @@ object TextAnalysis {
     Tables.documents(s, dir).select(col("doc_id"), fp.as("fingerprint"))
   }
 
+  /** Corpus profiling — the first query run against any new dataset:
+    * row counts, per-column cardinalities, null rates, length
+    * distribution. One pass, one row out.
+    */
+  def profileCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+
   val all: Seq[Q] = Seq(
     Q("ngram_bigrams",
       s"""SELECT bigram, COUNT(*) AS cnt FROM (
@@ -203,6 +217,14 @@ object TextAnalysis {
         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS DOUBLE), 6)
         |    AS chars_per_token
         |FROM documents""".stripMargin)(tokenStats),
+    Q("profile_corpus",
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents""".stripMargin)(profileCorpus),
     Q("doc_fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
