@@ -166,6 +166,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming query resumes from checkpoint with aggregation state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt_out").resolve("t").toString
+    val stream = MemoryStream[Ev]
+    // memory sink doesn't support recovery; foreachBatch does
+    def start() = StreamOps.tumblingStream(stream.toDF())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }.start()
+
+    val q1 = start()
+    stream.addData(Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same source instance + checkpoint → offsets resume
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:20:00"), "click", 2.0, 1))
+      q2.processAllAvailable()
+      val w0 = spark.read.parquet(out)
+        .filter(col("ws") === ts("2024-01-01 00:00:00"))
+        .collect().map(r => (r.getLong(2), r.getDouble(3)))
+      // the post-restart update for the window must count BOTH events
+      // — state recovered across the restart, not reset
+      assert(w0.contains((2L, 3.0)), s"got ${w0.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("session stream merges events within the gap, splits beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
