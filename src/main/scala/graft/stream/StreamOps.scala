@@ -96,7 +96,35 @@ object StreamOps {
   def eventsSession(s: SparkSession, dir: String): DataFrame =
     sessionAgg(Tables.events(s, dir))
 
+  /** Cohort retention — users grouped by first-seen day, counted per
+    * day-offset of subsequent activity. Two aggregations: first-day
+    * per user (broadcastable at fixture scale, shuffle-join on
+    * user_id at 100 TB), then distinct (user, offset) counts.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+    e.join(firstDay, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        datediff(date_trunc("day", col("ts")), col("cohort")).as("day_offset"))
+      .distinct()
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("events_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |first_day AS (
+        |  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM e GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, fd.cohort,
+        |    datediff('day', fd.cohort, date_trunc('day', e.ts)) AS day_offset
+        |  FROM e JOIN first_day fd ON e.user_id = fd.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+        |  COUNT(*) AS n_users
+        |FROM activity GROUP BY 1, 2""".stripMargin)(eventsRetention),
     Q("events_tumbling",
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
         |  event_type, COUNT(*) AS n,
