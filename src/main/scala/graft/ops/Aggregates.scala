@@ -85,9 +85,12 @@ object Aggregates {
   def aggApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("ap90"))
+      // one sketch serves both quantiles (array form), not two
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(1000)).as("aps"))
+      .select(col("l_returnflag"),
+        element_at(col("aps"), 1).as("ap50"),
+        element_at(col("aps"), 2).as("ap90"))
 
   /** HLL++ sketch — algorithm differs from DuckDB's approx so no SQL
     * oracle; ApproxDistinctSpec bounds it against the exact count
