@@ -339,6 +339,22 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }
 
+  /** End-to-end corpus curation — the pipeline all of the above
+    * exists for: quality-filter (token count), then drop every
+    * near-duplicate that is not its cluster's canonical
+    * representative. Output is the kept corpus. Each stage is one of
+    * the oracled operators above, composed.
+    */
+  def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 20)
+    val dropped = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("canonical"))
+      .select(col("doc_id"))
+    quality.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact",
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
@@ -365,6 +381,26 @@ object DedupOps {
          |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canonical
          |FROM reach GROUP BY u""".stripMargin)(dedupClusters),
+    Q("curate_corpus",
+      s"""WITH RECURSIVE pairs AS (
+         |$jaccardOracle),
+         |bi AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM bi
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u),
+         |clusters AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS canonical
+         |  FROM reach GROUP BY u),
+         |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> canonical)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens
+         |FROM documents
+         |WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 20
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)(curateCorpus),
     Q("dedup_edit_distance",
       s"""WITH pairs AS (
          |$jaccardOracle)
