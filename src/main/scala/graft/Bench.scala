@@ -51,14 +51,16 @@ object Bench {
       }
       q.name -> best
     }
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val errors = timed.collect { case (n, Left(e)) => s"""\"$n\":\"$e\"""" }
     val qJson = timed.map {
-      case (n, Right(t)) => s"""\"$n\":${"%.3f".format(t)}"""
+      case (n, Right(t)) => s"""\"$n\":${f3(t)}"""
       case (n, Left(_)) => s"""\"$n\":-1"""
     }.mkString("{", ",", "}")
     val total = timed.collect { case (_, Right(t)) => t }.sum
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qJson,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")
     println(line)

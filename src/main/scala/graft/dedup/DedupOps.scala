@@ -155,7 +155,8 @@ object DedupOps {
     (a, b)
   }
 
-  /** MinHash signature (array of 128 longs) from a shingle-set column.
+  /** MinHash signature (array of [[NumHashes]] longs) from a
+    * shingle-set column.
     * The base shingle hash is computed once per shingle; each
     * permutation is arithmetic over it — all codegen'd expressions.
     * Empty set → sentinel signature of p (matches nothing real).
@@ -175,11 +176,12 @@ object DedupOps {
     * join is on band buckets: shuffle cost O(docs × bands), never
     * all-pairs. This is the dedup plan that survives 100 TB.
     *
-    * Signatures are computed by exploding shingles and taking 128
-    * `min` aggregates — a single partial-aggregated hash agg over
-    * simple codegen'd arithmetic. (The array-expression form in
-    * [[minhashSignature]] builds a 128-branch expression tree that
-    * overflows whole-stage codegen; kept for per-row use in specs.)
+    * Signatures are computed by exploding shingles and taking
+    * [[NumHashes]] `min` aggregates — a single partial-aggregated
+    * hash agg over simple codegen'd arithmetic. (The array-expression
+    * form in [[minhashSignature]] builds a NumHashes-branch
+    * expression tree that overflows whole-stage codegen; kept for
+    * per-row use in specs.)
     */
   def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
     // x64: 64-bit identity for exact set verification (collision-free
@@ -244,16 +246,25 @@ object DedupOps {
     * GraphX/Pregel would run it at scale).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs.toDF("u", "v")
-      .union(pairs.select(col("doc_b"), col("doc_a")).toDF("u", "v"))
-      .cache()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: sum over an empty frame is NULL (no pairs → no nodes)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    val edges = {
+      val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      pairs.toDF("u", "v")
+        .union(pairs.select(col("doc_b"), col("doc_a")).toDF("u", "v"))
+        .localCheckpoint() // materialize once; both loop inputs read it
+    }
+    var labels = edges.select(col("u").as("node"))
+      .distinct().withColumn("label", col("node")).localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
-    var iter = 0
-    while (!converged && iter < 32) {
+    // labels only decrease and are bounded below, so the loop reaches
+    // the fixpoint in ≤ diameter(component) rounds — no iteration cap
+    // that could silently return half-propagated labels.
+    // localCheckpoint (eager) cuts lineage each round.
+    while (!converged) {
+      val prev = labels
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("label")).as("nl"))
@@ -261,12 +272,13 @@ object DedupOps {
         .join(neighborMin.withColumnRenamed("u", "node"), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
-      val newSum = labels.agg(sum(col("label"))).head().getLong(0)
+        .localCheckpoint()
+      prev.unpersist()
+      val newSum = labelSum(labels)
       converged = newSum == prevSum
       prevSum = newSum
-      iter += 1
     }
+    edges.unpersist()
     labels.toDF("doc_id", "canonical")
   }
 
@@ -328,9 +340,12 @@ object DedupOps {
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import graft.functions.VectorFunctions.vecDot
+    // nrm > 0: cosine is undefined for zero vectors, and under ANSI
+    // mode the division would throw rather than yield NaN
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("nrma"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nrmb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -429,10 +444,11 @@ object DedupOps {
         |FROM bits""".stripMargin)(simhashFingerprint),
     Q("dedup_embedding",
       """WITH n AS (
-        |  SELECT vec_id, embedding AS v,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding AS v,
+        |      sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |    FROM embeddings) WHERE nrm > 0),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_sum(list_transform(range(1, len(a.v) + 1),

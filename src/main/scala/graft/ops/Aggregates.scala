@@ -43,7 +43,9 @@ object Aggregates {
         sum(p * p).cast("double").as("s2"))
       .select(col("l_linestatus"), col("n"), col("min_price"), col("max_price"),
         round(col("s1") / col("n"), 6).as("avg_price"),
-        round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2)
+        // n=1 → sample variance undefined: NULL, not a /0 ANSI error
+        when(col("n") > 1,
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2))
           .as("var_price"))
   }
 
@@ -140,7 +142,8 @@ object Aggregates {
         |  FROM lineitem GROUP BY l_linestatus)
         |SELECT l_linestatus, n, min_price, max_price,
         |  round(s1 / n, 6) AS avg_price,
-        |  round((s2 - s1 * s1 / n) / (n - 1), 2) AS var_price
+        |  CASE WHEN n > 1
+        |    THEN round((s2 - s1 * s1 / n) / (n - 1), 2) END AS var_price
         |FROM g""".stripMargin)(aggStats),
     Q("agg_rollup",
       """SELECT l_returnflag, l_linestatus,

@@ -33,6 +33,7 @@ object SimOps {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0) // cosine undefined for zero vectors; ANSI-safe
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("nrm").as("nrmq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
@@ -85,6 +86,7 @@ object SimOps {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0) // cosine undefined for zero vectors; ANSI-safe
     val buckets = e.select(col("vec_id"),
         explode(array((0 until NumTables).map(t =>
           struct(lit(t).as("tbl"), bucketCol(col("embedding"), t).as("bucket"))): _*)).as("tb"))
@@ -124,6 +126,7 @@ object SimOps {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0) // cosine undefined for zero vectors; ANSI-safe
     val cents = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("vcent"), col("nrm").as("nrmcent"))
     val simToCent = e.crossJoin(broadcast(cents))
@@ -154,10 +157,11 @@ object SimOps {
 
   private val normsCte =
     """n AS (
-      |  SELECT vec_id, embedding AS v,
-      |    sqrt(list_sum(list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings)""".stripMargin
+      |  SELECT * FROM (
+      |    SELECT vec_id, embedding AS v,
+      |      sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |    FROM embeddings) WHERE nrm > 0)""".stripMargin
 
   private val dotSql =
     """list_sum(list_transform(range(1, len(q.v) + 1),

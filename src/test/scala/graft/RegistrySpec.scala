@@ -10,8 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
   import TestSpark._
 
+  // pair finders can legitimately find nothing on a tiny fixture, and
+  // the queries derived from their pairs inherit that
   private val mayBeEmpty = Set(
-    "set_except", "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding")
+    "set_except", "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+    "dedup_edit_distance", "dedup_clusters")
 
   test("registry has no duplicate names and oracles reference known queries") {
     val names = SparkEntry.registry.map(_.name)

@@ -8,8 +8,9 @@ class DedupSpec extends AnyFunSuite {
   import TestSpark._
 
   test("minhash LSH finds exactly the brute-force near-dup pairs (sf0.01)") {
-    // At threshold 0.8 with 32 bands × 4 rows, LSH recall ≈ 1−5e-8,
-    // so on the fixture the bucketed plan must equal the exact one.
+    // At threshold 0.8 with 24 bands × 4 rows, LSH recall ≈ 1−3.5e-6
+    // (≈1−1e-11 at the fixture's planted J≥0.9), so on the fixture
+    // the bucketed plan must equal the exact one.
     val lsh = DedupOps.minhashNeardup(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = DedupOps.ngramJaccard(spark, sfSmall).collect()
