@@ -238,12 +238,20 @@ object DedupOps {
   /** Near-dup cluster resolution — the final dedup step: connected
     * components over the verified pair graph, each doc labeled with
     * its component's minimum doc_id (the canonical representative to
-    * keep). Min-label propagation, one broadcast-sized join per
-    * round, early exit on fixpoint: labels only decrease, so the
-    * label sum is a monotone convergence witness. Component diameter
-    * bounds the rounds (near-dup clusters are shallow; the 32-round
-    * cap is a safety net, and the same loop shape is how
-    * GraphX/Pregel would run it at scale).
+    * keep). Min-label propagation, one join per round, running until
+    * the fixpoint: labels only decrease and are bounded below, so the
+    * monotone label sum converges in ≤ diameter(component) rounds —
+    * no iteration cap that could silently return half-propagated
+    * labels (near-dup clusters are shallow in practice).
+    *
+    * Memory/lineage: every generation is cache()d through the
+    * CacheManager (localCheckpoint blocks can NOT be freed with
+    * unpersist — they bypass the CacheManager) and the superseded
+    * generation is unpersisted each round, so peak storage is two
+    * label generations plus the edge list. Lineage grows one
+    * join+agg per round; at production diameters switch to
+    * `checkpoint()` with a checkpoint dir, the same trade GraphX
+    * makes.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     // coalesce: sum over an empty frame is NULL (no pairs → no nodes)
@@ -253,16 +261,12 @@ object DedupOps {
       val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
       pairs.toDF("u", "v")
         .union(pairs.select(col("doc_b"), col("doc_a")).toDF("u", "v"))
-        .localCheckpoint() // materialize once; both loop inputs read it
+        .cache() // read by every round (and the node seed) without recompute
     }
     var labels = edges.select(col("u").as("node"))
-      .distinct().withColumn("label", col("node")).localCheckpoint()
-    var prevSum = labelSum(labels)
+      .distinct().withColumn("label", col("node")).cache()
+    var prevSum = labelSum(labels) // action: materializes the cache
     var converged = false
-    // labels only decrease and are bounded below, so the loop reaches
-    // the fixpoint in ≤ diameter(component) rounds — no iteration cap
-    // that could silently return half-propagated labels.
-    // localCheckpoint (eager) cuts lineage each round.
     while (!converged) {
       val prev = labels
       val neighborMin = edges
@@ -272,9 +276,9 @@ object DedupOps {
         .join(neighborMin.withColumnRenamed("u", "node"), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      prev.unpersist()
+        .cache()
       val newSum = labelSum(labels)
+      prev.unpersist()
       converged = newSum == prevSum
       prevSum = newSum
     }
