@@ -79,6 +79,19 @@ object Aggregates {
       .count()
       .na.fill(0, Seq("F", "O", "P"))
 
+  /** Unpivot (melt) — the inverse of aggPivot: wide per-status counts
+    * back to (priority, name, val) rows. Pure row-local reshaping
+    * after the aggregation, no extra shuffle.
+    */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("f_cnt"),
+        count(when(col("o_orderstatus") === "O", 1)).as("o_cnt"),
+        count(when(col("o_orderstatus") === "P", 1)).as("p_cnt"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "name", "val")
+
   /** t-digest/Greenwald-Khanna sketch percentile — the 100 TB
     * replacement for aggPercentiles' exact sort; algorithm differs
     * from DuckDB's approx so no SQL oracle. ApproxDistinctSpec bounds
@@ -164,6 +177,14 @@ object Aggregates {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
         |FROM orders GROUP BY o_orderpriority""".stripMargin)(aggPivot),
+    Q("agg_unpivot",
+      """SELECT o_orderpriority, name, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT o_orderpriority,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |  FROM orders GROUP BY 1)
+        |UNPIVOT (val FOR name IN (f_cnt, o_cnt, p_cnt))""".stripMargin)(aggUnpivot),
     Q("agg_percentiles",
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

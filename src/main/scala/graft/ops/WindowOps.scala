@@ -30,6 +30,21 @@ object WindowOps {
       .filter(col("rn") <= 3)
   }
 
+  /** Distribution window functions: quartile assignment, percent
+    * rank, cumulative distribution. The (k−1)/(n−1)-style fractions
+    * are small-integer divisions, identical in both engines; rounded
+    * anyway for ulp safety.
+    */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
   /** Running (cumulative) sum per user over event time. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -51,6 +66,13 @@ object WindowOps {
   }
 
   val all: Seq[Q] = Seq(
+    Q("window_distribution",
+      """SELECT o_orderkey, ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin)(windowDistribution),
     Q("window_rank",
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
