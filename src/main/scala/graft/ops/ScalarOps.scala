@@ -68,6 +68,20 @@ object ScalarOps {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** Schema-full JSON parsing (from_json → typed struct) and
+    * re-serialization (to_json) — the other half of the JSON surface
+    * next to scalar_json's path extraction. Round-tripping through a
+    * declared schema is what a pipeline does when it trusts the
+    * payload shape; the canonical re-serialized form is compared, not
+    * the raw string.
+    */
+  def jsonStruct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .select(col("event_id"), col("p.k").as("k"),
+        to_json(struct(col("p.k").as("k"))).as("canon"))
+
   /** MapType functions: construct a map, read keys/values/lookups.
     * The fixtures carry no MapType column, so the map is built from
     * order columns — the functions under test are map_keys /
@@ -132,6 +146,11 @@ object ScalarOps {
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin)(scalarJson),
+    Q("json_struct",
+      """SELECT event_id,
+        |  CAST(props->>'k' AS INT) AS k,
+        |  '{"k":' || CAST(props->>'k' AS INT) || '}' AS canon
+        |FROM events""".stripMargin)(jsonStruct),
     Q("map_ops",
       """SELECT o_orderkey,
         |  m['status'][1] AS status,
