@@ -166,6 +166,15 @@ object TextAnalysis {
     Tables.documents(s, dir).select(col("doc_id"), fp.as("fingerprint"))
   }
 
+  /** Positional explode — the generator/UDTF surface with ordinality:
+    * every token with its 0-based position in the document. Restricted
+    * to a doc subset to keep the correctness dump proportionate.
+    */
+  def explodePos(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+
   /** Corpus profiling — the first query run against any new dataset:
     * row counts, per-column cardinalities, null rates, length
     * distribution. One pass, one row out.
@@ -217,6 +226,10 @@ object TextAnalysis {
         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS DOUBLE), 6)
         |    AS chars_per_token
         |FROM documents""".stripMargin)(tokenStats),
+    Q("explode_pos",
+      s"""SELECT doc_id, i - 1 AS pos, t[i] AS token
+         |FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 50),
+         |  unnest(range(1, len(t) + 1)) AS u(i)""".stripMargin)(explodePos),
     Q("profile_corpus",
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(DISTINCT lang) AS n_langs,
