@@ -26,14 +26,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a
-    * raw nanos long (legacy flag) and truncate to microseconds —
-    * matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle
-    * comparisons agree.
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must
+    * set `spark.sql.legacy.parquet.nanosAsLong=true` at build time
+    * (GraftSession / Verify / Bench / TestSpark all do) so the column
+    * reads as a raw nanos long; we truncate to microseconds — matching
+    * DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle
+    * comparisons agree. Not set here: mutating session conf inside a
+    * table loader would be a surprise for library users.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

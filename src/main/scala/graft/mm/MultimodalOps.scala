@@ -69,15 +69,30 @@ object MultimodalOps {
         col("f.frame_md5").as("frame_md5"))
   }
 
-  /** Feature extraction over payload batches via mapPartitions.
-    *
-    * STUB DECODE: a real pipeline would decode the codec here
+  /** STUB DECODE: a real pipeline would decode the codec here
     * (libjpeg/ffmpeg — absent in this container). The deterministic
-    * stand-in computes byte statistics and a 16-bin byte histogram
-    * "embedding" — same signature, schema, and batch shape as a real
-    * decoder, so swapping one in touches only the marked lines.
-    * No SQL oracle (the fake-decode loop is JVM code, not SQL);
-    * MultimodalSpec pins the values.
+    * stand-in computes integer byte statistics — byte count, byte
+    * sum, 16-bin high-nibble histogram — same signature and batch
+    * shape as a real decoder, so swapping one in touches only this
+    * function.
+    */
+  private def decodeStats(bytes: Array[Byte]): (Long, Long, Array[Long]) = {
+    // -- begin fake decode (replace with real codec) --
+    var sum = 0L
+    val hist = new Array[Long](16)
+    bytes.foreach { b =>
+      sum += (b & 0xff).toLong
+      hist((b & 0xff) >> 4) += 1
+    }
+    (bytes.length.toLong, sum, hist)
+    // -- end fake decode --
+  }
+
+  /** Feature extraction over payload batches via mapPartitions — the
+    * typed API: float-vector embedding (16-bin byte histogram,
+    * normalized), the shape a downstream ANN/near-dup stage consumes.
+    * MultimodalSpec pins the values; [[mmFeaturesFlat]] is the
+    * registry/oracle face of the same decode.
     */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -86,17 +101,38 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (docId, bytes) =>
-          // -- begin fake decode (replace with real codec) --
-          val n = bytes.length.max(1)
-          val mean = bytes.map(b => (b & 0xff).toLong).sum.toDouble / n
-          val hist = new Array[Long](16)
-          bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+          val (len, sum, hist) = decodeStats(bytes)
+          val n = len.max(1L)
+          val mean = sum.toDouble / n
           val embedding = hist.map(c => c.toFloat / n)
-          // -- end fake decode --
-          (docId, bytes.length.toLong, math.round(mean * 1e6) / 1e6, embedding)
+          (docId, len, math.round(mean * 1e6) / 1e6, embedding)
         }
       }
       .toDF("doc_id", "n_bytes", "mean_byte", "embedding")
+  }
+
+  /** The driver-facing shape of [[mmFeatures]]: the mapPartitions
+    * decode emits integer-exact stats, and every derived double is a
+    * single rounded division computed in Spark SQL — so each value is
+    * one IEEE op on identical integers in both engines, and the
+    * output is flat scalar columns the correctness dump can sort
+    * (an array<float> column is unsortable by the pandas differ).
+    */
+  def mmFeaturesFlat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        val (len, sum, hist) = decodeStats(bytes)
+        (docId, len, sum, hist)
+      })
+      .toDF("doc_id", "n_bytes", "byte_sum", "hist")
+    val n = greatest(col("n_bytes"), lit(1)).cast("double")
+    val bins = (0 until 16).map(i =>
+      round(element_at(col("hist"), i + 1) / n, 6).as(f"f$i%02d"))
+    stats.select(col("doc_id") +: col("n_bytes") +:
+      round(col("byte_sum") / n, 6).as("mean_byte") +: bins: _*)
   }
 
   val all: Seq[Q] = Seq(
@@ -112,6 +148,21 @@ object MultimodalOps {
          |  md5(substr(text, 1 + CAST(floor((length(text) - $FrameLen) * frame_idx / ${NFrames - 1}) AS INT), $FrameLen)) AS frame_md5
          |FROM documents, (SELECT unnest(range(0, $NFrames)) AS frame_idx)
          |WHERE length(text) >= $FrameLen""".stripMargin)(mmFrameSample),
-    Q.noOracle("mm_features")(mmFeatures),
+    Q("mm_features", {
+      // ASCII fixture text ⇒ ascii(char) == byte value; high-nibble
+      // histogram via x // 16 (bins 8–15 are provably 0 for ASCII but
+      // kept: the contract is 16 bins regardless of payload).
+      val binCols = (0 until 16).map(i =>
+        f"round(len(list_filter(bytes, x -> x // 16 = $i)) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f$i%02d")
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n_bytes,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> ascii(substr(text, i, 1))) AS bytes
+         |  FROM documents)
+         |SELECT doc_id, n_bytes,
+         |  round(list_sum(bytes) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS mean_byte,
+         |  ${binCols.mkString(",\n  ")}
+         |FROM b""".stripMargin
+    })(mmFeaturesFlat),
   )
 }

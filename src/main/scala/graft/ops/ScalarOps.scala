@@ -147,9 +147,12 @@ object ScalarOps {
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin)(scalarJson),
     Q("json_struct",
+      // COALESCE: Spark's to_json(struct(null k)) emits '{}' while a
+      // NULL in the DuckDB concat would null the whole string — keep
+      // the oracle aligned if a props row is ever malformed.
       """SELECT event_id,
         |  CAST(props->>'k' AS INT) AS k,
-        |  '{"k":' || CAST(props->>'k' AS INT) || '}' AS canon
+        |  COALESCE('{"k":' || CAST(props->>'k' AS INT) || '}', '{}') AS canon
         |FROM events""".stripMargin)(jsonStruct),
     Q("map_ops",
       """SELECT o_orderkey,

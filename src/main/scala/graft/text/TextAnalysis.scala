@@ -187,7 +187,9 @@ object TextAnalysis {
       sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"),
-      (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+      // round-the-finish policy (see Relational.scala header): the two
+      // engines' double division can differ in the last ulp
+      round(sum(col("n_chars")) / count(lit(1)), 6).as("avg_chars"))
 
   val all: Seq[Q] = Seq(
     Q("ngram_bigrams",
@@ -236,7 +238,7 @@ object TextAnalysis {
         |  COUNT(DISTINCT source) AS n_sources,
         |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
         |FROM documents""".stripMargin)(profileCorpus),
     Q("doc_fingerprint",
       """SELECT doc_id,

@@ -31,8 +31,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("filter_project pushes its predicate to the scan") {
     val p = plan("filter_project")
-    assert(p.contains("PushedFilters") && p.contains("IsNotNull") || p.contains("GreaterThan")
-      || p.contains("LessThan"), s"no pushed predicate in:\n$p")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("IsNotNull") || p.contains("GreaterThan") || p.contains("LessThan")),
+      s"no pushed predicate in:\n$p")
   }
 
   test("word_count prunes to the text column only") {
