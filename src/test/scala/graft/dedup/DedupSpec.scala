@@ -72,6 +72,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents resolves a deep chain with checkpointing") {
+    import spark.implicits._
+    // path graph 0-1-2-...-19: diameter 19, worst case for min-label
+    // propagation (VERDICT r2 #6: exercise the checkpoint path on a
+    // component deeper than any fixture cluster).
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val prevDir = spark.sparkContext.getCheckpointDir
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val labels = DedupOps.connectedComponents(pairs, checkpointInterval = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 20)
+      assert(labels.values.forall(_ == 0L), s"unconverged labels: $labels")
+      // two components + an isolated-free graph: disjoint chains stay apart
+      val two = ((0L until 4L).map(i => (i, i + 1)) ++
+        (100L until 109L).map(i => (i, i + 1))).toDF("a", "b")
+      val l2 = DedupOps.connectedComponents(two, checkpointInterval = 2)
+        .as[(Long, Long)].collect().toMap
+      assert((0L to 4L).forall(l2(_) == 0L))
+      assert((100L to 109L).forall(l2(_) == 100L))
+    } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("dedup_exact keeps one representative per distinct content") {
     val out = DedupOps.dedupExact(spark, sfTiny).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)
