@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** CSV and JSON *source* coverage — the "other formats" row of
+  * SURVEY.md §2.1. The reference ingests only raw text (its upload
+  * filter accepts .txt, reference upload_data.py:48); a Spark-native
+  * engine must also read the interchange formats a pipeline actually
+  * receives. `events` is round-tripped through each format once per
+  * (JVM, fixture dir) and aggregated from the read-back copy, while
+  * the DuckDB oracle aggregates the original parquet — so the
+  * format round-trip itself is under the differential gate.
+  *
+  * Schema discipline: both readers get an explicit schema (never
+  * inferSchema — at 100 TB schema inference is an extra full scan,
+  * and silent type drift is how corrupt rows slip in). The timestamp
+  * travels as epoch microseconds (a BIGINT) to keep the text formats
+  * locale/format-free.
+  */
+object FileSources {
+
+  private val written = scala.collection.mutable.Set[String]()
+
+  /** Events projection written once per (JVM, dir, format); returns
+    * the directory of text files. Timestamps as unix micros, matching
+    * DuckDB's epoch_us(ts).
+    */
+  private def eventsAs(s: SparkSession, dir: String, format: String): String = synchronized {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/$format/$key"
+    if (!written.contains(out)) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite")
+        .option("header", "true") // no-op for json
+        .format(format).save(out)
+      written += out
+    }
+    out
+  }
+
+  private val eventsDdl =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+
+  /** Per-type rollup over the read-back copy: count, exact decimal sum
+    * (finished to double once — the repo's double-sum policy), and the
+    * ts range. Any row the text format dropped or re-typed flips a
+    * value here.
+    */
+  private def rollup(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+        min(col("ts_us")).as("min_ts"),
+        max(col("ts_us")).as("max_ts"))
+
+  def csvEvents(s: SparkSession, dir: String): DataFrame =
+    rollup(s.read.schema(eventsDdl).option("header", "true")
+      .csv(eventsAs(s, dir, "csv")))
+
+  def jsonEvents(s: SparkSession, dir: String): DataFrame =
+    rollup(s.read.schema(eventsDdl).json(eventsAs(s, dir, "json")))
+
+  private val rollupOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts,
+      |  MAX(epoch_us(ts)) AS max_ts
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("source_csv", rollupOracle)(csvEvents),
+    Q("source_json", rollupOracle)(jsonEvents),
+  )
+}

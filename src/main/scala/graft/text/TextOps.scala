@@ -44,6 +44,26 @@ object TextOps {
       .groupBy("word")
       .agg(array_join(sort_array(collect_set(col("doc_id"))), ",").as("docs"))
 
+  /** Scale path for the inverted index: a stopword's posting list is
+    * the whole corpus, so `collect_set` over a bare word key is the
+    * classic unbounded group at 100 TB. Postings are built per
+    * (word, pmod(doc_id, B)) — every first-stage group is ~1/B of the
+    * word's df, and the merge stage receives at most B pre-built rows
+    * per word instead of df individual ids. Same output contract (and
+    * oracle) as [[invertedIndex]]. At true 100 TB the merge row per
+    * word is still the full list — production would keep the bucketed
+    * form as the stored index; the merge here proves equivalence.
+    */
+  def invertedIndexBucketed(s: SparkSession, dir: String): DataFrame = {
+    val B = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("word"))
+      .groupBy(col("word"), pmod(col("doc_id"), lit(B)).as("bucket"))
+      .agg(collect_set(col("doc_id")).as("docs_b"))
+      .groupBy(col("word"))
+      .agg(array_join(array_sort(flatten(collect_list(col("docs_b")))), ",").as("docs"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("word_count",
       s"""SELECT word, COUNT(*) AS cnt
@@ -54,5 +74,10 @@ object TextOps {
          |  array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS docs
          |FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
          |GROUP BY word""".stripMargin)(invertedIndex),
+    Q("inverted_index_bucketed",
+      s"""SELECT word,
+         |  array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS docs
+         |FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+         |GROUP BY word""".stripMargin)(invertedIndexBucketed),
   )
 }

@@ -58,6 +58,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted_index_bucketed aggregates postings under a bucketed key") {
+    val p = plan("inverted_index_bucketed")
+    // first-stage groups must be keyed by (word, pmod(doc_id, B)) —
+    // the bounded-group property the 100 TB posture needs
+    assert(p.contains("pmod"), s"no bucketed grouping key in:\n${p.take(2000)}")
+    assert(p.contains("partial_collect_set"), "postings must partial-aggregate")
+  }
+
   test("dedup_minhash verification joins stay equi (bucket keys)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("CartesianProduct"))
