@@ -108,6 +108,45 @@ object Joins {
         count(lit(1)).as("n"))
   }
 
+  /** Interval bands for the range join — deliberately unequal widths
+    * so the bucketing is non-trivial. (band_id, lo inclusive, hi
+    * exclusive), covering l_quantity's domain [1, 50].
+    */
+  private val RangeBands: Seq[(Long, Double, Double)] = Seq(
+    (0L, 1.0, 3.0), (1L, 3.0, 8.0), (2L, 8.0, 15.0),
+    (3L, 15.0, 27.0), (4L, 27.0, 51.0))
+
+  /** Range (interval) join, bucketized to an equi join — the 100 TB
+    * pattern for `v BETWEEN lo AND hi`: Spark plans a raw range
+    * predicate as BroadcastNestedLoopJoin (probe × bands comparisons
+    * per row). Instead each band is exploded into the fixed-width
+    * buckets it overlaps, the probe side computes its single bucket,
+    * and the join is a broadcast HASH join on bucket with the exact
+    * range as a cheap residual filter. Work per probe row is O(1)
+    * regardless of band count; a band never matches a probe row twice
+    * (its bucket list is distinct). The oracle is the plain BETWEEN
+    * join — the rewrite must be semantically invisible.
+    */
+  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 4.0 // bucket width, same unit as l_quantity
+    val bandBuckets = RangeBands.flatMap { case (id, lo, hi) =>
+      (math.floor(lo / W).toInt until math.ceil(hi / W).toInt)
+        .map(b => (id, lo, hi, b))
+    }
+    val bands = bandBuckets.toDF("band_id", "lo", "hi", "bucket")
+    Tables.lineitem(s, dir)
+      .withColumn("bucket", floor(col("l_quantity") / W).cast("int"))
+      .join(broadcast(bands), Seq("bucket"))
+      .filter(col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  private val rangeBandsValues = RangeBands
+    .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+
   val all: Seq[Q] = Seq(
     Q("join_inner",
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
@@ -157,5 +196,12 @@ object Joins {
         |FROM customer JOIN supplier
         |  ON c_nationkey = s_nationkey AND s_acctbal > c_acctbal
         |GROUP BY c_nationkey""".stripMargin)(joinTheta),
+    Q("join_range_bucketed",
+      s"""SELECT band_id, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |JOIN (VALUES $rangeBandsValues) AS bands(band_id, lo, hi)
+         |  ON l_quantity >= lo AND l_quantity < hi
+         |GROUP BY band_id""".stripMargin)(joinRangeBucketed),
   )
 }

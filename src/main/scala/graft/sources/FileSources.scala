@@ -65,6 +65,12 @@ object FileSources {
   def jsonEvents(s: SparkSession, dir: String): DataFrame =
     rollup(s.read.schema(eventsDdl).json(eventsAs(s, dir, "json")))
 
+  /** ORC — the columnar alternative to parquet (typed, no text
+    * round-trip concerns; the schema rides in the file).
+    */
+  def orcEvents(s: SparkSession, dir: String): DataFrame =
+    rollup(s.read.orc(eventsAs(s, dir, "orc")))
+
   private val rollupOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -75,5 +81,6 @@ object FileSources {
   val all: Seq[Q] = Seq(
     Q("source_csv", rollupOracle)(csvEvents),
     Q("source_json", rollupOracle)(jsonEvents),
+    Q("source_orc", rollupOracle)(orcEvents),
   )
 }

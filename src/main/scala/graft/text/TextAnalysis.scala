@@ -191,6 +191,47 @@ object TextAnalysis {
       // engines' double division can differ in the last ulp
       round(sum(col("n_chars")) / count(lit(1)), 6).as("avg_chars"))
 
+  /** Deterministic train/val/test split by content-stable hash —
+    * the sampling a training pipeline actually ships: assignment is a
+    * pure function of doc_id (md5-based so the oracle reproduces it),
+    * so it is reproducible across runs, cluster sizes, and partition
+    * counts — unlike `DataFrame.sample`, whose per-partition RNG
+    * changes with the split of the input. Scan-side expression, zero
+    * shuffle.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = pmod(h, lit(1000L))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 800, "train").when(bucket < 900, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Token-budget batch packing: documents are packed into training
+    * batches of ≤ [[PackBudget]] BPE-ish tokens by a running token sum.
+    * A single global running sum would serialize on one partition, so
+    * packing is per `source` shard — each shard's window sorts within
+    * its own partition and shards pack in parallel, which is how a
+    * production pipeline packs per input shard. batch_idx derives from
+    * the PRE-sum (cum − n), so a document starts a new batch only when
+    * the budget is already consumed.
+    */
+  val PackBudget = 4096L
+  def packBatches(s: SparkSession, dir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), bpe.as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("batch_idx",
+        floor((col("cum_tok") - col("n_tok")) / lit(PackBudget)).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("ngram_bigrams",
       s"""SELECT bigram, COUNT(*) AS cnt FROM (
@@ -240,6 +281,24 @@ object TextAnalysis {
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
         |FROM documents""".stripMargin)(profileCorpus),
+    Q("hash_split",
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1000 AS b
+        |FROM documents)""".stripMargin)(hashSplit),
+    Q("pack_batches",
+      s"""SELECT doc_id, source, n_tok,
+         |  SUM(n_tok) OVER w AS cum_tok,
+         |  CAST(floor((SUM(n_tok) OVER w - n_tok) / $PackBudget.0) AS BIGINT)
+         |    AS batch_idx
+         |FROM (SELECT doc_id, source,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tok
+         |  FROM documents)
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)(packBatches),
     Q("doc_fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(

@@ -58,6 +58,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_range_bucketed plans a hash join, not a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(p.contains("BroadcastHashJoin"), s"range join not hashed:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("inverted_index_bucketed aggregates postings under a bucketed key") {
     val p = plan("inverted_index_bucketed")
     // first-stage groups must be keyed by (word, pmod(doc_id, B)) —
