@@ -108,6 +108,35 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape: the 6-table star join — fact tables
+    * (lineitem⋈orders⋈customer) shuffle on their keys; the three
+    * dimensions (supplier, nation, region-filtered nation list) are
+    * explicit broadcasts, so the fact side never reshuffles for them.
+    * The c_nationkey = s_nationkey residual rides on the supplier
+    * broadcast join. This is the query shape whose join ORDER matters
+    * most at 100 TB — here the order is written smallest-last and AQE
+    * re-plans at runtime if stats disagree.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   // ---------------------------------------------------------------
   // Subqueries — Catalyst's scalar / IN / correlated-EXISTS rewrite
   // machinery (decorrelated into joins; the plan-shape sweep keeps
@@ -158,6 +187,20 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, order_day
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)(q3Shipping),
+    Q("q5_region_revenue",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin)(q5RegionRevenue),
     Q("subquery_scalar",
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders

@@ -63,6 +63,17 @@ object StreamOps {
   def sessionStream(events: DataFrame): DataFrame =
     sessionAgg(events.withWatermark("ts", "1 hour"))
 
+  /** Streaming exact deduplication — the ingestion-time half of the
+    * dedup story (graft.dedup handles the at-rest corpus): duplicates
+    * of a key arriving within the watermark horizon are dropped, and
+    * the key's state is evicted once the watermark passes it, so
+    * state is bounded by the horizon × arrival rate — never the full
+    * stream history (which a bare `dropDuplicates` would keep).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom arbitrary state — `mapGroupsWithState` (SURVEY.md §2.4):
     * a per-user running (count, sum) that persists across micro-batch
     * triggers, the state shape the built-in window aggregations can't

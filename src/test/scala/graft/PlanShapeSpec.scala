@@ -58,6 +58,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffling queries run under adaptive execution (runtime re-planning)") {
+    // AQE is the runtime half of the 100 TB posture: skew-join splits,
+    // shuffle-partition coalescing, and join-strategy switches all hang
+    // off AdaptiveSparkPlan being present at the root.
+    for (name <- Seq("q1_agg", "q5_region_revenue", "join_inner")) {
+      assert(plan(name).contains("AdaptiveSparkPlan"), s"$name not adaptive")
+    }
+  }
+
+  test("q5_region_revenue broadcasts every dimension (fact side never reshuffled for dims)") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("join_range_bucketed plans a hash join, not a nested loop") {
     val p = plan("join_range_bucketed")
     assert(p.contains("BroadcastHashJoin"), s"range join not hashed:\n${p.take(2000)}")

@@ -199,6 +199,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(stream.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:05:00"), "click", 2.0, 1)) // same batch dup
+      q.processAllAvailable()
+      // duplicate of (1, click) in a LATER micro-batch, still within
+      // the 1 h watermark horizon → must also be dropped
+      stream.addData(
+        Ev(ts("2024-01-01 00:10:00"), "click", 3.0, 1),
+        Ev(ts("2024-01-01 00:10:00"), "view", 4.0, 1)) // distinct key kept
+      q.processAllAvailable()
+      val rows = spark.table("dedup_t")
+        .collect().map(r => (r.getLong(3), r.getString(1))).toList
+      assert(rows.length == 2, s"expected 2 distinct keys, got $rows")
+      assert(rows.toSet == Set((1L, "click"), (1L, "view")))
+    } finally q.stop()
+  }
+
   test("session stream merges events within the gap, splits beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
