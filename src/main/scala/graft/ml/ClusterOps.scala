@@ -1,0 +1,185 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.vecDot
+
+/** Clustering primitives over the embeddings table — the distributed
+  * building blocks of cluster-based corpus curation (cluster the
+  * corpus, then sample/filter per cluster), a standard step in
+  * training-data pipelines. The reference has no ML surface; these
+  * extend the engine the way its MapReduce users would have had to
+  * hand-write (reference worker.py:129-145 map/reduce pairs).
+  *
+  * Scale design — the key property of all three queries is that the
+  * model state (K centroids, K·dim floats) is tiny while the data is
+  * not, so centroids travel to the data as *literals in the plan*:
+  *  - [[kmeansAssign]] is a pure map over the corpus — no join, no
+  *    shuffle, whole-stage codegen'd via [[graft.functions.DotProductFloat]].
+  *    At 100 TB this is embarrassingly parallel over parquet splits.
+  *  - [[kmeansUpdate]] (one Lloyd step) adds a single partial+final
+  *    aggregation on (cluster, dim) — K·dim groups, map-side combine.
+  *  - [[diversitySample]] adds a per-cluster top-N window — k rows
+  *    survive per cluster past the rank filter, never a global sort.
+  *
+  * Centroid seeding is deterministic (vec_id < K, the same convention
+  * as SimOps.cosineTopkIvf) so the DuckDB oracle can replicate the
+  * whole computation; a k-means++ refinement would change only the
+  * seed set, not the plan shape. All similarity arithmetic stays
+  * in-plan (centroid norms are sqrt(vec_dot(lit, lit)), evaluated by
+  * the same sequential double fold as the oracle's list_sum), so the
+  * assignment argmax is bit-identical between engines, not merely
+  * close.
+  */
+object ClusterOps {
+
+  private val K = 16
+  private val TopPerCluster = 10
+
+  /** Deterministic centroid seeds, collected once per query build.
+    * This is model state, not data (K·dim = 1024 floats); shipping it
+    * to the driver and back into the plan as literals is the same
+    * move as broadcasting a trained model, and keeps the assignment
+    * map-only. Zero vectors are excluded on both sides (cosine is
+    * undefined), mirroring the oracle's `WHERE nrm > 0`.
+    */
+  private def centroidSeeds(s: SparkSession, dir: String): Seq[(Int, Seq[Float])] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < K)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .filter { case (_, v) => v.exists(_ != 0f) }
+      .sortBy(_._1)
+      .toSeq
+
+  /** Corpus rows with the in-plan norm, zero vectors dropped. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+  }
+
+  /** Cosine similarity of the embedding column to one centroid
+    * literal. The centroid's own norm is computed in-plan from the
+    * literal (constant-folded once), not on the driver, so the
+    * double-fold order matches the oracle exactly.
+    */
+  private def simTo(cent: Seq[Float]): Column = {
+    val c = typedLit(cent)
+    vecDot(col("embedding"), c) / (col("nrm") * sqrt(vecDot(c, c)))
+  }
+
+  /** Assignment with unrounded similarity — shared by all three
+    * queries. argmax = first maximum in centroid order (array_position
+    * finds the first match), i.e. ties break toward the lowest
+    * cent_id, the same as the oracle's ORDER BY cs DESC, cent_id.
+    */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroidSeeds(s, dir)
+    val sims = array(cents.map { case (_, v) => simTo(v) }: _*)
+    // long ids so `cluster` matches the oracle's BIGINT cent_id
+    val ids = typedLit(cents.map(_._1.toLong))
+    corpus(s, dir)
+      .withColumn("sims", sims)
+      .withColumn("best", array_max(col("sims")))
+      .select(col("vec_id"), col("embedding"),
+        element_at(ids, array_position(col("sims"), col("best")).cast("int"))
+          .as("cluster"),
+        col("best").as("cs"))
+  }
+
+  /** Assign every vector to its nearest centroid (spherical k-means
+    * E-step). Map-only: no shuffle anywhere in the plan.
+    */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    assigned(s, dir)
+      .select(col("vec_id"), col("cluster"), round(col("cs"), 6).as("sim"))
+
+  /** One Lloyd M-step: per-cluster mean of each embedding dimension.
+    * The output is (cluster, dim, n, centroid_val) rows — scalar
+    * columns, not an array, so the result is driver-sortable and
+    * SQL-comparable (the mm_features lesson). One shuffle, K·dim
+    * groups, partial aggregation map-side.
+    */
+  def kmeansUpdate(s: SparkSession, dir: String): DataFrame =
+    assigned(s, dir)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 6).as("centroid_val"))
+
+  /** Cluster-stratified top-N selection — the curation move "keep the
+    * N best documents of every cluster" that balances a corpus across
+    * semantic regions. Quality here is the integer n_chars (with
+    * doc_id as tiebreak) so ranking is exactly reproducible; any
+    * scoring column drops in. documents and embeddings share the id
+    * space (doc_id = vec_id) by fixture construction.
+    */
+  def diversitySample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    assigned(s, dir)
+      .join(Tables.documents(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("cluster"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopPerCluster)
+  }
+
+  // ---- oracle SQL --------------------------------------------------
+
+  /** Norms + assignment CTEs, shared verbatim across the oracles —
+    * the same structure as SimOps' IVF oracle, which the gate already
+    * proves bit-compatible with vec_dot's fold.
+    */
+  private val assignCte =
+    s"""n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding AS v,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS vcent, nrm AS nrmcent
+       |  FROM n WHERE vec_id < $K),
+       |simc AS (
+       |  SELECT n.vec_id, cents.cent_id,
+       |    list_sum(list_transform(range(1, len(n.v) + 1),
+       |      i -> CAST(n.v[i] AS DOUBLE) * CAST(cents.vcent[i] AS DOUBLE)))
+       |      / (n.nrm * cents.nrmcent) AS cs
+       |  FROM n, cents),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cluster, cs FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
+       |  WHERE arn = 1)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("kmeans_assign",
+      s"""WITH $assignCte
+         |SELECT vec_id, cluster, round(cs, 6) AS sim FROM assign""".stripMargin)(
+      kmeansAssign),
+    Q("kmeans_update",
+      s"""WITH $assignCte
+         |SELECT a.cluster, i - 1 AS dim, COUNT(*) AS n,
+         |  round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS centroid_val
+         |FROM assign a
+         |JOIN embeddings e ON e.vec_id = a.vec_id,
+         |  unnest(range(1, len(e.embedding) + 1)) AS u(i)
+         |GROUP BY 1, 2""".stripMargin)(kmeansUpdate),
+    Q("diversity_sample",
+      s"""WITH $assignCte
+         |SELECT cluster, doc_id, lang, n_chars, rn FROM (
+         |  SELECT a.cluster, d.doc_id, d.lang, d.n_chars,
+         |    row_number() OVER (PARTITION BY a.cluster
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM assign a JOIN documents d ON d.doc_id = a.vec_id)
+         |WHERE rn <= $TopPerCluster""".stripMargin)(diversitySample),
+  )
+}

@@ -144,6 +144,35 @@ object Joins {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
   }
 
+  /** Bloom-filter pre-filtered join — the scale pattern for a
+    * selective dim→fact join where the dim side is too big to
+    * broadcast as a hash table but its *key set sketch* is not: build
+    * a bloom filter over the dim keys (a distributed treeAggregate
+    * via `stat.bloomFilter`, ~1 byte/key at 1% fpp), ship the sketch
+    * to every fact partition, and drop non-matching fact rows BEFORE
+    * the shuffle. False positives survive the pre-filter but are
+    * removed by the exact join, so the result — and the oracle — is
+    * the plain join; only shuffle volume changes. This is the manual
+    * form of Spark's runtime row-level bloom pushdown
+    * (spark.sql.optimizer.runtime.bloomFilter.*), which only triggers
+    * on statistics; here it is explicit and deterministic. The
+    * mightContain call is a UDF by necessity: Spark's
+    * BloomFilterMightContain expression is not in the public function
+    * registry.
+    */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.orders(s, dir)
+      .filter(mightContain(col("o_custkey")))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+  }
+
   private val rangeBandsValues = RangeBands
     .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
 
@@ -196,6 +225,12 @@ object Joins {
         |FROM customer JOIN supplier
         |  ON c_nationkey = s_nationkey AND s_acctbal > c_acctbal
         |GROUP BY c_nationkey""".stripMargin)(joinTheta),
+    Q("join_bloom",
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment""".stripMargin)(joinBloom),
     Q("join_range_bucketed",
       s"""SELECT band_id, COUNT(*) AS n,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -65,7 +65,38 @@ object WindowOps {
         (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("dt_us"))
   }
 
+  /** SCD-2 interval construction: collapse each user's event stream
+    * into contiguous validity ranges per event_type — lag() flags the
+    * change points, a second lead() over only those rows closes each
+    * interval (valid_to is NULL for the open current state). This is
+    * the change-data-capture → slowly-changing-dimension build that
+    * every warehouse pipeline needs; two window passes over the same
+    * (user_id; ts, event_id) ordering, so Catalyst plans a single
+    * shuffle and sort reused by both.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts").as("valid_from"), col("event_id"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .drop(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("scd2_intervals",
+      """WITH chg AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS status, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM chg""".stripMargin)(scd2Intervals),
     Q("window_distribution",
       """SELECT o_orderkey, ntile(4) OVER w AS quartile,
         |  round(percent_rank() OVER w, 6) AS pr,

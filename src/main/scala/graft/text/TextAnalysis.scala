@@ -210,6 +210,37 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Per-language keep rates (per mille) for [[sampleStratified]]:
+    * downsample the majority language, keep more of the tail — the
+    * standard rebalancing move in multilingual corpus curation.
+    * Languages outside the map fall back to [[DefaultKeepPerMille]].
+    */
+  private val KeepPerMille: Seq[(String, Long)] =
+    Seq("en" -> 200L, "zh" -> 600L, "es" -> 600L, "de" -> 600L, "fr" -> 600L)
+  private val DefaultKeepPerMille = 500L
+
+  /** Stratified sampling with per-stratum rates, driven by the same
+    * content-stable md5 bucket as [[hashSplit]] — no RNG, so the
+    * sample is reproducible run-over-run and machine-over-machine,
+    * and membership never changes when the corpus grows (unlike
+    * `df.sample`/`sampleBy`, whose draw depends on partition layout).
+    * The rate table is a broadcast dimension: at 100 TB this stays a
+    * map-only scan with zero shuffle of the corpus.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val rates = KeepPerMille.toDF("lang", "keep_per_mille")
+    Tables.documents(s, dir)
+      .withColumn("bucket", pmod(h, lit(1000L)))
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("keep_per_mille",
+        coalesce(col("keep_per_mille"), lit(DefaultKeepPerMille)))
+      .filter(col("bucket") < col("keep_per_mille"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
   /** Token-budget batch packing: documents are packed into training
     * batches of ≤ [[PackBudget]] BPE-ish tokens by a running token sum.
     * A single global running sum would serialize on one partition, so
@@ -289,6 +320,17 @@ object TextAnalysis {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    % 1000 AS b
         |FROM documents)""".stripMargin)(hashSplit),
+    Q("sample_stratified",
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000 AS bucket,
+         |    COALESCE(r.keep, $DefaultKeepPerMille) AS keep
+         |  FROM documents d
+         |  LEFT JOIN (VALUES ${KeepPerMille.map { case (l, k) => s"('$l', $k)" }
+            .mkString(", ")}) AS r(lang2, keep)
+         |    ON d.lang = r.lang2)
+         |WHERE bucket < keep""".stripMargin)(sampleStratified),
     Q("pack_batches",
       s"""SELECT doc_id, source, n_tok,
          |  SUM(n_tok) OVER w AS cum_tok,

@@ -1,0 +1,62 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class ClusterOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("kmeans_assign covers every nonzero vector exactly once") {
+    val assign = ClusterOps.kmeansAssign(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nonzero = Tables.embeddings(spark, sfSmall)
+      .filter(exists(col("embedding"), _ =!= 0f)).count()
+    assert(assign.length == nonzero)
+    assert(assign.map(_._1).distinct.length == assign.length)
+    assert(assign.forall { case (_, c, _) => c >= 0 && c < 16 })
+    assert(assign.forall { case (_, _, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+  }
+
+  test("centroid seed vectors assign to themselves with similarity 1") {
+    val self = ClusterOps.kmeansAssign(spark, sfSmall)
+      .filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.nonEmpty)
+    self.foreach { case (id, cluster, sim) =>
+      assert(cluster == id, s"seed $id landed in cluster $cluster")
+      assert(math.abs(sim - 1.0) < 1e-6)
+    }
+  }
+
+  test("kmeans_update yields one mean per (cluster, dim) and conserves counts") {
+    val up = ClusterOps.kmeansUpdate(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dims = up.map(_._2).distinct
+    assert(dims.length == 64 && dims.min == 0 && dims.max == 63)
+    // every present cluster reports all 64 dims with a consistent size
+    up.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.length == 64, s"cluster $c has ${g.length} dims")
+      assert(g.map(_._3).distinct.length == 1, s"cluster $c sizes disagree")
+    }
+    // per-dim totals equal the assigned-vector count
+    val assigned = ClusterOps.kmeansAssign(spark, sfSmall).count()
+    up.groupBy(_._2).foreach { case (d, g) =>
+      assert(g.map(_._3).sum == assigned, s"dim $d count total off")
+    }
+  }
+
+  test("diversity_sample keeps at most N docs per cluster, ranked by length") {
+    val rows = ClusterOps.diversitySample(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.length <= 10, s"cluster $c kept ${g.length} docs")
+      val byRank = g.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to g.length))
+      val lens = byRank.map(_._4)
+      assert(lens.zip(lens.tail).forall { case (a, b) => a >= b },
+        s"cluster $c not ranked by n_chars desc")
+    }
+  }
+}

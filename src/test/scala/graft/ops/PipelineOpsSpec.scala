@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.text.TextAnalysis
+
+/** Round-3 pipeline operators: SCD-2 intervals, bloom-prefiltered
+  * join, stratified sampling.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scd2 intervals tile each user's timeline with no adjacent duplicates") {
+    val rows = WindowOps.scd2Intervals(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val sorted = g.sortBy(_._3.getTime)
+      // exactly one open interval per user, and it is the last one
+      assert(g.count(_._4.isEmpty) == 1, s"user $u open intervals != 1")
+      assert(sorted.last._4.isEmpty, s"user $u open interval not last")
+      // each interval closes exactly where the next begins
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $u intervals don't tile")
+        assert(a._2 != b._2, s"user $u adjacent intervals share status ${a._2}")
+      }
+    }
+  }
+
+  test("scd2 interval count equals the change-point count") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).map { case (_, g) =>
+      val types = g.sortBy(e => (e._3.getTime, e._4)).map(_._2)
+      1 + types.zip(types.tail).count { case (a, b) => a != b }
+    }.sum
+    assert(WindowOps.scd2Intervals(spark, sfSmall).count() == expected)
+  }
+
+  test("bloom prefilter join equals the plain join and actually prefilters") {
+    val got = Joins.joinBloom(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val dim = Tables.customer(spark, sfSmall).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = Tables.orders(spark, sfSmall)
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain)
+    // the sketch must reject most fact rows before the join: at 1% fpp
+    // the pass-through count is ~|matching| + 1% of the rest
+    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val total = Tables.orders(spark, sfSmall).count()
+    val passed = Tables.orders(spark, sfSmall)
+      .filter(mightContain(col("o_custkey"))).count()
+    val matching = Tables.orders(spark, sfSmall)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(passed < total / 2, s"bloom passed $passed of $total rows")
+    assert(passed >= matching, "bloom dropped a true match (impossible)")
+  }
+
+  test("stratified sample respects per-language rates and is deterministic") {
+    val docs = Tables.documents(spark, sfSmall)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.sampleStratified(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // buckets within the per-lang threshold
+    val rates = Map("en" -> 200L, "zh" -> 600L, "es" -> 600L,
+      "de" -> 600L, "fr" -> 600L)
+    kept.foreach { case (id, lang, bucket) =>
+      assert(bucket < rates.getOrElse(lang, 500L), s"doc $id bucket $bucket over rate")
+    }
+    // per-stratum keep fraction tracks the rate (md5 is uniform; the
+    // fixture strata are small, so allow a wide but meaningful band)
+    kept.groupBy(_._2).foreach { case (lang, g) =>
+      val frac = g.length.toDouble / docs(lang)
+      val want = rates(lang) / 1000.0
+      assert(math.abs(frac - want) < 0.15, s"$lang kept $frac, wanted ~$want")
+    }
+    // deterministic: a second run keeps the identical doc set
+    val again = TextAnalysis.sampleStratified(spark, sfSmall).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+}
