@@ -415,7 +415,54 @@ object DedupOps {
     quality.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Eval-set prefix: doc_id < this plays the held-out benchmark. */
+  private val EvalDocs = 20L
+
+  /** Benchmark decontamination: find training documents sharing word
+    * 5-grams with a held-out eval set (here the doc_id < [[EvalDocs]]
+    * prefix stands in for the benchmark). Per-pair distinct-shingle
+    * overlap counts, `severe` flagging heavy contamination. The scale
+    * shape is the decisive part: eval sets are tiny relative to a
+    * 100 TB corpus, so the eval shingle side is broadcast and the
+    * training corpus is scanned once with NO shuffle before the
+    * (already candidate-only) aggregation — decontamination cost is
+    * one pass over the corpus, not a corpus×corpus join.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.mr.MrJobs.tokenize(t)
+        if (toks.lengthCompare(5) < 0) Nil
+        else toks.sliding(5).map(_.mkString(" ")).toVector.distinct.map((id, _))
+      }
+      .toDF("doc_id", "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val ev = sh.filter(col("doc_id") < EvalDocs)
+      .select(col("doc_id").as("eval_doc"), col("sh_h"))
+    val tr = sh.filter(col("doc_id") >= EvalDocs)
+      .select(col("doc_id").as("train_doc"), col("sh_h"))
+    tr.join(broadcast(ev), Seq("sh_h"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("severe", col("n_common") >= 10)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("decontaminate",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |         t[i+3] || ' ' || t[i+4]))) AS s
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         |  WHERE len(t) >= 5)
+         |SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+         |  COUNT(*) AS n_common, COUNT(*) >= 10 AS severe
+         |FROM sh a JOIN sh b ON a.s = b.s
+         |WHERE a.doc_id >= $EvalDocs AND b.doc_id < $EvalDocs
+         |GROUP BY 1, 2""".stripMargin)(decontaminate),
     Q("dedup_exact",
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

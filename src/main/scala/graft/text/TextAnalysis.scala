@@ -210,6 +210,53 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Within-document repetition (the Gopher-family quality signal):
+    * fraction of word-3-gram occurrences that are repeats of an
+    * earlier 3-gram in the same document. Shingling is a typed
+    * flatMap (one JVM pass per document, same trade as
+    * [[ngramBigrams]]); the distinct count is an exact two-phase
+    * aggregate. Documents with <3 tokens have no 3-grams and are
+    * excluded, matching the oracle's length guard.
+    */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.mr.MrJobs.tokenize(t)
+        if (toks.lengthCompare(3) < 0) Nil
+        else toks.sliding(3).map(g => (id, g.mkString(" ")))
+      }
+      .toDF("doc_id", "g3")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_3g"),
+        countDistinct(col("g3")).as("distinct_3g"))
+      .withColumn("rep_ratio",
+        round(lit(1d) - col("distinct_3g") / col("total_3g").cast("double"), 6))
+  }
+
+  /** Composite keep/drop quality gate in the Gopher style: length
+    * bounds plus a repetition cap, each document labeled with the
+    * first rule it fails. Thresholds are fixture-calibrated (token
+    * counts span 10–99, rep ratios 0–0.07) so both outcomes occur;
+    * production thresholds would be config. The decision tree runs on
+    * the *rounded* ratio so the keep/drop boundary is identical in
+    * both engines.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val nTok = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val reason = when(col("n_tok") < 30, "too_short")
+      .when(col("n_tok") > 90, "too_long")
+      .when(col("rep_ratio") > 0.02, "repetitive")
+      .otherwise("ok")
+    repetitionRatio(s, dir)
+      .join(nTok, Seq("doc_id"))
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "ok")
+      .select(col("doc_id"), col("n_tok"), col("rep_ratio"),
+        col("keep"), col("reason"))
+  }
+
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
     * downsample the majority language, keep more of the tail — the
     * standard rebalancing move in multilingual corpus curation.
@@ -320,6 +367,33 @@ object TextAnalysis {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    % 1000 AS b
         |FROM documents)""".stripMargin)(hashSplit),
+    Q("repetition_ratio",
+      s"""SELECT doc_id, len(g3) AS total_3g,
+         |  len(list_distinct(g3)) AS distinct_3g,
+         |  round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+         |    AS rep_ratio
+         |FROM (SELECT doc_id, list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         |  WHERE len(t) >= 3)""".stripMargin)(repetitionRatio),
+    Q("quality_filter",
+      s"""WITH r AS (
+         |  SELECT doc_id, len(t) AS n_tok,
+         |    round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+         |      AS rep_ratio
+         |  FROM (SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+         |    FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         |    WHERE len(t) >= 3)),
+         |lab AS (
+         |  SELECT doc_id, n_tok, rep_ratio,
+         |    CASE WHEN n_tok < 30 THEN 'too_short'
+         |         WHEN n_tok > 90 THEN 'too_long'
+         |         WHEN rep_ratio > 0.02 THEN 'repetitive'
+         |         ELSE 'ok' END AS reason
+         |  FROM r)
+         |SELECT doc_id, n_tok, rep_ratio, reason = 'ok' AS keep, reason
+         |FROM lab""".stripMargin)(qualityFilter),
     Q("sample_stratified",
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT d.doc_id, d.lang,

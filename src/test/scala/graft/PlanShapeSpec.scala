@@ -92,4 +92,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_min"), "signature mins must partial-aggregate")
   }
+
+  test("kmeans_assign is map-only: centroids ride as literals, zero shuffles") {
+    val p = plan("kmeans_assign")
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n${p.take(2000)}")
+    assert(p.contains("vec_dot"), "assignment must use the codegen'd dot product")
+  }
+
+  test("sample_stratified broadcasts the rate table (corpus never shuffles)") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("ShuffleExchange"), "corpus-side shuffle in a map-only sample")
+  }
+
+  test("join_bloom filters the fact side before the join") {
+    val p = plan("join_bloom")
+    // the UDF pre-filter must sit on the orders scan side, below the join
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("UDF(knownnotnull(o_custkey")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"bloom pre-filter not below the join:\n${p.take(2000)}")
+  }
+
+  test("decontaminate broadcasts the eval shingle side") {
+    assert(plan("decontaminate").contains("BroadcastHashJoin"))
+  }
 }

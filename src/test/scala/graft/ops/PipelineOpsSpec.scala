@@ -66,6 +66,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(passed >= matching, "bloom dropped a true match (impossible)")
   }
 
+  test("repetition_ratio matches a local recompute") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = TextAnalysis.repetitionRatio(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val g3 = graft.mr.MrJobs.tokenize(text).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toVector
+      if (g3.isEmpty) None
+      else Some(id -> (g3.length.toLong, g3.distinct.length.toLong,
+        math.round((1d - g3.distinct.length.toDouble / g3.length) * 1e6) / 1e6))
+    }
+    assert(got == expected)
+  }
+
+  test("quality_filter labels agree with its own metrics") {
+    val rows = TextAnalysis.qualityFilter(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val reasons = rows.map(_._5).distinct.toSet
+    assert(reasons.contains("ok") && reasons.size > 1,
+      s"filter is degenerate: only $reasons")
+    rows.foreach { case (id, nTok, rep, keep, reason) =>
+      val want =
+        if (nTok < 30) "too_short"
+        else if (nTok > 90) "too_long"
+        else if (rep > 0.02) "repetitive"
+        else "ok"
+      assert(reason == want, s"doc $id labeled $reason, metrics say $want")
+      assert(keep == (reason == "ok"))
+    }
+  }
+
+  test("decontaminate finds exactly the train/eval pairs sharing a 5-gram") {
+    def shingles(text: String): Set[String] =
+      graft.mr.MrJobs.tokenize(text).sliding(5).filter(_.size == 5)
+        .map(_.mkString(" ")).toSet
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), shingles(r.getString(1))))
+    val (ev, tr) = docs.partition(_._1 < 20)
+    val expected = (for {
+      (tid, ts) <- tr; (eid, es) <- ev
+      n = (ts intersect es).size if n > 0
+    } yield (tid, eid) -> n.toLong).toMap
+    val rows = graft.dedup.DedupOps.decontaminate(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows.map { case (k, v) => k -> v._1 } == expected)
+    rows.foreach { case (_, (n, severe)) => assert(severe == (n >= 10)) }
+  }
+
   test("stratified sample respects per-language rates and is deterministic") {
     val docs = Tables.documents(spark, sfSmall)
       .groupBy("lang").count().collect()
