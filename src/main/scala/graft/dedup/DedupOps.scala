@@ -418,6 +418,42 @@ object DedupOps {
   /** Eval-set prefix: doc_id < this plays the held-out benchmark. */
   private val EvalDocs = 20L
 
+  /** The full training-corpus build, every stage an oracled operator
+    * composed: quality gate (first-failing-rule filter) → exact dedup
+    * (keep the min doc_id per content hash) → near-dup cluster drop
+    * (keep canonicals only) → benchmark decontamination (drop docs
+    * severely overlapping the eval set, and the eval prefix itself) →
+    * deterministic train/val/test split. Output is the shippable
+    * corpus manifest. Stage order matters at scale: the cheap
+    * map-only gates (quality, hash) run first so the expensive
+    * candidate joins see a smaller corpus; every stage is a semi/anti
+    * join on doc_id, which AQE plans as broadcast joins once the drop
+    * sets prove small.
+    */
+  def curatePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val keepQuality = TextAnalysis.qualityFilter(s, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val exactKeep = dedupExact(s, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val nearDupDrop = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("canonical")).select(col("doc_id"))
+    val contaminated = decontaminate(s, dir)
+      .filter(col("severe")).select(col("train_doc").as("doc_id")).distinct()
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = pmod(h, lit(1000L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .filter(col("doc_id") >= EvalDocs)
+      .join(keepQuality, Seq("doc_id"), "left_semi")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+  }
+
   /** Benchmark decontamination: find training documents sharing word
     * 5-grams with a held-out eval set (here the doc_id < [[EvalDocs]]
     * prefix stands in for the benchmark). Per-pair distinct-shingle
@@ -450,6 +486,54 @@ object DedupOps {
   }
 
   val all: Seq[Q] = Seq(
+    Q("curate_pipeline",
+      s"""WITH RECURSIVE pairs AS (
+         |$jaccardOracle),
+         |bi AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM bi
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u),
+         |nd AS (
+         |  SELECT u AS doc_id FROM reach
+         |  GROUP BY u HAVING u <> least(u, min(v))),
+         |q AS (SELECT doc_id FROM (
+         |  SELECT doc_id, len(t) AS n_tok,
+         |    round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+         |      AS rep_ratio
+         |  FROM (SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+         |    FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         |    WHERE len(t) >= 3))
+         |  WHERE n_tok >= 30 AND n_tok <= 90 AND rep_ratio <= 0.02),
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |sh5 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |         t[i+3] || ' ' || t[i+4]))) AS s
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         |  WHERE len(t) >= 5),
+         |cont AS (SELECT DISTINCT train_doc AS doc_id FROM (
+         |  SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc
+         |  FROM sh5 a JOIN sh5 b ON a.s = b.s
+         |  WHERE a.doc_id >= $EvalDocs AND b.doc_id < $EvalDocs
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 10))
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000 AS b
+         |  FROM documents WHERE doc_id >= $EvalDocs) d
+         |JOIN q ON d.doc_id = q.doc_id
+         |JOIN ex ON d.doc_id = ex.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)(
+      curatePipeline),
     Q("decontaminate",
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -85,7 +85,43 @@ object WindowOps {
       .drop(col("event_id"))
   }
 
+  /** Frame-clause surface: a time-based RANGE frame (trailing-hour
+    * sum keyed on event-time microseconds, not row position) plus
+    * first/last/nth over an explicit unbounded ROWS frame. RANGE
+    * frames include all order-key peers on the boundary in both
+    * engines, so ts ties don't need a tiebreaker; the positional
+    * functions do, hence the (ts, event_id) ordering. Decimal sum for
+    * order-independent exactness, as everywhere else.
+    */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val trailingHour = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir).select(
+      col("event_id"),
+      sum(dec(col("value"))).over(trailingHour).cast("double").as("hour_sum"),
+      first(col("value")).over(full).as("first_v"),
+      last(col("value")).over(full).as("last_v"),
+      nth_value(col("value"), 3).over(full).as("third_v"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("window_frames",
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hour_sum,
+        |  FIRST_VALUE(value) OVER wf AS first_v,
+        |  LAST_VALUE(value) OVER wf AS last_v,
+        |  NTH_VALUE(value, 3) OVER wf AS third_v
+        |FROM events
+        |WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)(
+      windowFrames),
     Q("scd2_intervals",
       """WITH chg AS (
         |  SELECT * FROM (

@@ -119,6 +119,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { case (_, (n, severe)) => assert(severe == (n >= 10)) }
   }
 
+  test("curate_pipeline output satisfies every gate it claims to apply") {
+    val kept = graft.dedup.DedupOps.curatePipeline(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(kept.nonEmpty)
+    val keptIds = kept.map(_._1).toSet
+    // never an eval doc
+    assert(keptIds.forall(_ >= 20))
+    // every kept doc passes the quality gate
+    val quality = TextAnalysis.qualityFilter(spark, sfSmall)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(quality))
+    // no kept doc is a severely contaminated one
+    val severe = graft.dedup.DedupOps.decontaminate(spark, sfSmall)
+      .filter(col("severe")).collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(severe).isEmpty)
+    // split labels agree with the hash-split buckets
+    val splits = TextAnalysis.hashSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    kept.foreach { case (id, _, split) => assert(split == splits(id)) }
+    // the pipeline must actually drop something at each flavor of gate
+    assert(keptIds.size < 480, "no attrition — gates are vacuous")
+  }
+
+  test("window_frames: trailing-hour sum and positional values are coherent") {
+    val rows = WindowOps.windowFrames(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.length == 10000)
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3)))
+    val byUser = events.groupBy(_._2)
+    val firstLast = byUser.map { case (u, g) =>
+      val ordered = g.sortBy(e => (e._4.getTime, e._1)).map(_._3)
+      u -> (ordered.head, ordered.last,
+        if (ordered.length >= 3) Some(ordered(2)) else None)
+    }
+    val userOf = events.map(e => e._1 -> e._2).toMap
+    rows.foreach { case (eid, hourSum, firstV, lastV, thirdV) =>
+      val (f, l, t) = firstLast(userOf(eid))
+      assert(firstV == f && lastV == l && thirdV == t, s"event $eid positional mismatch")
+      assert(!hourSum.isNaN)
+    }
+  }
+
   test("stratified sample respects per-language rates and is deterministic") {
     val docs = Tables.documents(spark, sfSmall)
       .groupBy("lang").count().collect()
