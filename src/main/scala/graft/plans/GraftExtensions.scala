@@ -15,5 +15,8 @@ import graft.functions.VectorFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.dotInfo)
+    // BETWEEN-style range joins against literal band tables become
+    // bucketed hash joins (see RangeBucketJoinRule)
+    ext.injectOptimizerRule(_ => RangeBucketJoinRule)
   }
 }
