@@ -257,6 +257,27 @@ object TextAnalysis {
         col("keep"), col("reason"))
   }
 
+  /** Per-shard token-distribution Shannon entropy — the corpus-drift
+    * / diversity telemetry a curation pipeline tracks per source (a
+    * collapsing source shows up as falling entropy before any
+    * eyeballing of samples would catch it). One (source, token)
+    * aggregate, totals via a window over the same partitioning — a
+    * single shuffle; output is one row per source.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(Window.partitionBy(col("source")))
+    val p = col("c") / col("n").cast("double")
+    counts.withColumn("n", n)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(col("n")).as("n_tokens"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+  }
+
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
     * downsample the majority language, keep more of the tail — the
     * standard rebalancing move in multilingual corpus curation.
@@ -367,6 +388,16 @@ object TextAnalysis {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    % 1000 AS b
         |FROM documents)""".stripMargin)(hashSplit),
+    Q("token_entropy",
+      s"""WITH tc AS (
+         |  SELECT source, tok, COUNT(*) AS c FROM (
+         |    SELECT source, unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT *, SUM(c) OVER (PARTITION BY source) AS n FROM tc)
+         |SELECT source, COUNT(*) AS n_distinct, MAX(n) AS n_tokens,
+         |  round(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+         |    AS entropy
+         |FROM t GROUP BY source""".stripMargin)(tokenEntropy),
     Q("repetition_ratio",
       s"""SELECT doc_id, len(g3) AS total_3g,
          |  len(list_distinct(g3)) AS distinct_3g,

@@ -165,6 +165,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_entropy is bounded by ln(n_distinct) and positive for mixed shards") {
+    val rows = TextAnalysis.tokenEntropy(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20) // one row per fixture source shard
+    rows.foreach { case (src, nd, nt, h) =>
+      assert(nd >= 1 && nt >= nd)
+      assert(h >= 0.0, s"$src entropy negative")
+      assert(h <= math.log(nd.toDouble) + 1e-9,
+        s"$src entropy $h exceeds uniform bound ${math.log(nd.toDouble)}")
+    }
+  }
+
   test("stratified sample respects per-language rates and is deterministic") {
     val docs = Tables.documents(spark, sfSmall)
       .groupBy("lang").count().collect()
