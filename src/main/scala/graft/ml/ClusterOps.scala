@@ -75,16 +75,17 @@ object ClusterOps {
     vecDot(col("embedding"), c) / (col("nrm") * sqrt(vecDot(c, c)))
   }
 
-  /** Assignment with unrounded similarity — shared by all three
-    * queries. argmax = first maximum in centroid order (array_position
-    * finds the first match), i.e. ties break toward the lowest
-    * cent_id, the same as the oracle's ORDER BY cs DESC, cent_id.
+  /** Assignment of every corpus vector to the nearest of `cents`,
+    * with unrounded similarity — shared by every query here. argmax =
+    * first maximum in centroid order (array_position finds the first
+    * match), i.e. ties break toward the lowest cent_id, the same as
+    * the oracle's ORDER BY cs DESC, cent_id. Long ids so `cluster`
+    * matches the oracle's BIGINT cent_id.
     */
-  private def assigned(s: SparkSession, dir: String): DataFrame = {
-    val cents = centroidSeeds(s, dir)
+  private def assignWith(
+      s: SparkSession, dir: String, cents: Seq[(Long, Seq[Float])]): DataFrame = {
     val sims = array(cents.map { case (_, v) => simTo(v) }: _*)
-    // long ids so `cluster` matches the oracle's BIGINT cent_id
-    val ids = typedLit(cents.map(_._1.toLong))
+    val ids = typedLit(cents.map(_._1))
     corpus(s, dir)
       .withColumn("sims", sims)
       .withColumn("best", array_max(col("sims")))
@@ -93,6 +94,9 @@ object ClusterOps {
           .as("cluster"),
         col("best").as("cs"))
   }
+
+  private def assigned(s: SparkSession, dir: String): DataFrame =
+    assignWith(s, dir, centroidSeeds(s, dir).map { case (i, v) => (i.toLong, v) })
 
   /** Assign every vector to its nearest centroid (spherical k-means
     * E-step). Map-only: no shuffle anywhere in the plan.
@@ -114,6 +118,43 @@ object ClusterOps {
       .groupBy(col("cluster"), col("dim"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("v").cast("double")), 6).as("centroid_val"))
+
+  /** Recompute centroids from an assignment as float-quantized means:
+    * per-(cluster, dim) double mean, rounded to 6 decimals, cast to
+    * float. The quantization is the cross-engine determinism trick —
+    * double summation order differs between engines in the last ulp,
+    * and 1e-6 rounding followed by an IEEE float cast erases it on
+    * both sides, so iterated assignments can't drift apart. The
+    * collect ships K·dim floats of *model state* to the driver (the
+    * standard k-means driver loop — data never leaves the cluster).
+    * All-zero centroids (collapsed empty-ish clusters) are dropped,
+    * matching the oracle's nrm > 0 guard.
+    */
+  private def meansOf(assignment: DataFrame): Seq[(Long, Seq[Float])] =
+    assignment
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).cast("float").as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getFloat(2)))
+      .groupBy(_._1)
+      .map { case (c, g) => (c, g.sortBy(_._2).map(_._3).toSeq) }
+      .toSeq
+      .filter { case (_, v) => v.exists(_ != 0f) }
+      .sortBy(_._1)
+
+  /** Three full Lloyd rounds (seed-assign → re-center → assign,
+    * twice) — the distributed training loop: per round, one map-only
+    * assignment pass over the corpus plus one K·dim-group aggregation
+    * for the new centroids; the driver holds only the model. Output
+    * is the final assignment. The oracle unrolls the same two
+    * re-center steps in SQL, float-quantized identically.
+    */
+  def kmeansIterate(s: SparkSession, dir: String): DataFrame = {
+    var a = assigned(s, dir)
+    for (_ <- 1 to 2) a = assignWith(s, dir, meansOf(a))
+    a.select(col("vec_id"), col("cluster"), round(col("cs"), 6).as("sim"))
+  }
 
   /** Cluster-stratified top-N selection — the curation move "keep the
     * N best documents of every cluster" that balances a corpus across
@@ -160,7 +201,45 @@ object ClusterOps {
        |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
        |  WHERE arn = 1)""".stripMargin
 
+  /** One unrolled Lloyd step in SQL: means of the previous assignment
+    * (float-quantized exactly like [[meansOf]]), re-normed, and a
+    * fresh argmax assignment. Names the produced CTEs m/c/simc/a<i>.
+    */
+  private def iterCte(i: Int, prev: String): String =
+    s"""m$i AS (
+       |  SELECT pa.cluster, i,
+       |    CAST(round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS FLOAT) AS m
+       |  FROM $prev pa
+       |  JOIN embeddings e ON e.vec_id = pa.vec_id,
+       |    unnest(range(1, len(e.embedding) + 1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |c$i AS (
+       |  SELECT * FROM (
+       |    SELECT cent_id, vcent,
+       |      sqrt(list_sum(list_transform(vcent,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrmcent
+       |    FROM (SELECT cluster AS cent_id, list(m ORDER BY i) AS vcent
+       |      FROM m$i GROUP BY cluster))
+       |  WHERE nrmcent > 0),
+       |simc$i AS (
+       |  SELECT n.vec_id, c$i.cent_id,
+       |    list_sum(list_transform(range(1, len(n.v) + 1),
+       |      j -> CAST(n.v[j] AS DOUBLE) * CAST(c$i.vcent[j] AS DOUBLE)))
+       |      / (n.nrm * c$i.nrmcent) AS cs
+       |  FROM n, c$i),
+       |a$i AS (
+       |  SELECT vec_id, cent_id AS cluster, cs FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS rn FROM simc$i)
+       |  WHERE rn = 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("kmeans_iterate",
+      s"""WITH $assignCte,
+         |${iterCte(1, "assign")},
+         |${iterCte(2, "a1")}
+         |SELECT vec_id, cluster, round(cs, 6) AS sim FROM a2""".stripMargin)(
+      kmeansIterate),
     Q("kmeans_assign",
       s"""WITH $assignCte
          |SELECT vec_id, cluster, round(cs, 6) AS sim FROM assign""".stripMargin)(

