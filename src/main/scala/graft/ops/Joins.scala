@@ -160,13 +160,28 @@ object Joins {
     * BloomFilterMightContain expression is not in the public function
     * registry.
     */
-  def joinBloom(s: SparkSession, dir: String): DataFrame = {
-    val dim = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+  def joinBloom(s: SparkSession, dir: String): DataFrame =
+    joinBloomThreshold(s, dir, 9000d)
+
+  /** [[joinBloom]] with the dim selectivity cut exposed, so specs can
+    * drive the empty-build-side path. `stat.bloomFilter` NPEs on zero
+    * input rows (the underlying bloom aggregate returns null), so an
+    * empty dim short-circuits to a constant-false pre-filter — the
+    * result (empty) is what the exact join would produce anyway.
+    */
+  private[graft] def joinBloomThreshold(
+      s: SparkSession, dir: String, minAcctbal: Double): DataFrame = {
+    val dim = Tables.customer(s, dir).filter(col("c_acctbal") > minAcctbal)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
-    Tables.orders(s, dir)
-      .filter(mightContain(col("o_custkey")))
+    val orders = Tables.orders(s, dir)
+    val prefiltered =
+      if (dim.isEmpty) orders.filter(lit(false))
+      else {
+        val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+        val mightContain = udf((k: Long) => bf.mightContain(k))
+        orders.filter(mightContain(col("o_custkey")))
+      }
+    prefiltered
       .join(dim, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),

@@ -39,4 +39,27 @@ class NegativeSpec extends AnyFunSuite {
   test("unknown query name is a clean map miss, not a crash") {
     assert(!SparkEntry.queries.contains("no_such_query"))
   }
+
+  test("bloom prefilter join survives an empty build side") {
+    // no customer clears this bar — Spark's stat.bloomFilter NPEs on
+    // zero rows, so the operator must short-circuit instead of crash
+    val n = graft.ops.Joins.joinBloomThreshold(spark, sfTiny, 1e18).count()
+    assert(n == 0)
+  }
+
+  test("range-bucket rule skips band tables above its size cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wide = (0 until 1100).map(i => (i.toLong, i.toDouble, i + 0.5)).toDF("band_id", "lo", "hi")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeBucketJoinRule
+    try {
+      val j = Tables.lineitem(spark, sfTiny)
+        .join(wide, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("graft_band_bucket"),
+        "rule fired on an oversized band table")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.RangeBucketJoinRule)
+  }
 }
