@@ -59,10 +59,7 @@ object ClusterOps {
   /** Corpus rows with the in-plan norm, zero vectors dropped. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      .filter(col("nrm") > 0)
+    withNorm(Tables.embeddings(s, dir))
   }
 
   /** Cosine similarity of the embedding column to one centroid
@@ -75,18 +72,21 @@ object ClusterOps {
     vecDot(col("embedding"), c) / (col("nrm") * sqrt(vecDot(c, c)))
   }
 
-  /** Assignment of every corpus vector to the nearest of `cents`,
-    * with unrounded similarity — shared by every query here. argmax =
+  /** Assignment of every vector in `vectors` (vec_id, embedding, nrm
+    * columns; zero vectors pre-filtered) to the nearest of `cents`,
+    * with unrounded similarity. Pure column expressions over the
+    * input frame — no join, no shuffle, no state — so the SAME
+    * transform scores a batch corpus or a `readStream` of arriving
+    * embeddings (pinned by ClusterOpsSpec's streaming test). argmax =
     * first maximum in centroid order (array_position finds the first
     * match), i.e. ties break toward the lowest cent_id, the same as
     * the oracle's ORDER BY cs DESC, cent_id. Long ids so `cluster`
     * matches the oracle's BIGINT cent_id.
     */
-  private def assignWith(
-      s: SparkSession, dir: String, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+  def assignFrame(vectors: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
     val sims = array(cents.map { case (_, v) => simTo(v) }: _*)
     val ids = typedLit(cents.map(_._1))
-    corpus(s, dir)
+    vectors
       .withColumn("sims", sims)
       .withColumn("best", array_max(col("sims")))
       .select(col("vec_id"), col("embedding"),
@@ -94,6 +94,19 @@ object ClusterOps {
           .as("cluster"),
         col("best").as("cs"))
   }
+
+  /** Adds the in-plan norm and drops zero vectors — the shape
+    * [[assignFrame]] expects; works on batch and streaming frames.
+    */
+  def withNorm(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+
+  private def assignWith(
+      s: SparkSession, dir: String, cents: Seq[(Long, Seq[Float])]): DataFrame =
+    assignFrame(corpus(s, dir), cents)
 
   private def assigned(s: SparkSession, dir: String): DataFrame =
     assignWith(s, dir, centroidSeeds(s, dir).map { case (i, v) => (i.toLong, v) })

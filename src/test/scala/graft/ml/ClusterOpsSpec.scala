@@ -63,6 +63,34 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(iterated.zip(iterated.sortBy(_._1)).nonEmpty)
   }
 
+  test("assignFrame scores a stream identically to batch (map-only transform)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, sfSmall)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val cents = vecs.filter(_._1 < 16).sortBy(_._1)
+      .map { case (i, v) => (i, v) }.toSeq
+    val batch = ClusterOps.assignFrame(
+        ClusterOps.withNorm(vecs.toSeq.toDF("vec_id", "embedding")), cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = ClusterOps.assignFrame(
+        ClusterOps.withNorm(stream.toDF().toDF("vec_id", "embedding")), cents)
+      .select("vec_id", "cluster")
+      .writeStream.format("memory").queryName("kmeans_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(vecs.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("kmeans_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, "streaming assignment diverged from batch")
+    } finally q.stop()
+  }
+
   test("diversity_sample keeps at most N docs per cluster, ranked by length") {
     val rows = ClusterOps.diversitySample(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
