@@ -35,7 +35,8 @@ object FileSources {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .write.mode("overwrite")
-        .option("header", "true") // no-op for json
+        .option("header", "true")   // no-op for json/xml
+        .option("rowTag", "event")  // no-op for csv/json
         .format(format).save(out)
       written += out
     }
@@ -71,6 +72,13 @@ object FileSources {
   def orcEvents(s: SparkSession, dir: String): DataFrame =
     rollup(s.read.orc(eventsAs(s, dir, "orc")))
 
+  /** XML — built into Spark 4.x; same explicit-schema discipline as
+    * csv/json (no inference scan, no type drift).
+    */
+  def xmlEvents(s: SparkSession, dir: String): DataFrame =
+    rollup(s.read.schema(eventsDdl).option("rowTag", "event")
+      .format("xml").load(eventsAs(s, dir, "xml")))
+
   private val rollupOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -82,5 +90,6 @@ object FileSources {
     Q("source_csv", rollupOracle)(csvEvents),
     Q("source_json", rollupOracle)(jsonEvents),
     Q("source_orc", rollupOracle)(orcEvents),
+    Q("source_xml", rollupOracle)(xmlEvents),
   )
 }

@@ -1,13 +1,41 @@
 package graft.stream
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
 
 /** Output row of the custom-state operator (top-level for encoders). */
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Spark 4 `transformWithState` processor backing
+  * [[StreamOps.runningUserTotalsTws]]: the same per-user running
+  * (count, sum) as the mapGroupsWithState path, expressed in the new
+  * StatefulProcessor API — typed named state registered in init,
+  * batched input rows per key, explicit TTL hooks (none here). The
+  * two implementations are asserted equivalent in StreamingSpec.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Double), UserRunning] {
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[UserRunning] = {
+    var (n, total) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; total += v }
+    totals.update((n, total))
+    Iterator(UserRunning(key, n, math.round(total * 100) / 100.0))
+  }
+}
 
 /** Structured Streaming surface (SURVEY.md §2.4: the reference has no
   * streaming at all — this is part of the capability gap our engine
@@ -96,6 +124,24 @@ object StreamOps {
           // is spec-tested, not oracled
           UserRunning(uid, n, math.round(total * 100) / 100.0)
       }
+  }
+
+  /** [[runningUserTotals]] on the Spark 4 transformWithState API —
+    * the successor to mapGroupsWithState: named state slots with
+    * per-slot encoders and TTL, timer callbacks, and a state store
+    * that must be RocksDB-backed (set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider). Streaming-only by design (the API rejects batch
+    * frames); the legacy operator above remains the batch-capable
+    * form.
+    */
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserRunning] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =

@@ -94,6 +94,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals carry state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the new API requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.runningUserTotalsTws(stream.toDF())
+      .writeStream.format("memory").queryName("tws_t")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.5, 1),
+        Ev(ts("2024-01-01 00:01:00"), "click", 2.5, 1),
+        Ev(ts("2024-01-01 00:02:00"), "view", 10.0, 2))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:03:00"), "click", 6.0, 1))
+      q.processAllAvailable()
+      val latest = spark.table("tws_t")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // identical to the mapGroupsWithState result on the same data
+      assert(latest == Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join enriches events against a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
