@@ -108,7 +108,45 @@ object ScalarOps {
         size(filter(col("embedding"), _ > 0f)).cast("long").as("n_pos"),
         element_at(col("embedding"), 1).as("first_elem"))
 
+  private val ZBits = 16
+
+  /** Morton (Z-order) interleave of two key columns — the
+    * space-filling-curve layout key behind multi-column data
+    * clustering at scale: sort/partition a 100 TB table by zkey and
+    * range scans on EITHER key touch a bounded band of files, where
+    * single-column sort order helps only its own column. Pure bit
+    * arithmetic (32 shift-and-mask terms, fully codegen'd, identical
+    * in DuckDB), so the layout transform itself is under the
+    * differential gate. Top-N by zkey keeps the output stable and
+    * demonstrates the clustering order.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    def interleave(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until ZBits).map { i =>
+        (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)) +
+          (shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+      }.reduce(_ + _)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        interleave(pmod(col("l_partkey"), lit(1 << ZBits)),
+          pmod(col("l_suppkey"), lit(1 << ZBits))).as("zkey"))
+      // full tiebreak: rows equal on every output column are
+      // interchangeable at the LIMIT cut, anything less is not
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("zorder_key",
+      s"""SELECT l_orderkey, l_partkey, l_suppkey, zkey FROM (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |    ${(0 until ZBits).map(i =>
+              s"((((l_partkey % ${1 << ZBits}) >> $i) & 1) << ${2 * i}) + " +
+              s"((((l_suppkey % ${1 << ZBits}) >> $i) & 1) << ${2 * i + 1})")
+              .mkString("(", " + ", ")")} AS zkey
+         |  FROM lineitem)
+         |ORDER BY zkey, l_orderkey, l_partkey, l_suppkey
+         |LIMIT 100""".stripMargin)(zorderKey),
     Q("scalar_string",
       """SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len,
         |  substr(p_name, 1, 5) AS pre5,

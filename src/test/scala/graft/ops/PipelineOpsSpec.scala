@@ -177,6 +177,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder interleave matches a local bit recompute") {
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val rows = ScalarOps.zorderKey(spark, sfTiny).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 100)
+    rows.foreach { case (p, s, z) =>
+      assert(z == morton(p % 65536, s % 65536), s"zkey wrong for ($p, $s)")
+    }
+    // keys are in z-order (the clustering property the layout relies on)
+    val zs = rows.map(_._3)
+    assert(zs.zip(zs.tail).forall { case (a, b) => a <= b })
+  }
+
   test("stratified sample respects per-language rates and is deterministic") {
     val docs = Tables.documents(spark, sfSmall)
       .groupBy("lang").count().collect()
