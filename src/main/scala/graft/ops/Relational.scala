@@ -65,6 +65,17 @@ object Relational {
       |  COUNT(*) AS count_order
       |FROM l GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** The `spark.sql(...)` entry path: the exact ANSI text the DuckDB
+    * oracle runs is executed by Spark over a temp view — one string,
+    * two engines, hash-identical results. Pins that the SQL front
+    * door (not just the DataFrame API) is a first-class way into the
+    * engine, and that the oracle dialect is genuinely shared.
+    */
+  def q1SqlEntry(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q1Sql)
+  }
+
   // ---------------------------------------------------------------
   // Projection + predicate — both push down to the parquet scan
   // (ReadSchema prunes to 6 columns, PushedFilters carries the
@@ -174,6 +185,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     Q("q1_agg", q1Sql)(q1Agg),
+    Q("q1_sql", q1Sql)(q1SqlEntry),
     Q("q3_shipping",
       """SELECT l_orderkey,
         |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day,
