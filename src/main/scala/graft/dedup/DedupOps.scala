@@ -229,6 +229,10 @@ object DedupOps {
   private val pairCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
   def verifiedPairs(s: SparkSession, dir: String): DataFrame = synchronized {
+    // evict entries of stopped sessions: in a JVM that cycles
+    // sessions (services, test harnesses) the map would otherwise pin
+    // every dead session and its cached plan forever
+    pairCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     pairCache.getOrElseUpdate((s, dir), ngramJaccard(s, dir).cache())
   }
 
@@ -440,9 +444,7 @@ object DedupOps {
       .filter(col("doc_id") =!= col("canonical")).select(col("doc_id"))
     val contaminated = decontaminate(s, dir)
       .filter(col("severe")).select(col("train_doc").as("doc_id")).distinct()
-    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val bucket = pmod(h, lit(1000L))
+    val bucket = graft.text.SplitHash.bucket(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"))
       .filter(col("doc_id") >= EvalDocs)
@@ -464,10 +466,14 @@ object DedupOps {
     * (already candidate-only) aggregation — decontamination cost is
     * one pass over the corpus, not a corpus×corpus join.
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+  /** Distinct 5-gram shingle hashes of `docs` — filter BEFORE this,
+    * not after: a filter above the typed flatMap can't be pushed
+    * through DeserializeToObject, so shingling a pre-filtered scan is
+    * what keeps the eval side's cost proportional to the eval set.
+    */
+  private def shingles5(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = graft.mr.MrJobs.tokenize(t)
         if (toks.lengthCompare(5) < 0) Nil
@@ -475,9 +481,16 @@ object DedupOps {
       }
       .toDF("doc_id", "shingle")
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val ev = sh.filter(col("doc_id") < EvalDocs)
+  }
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // each side shingles its own pre-filtered scan: the eval side
+    // tokenizes 20 documents, not the whole corpus (the filters reach
+    // the parquet scan as PushedFilters on doc_id)
+    val ev = shingles5(docs.filter(col("doc_id") < EvalDocs))
       .select(col("doc_id").as("eval_doc"), col("sh_h"))
-    val tr = sh.filter(col("doc_id") >= EvalDocs)
+    val tr = shingles5(docs.filter(col("doc_id") >= EvalDocs))
       .select(col("doc_id").as("train_doc"), col("sh_h"))
     tr.join(broadcast(ev), Seq("sh_h"))
       .groupBy(col("train_doc"), col("eval_doc"))
@@ -526,8 +539,7 @@ object DedupOps {
          |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, lang,
-         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |      % 1000 AS b
+         |    ${graft.text.SplitHash.bucketSql("doc_id")} AS b
          |  FROM documents WHERE doc_id >= $EvalDocs) d
          |JOIN q ON d.doc_id = q.doc_id
          |JOIN ex ON d.doc_id = ex.doc_id

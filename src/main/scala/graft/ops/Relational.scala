@@ -73,7 +73,10 @@ object Relational {
     */
   def q1SqlEntry(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    s.sql(q1Sql)
+    // resolution happens inside sql(); drop the view immediately so a
+    // registry query doesn't leave a session-global name behind that
+    // would silently pin this dir for later user SQL
+    try s.sql(q1Sql) finally s.catalog.dropTempView("lineitem")
   }
 
   // ---------------------------------------------------------------

@@ -79,23 +79,27 @@ object RangeBucketJoinRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       asRange(cond).flatMap { case (v, lo, hi) =>
-        // orient: which side is the probe (has v), which the bands
-        val oriented: Option[(LogicalPlan, LocalRelation)] =
+        // orient: which side is the probe (has v), which the bands.
+        // The rewritten join always places the probe on the LEFT, so
+        // when the original had bands-left/probe-right the JoinHint
+        // sides must swap with the relations — otherwise a broadcast
+        // hint on the small bands side would land on the probe table.
+        val oriented: Option[(LogicalPlan, LocalRelation, JoinHint)] =
           if (outputs(left, v) && outputs(right, lo) && outputs(right, hi))
             right match {
               case r: LocalRelation if r.data.nonEmpty && r.data.length <= MaxBands =>
-                Some((left, r))
+                Some((left, r, hint))
               case _ => None
             }
           else if (outputs(right, v) && outputs(left, lo) && outputs(left, hi))
             left match {
               case l: LocalRelation if l.data.nonEmpty && l.data.length <= MaxBands =>
-                Some((right, l))
+                Some((right, l, JoinHint(hint.rightHint, hint.leftHint)))
               case _ => None
             }
           else None
-        oriented.flatMap { case (probe, bands) =>
-          rewrite(j, probe, bands, v, lo, hi, cond, hint)
+        oriented.flatMap { case (probe, bands, orientedHint) =>
+          rewrite(j, probe, bands, v, lo, hi, cond, orientedHint)
         }
       }.getOrElse(j)
   }

@@ -15,6 +15,22 @@ import graft.{Q, Tables}
   * all), tf-idf is one groupBy plus a window on the (doc, term)
   * aggregate. Nothing here collects to the driver.
   */
+/** Content-stable permille bucket shared by every split/sampling
+  * operator (hashSplit, sampleStratified, DedupOps.curatePipeline) —
+  * ONE definition per engine side of the differential gate, so a
+  * sampling op's membership can never silently desynchronize from
+  * the corpus manifest's split labels.
+  */
+object SplitHash {
+  def bucket(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(1000L))
+
+  /** The identical computation in the shared oracle dialect. */
+  def bucketSql(expr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+}
+
 object TextAnalysis {
 
   import TextOps.tokens
@@ -200,9 +216,7 @@ object TextAnalysis {
     * shuffle.
     */
   def hashSplit(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val bucket = pmod(h, lit(1000L))
+    val bucket = SplitHash.bucket(col("doc_id"))
     Tables.documents(s, dir).select(
       col("doc_id"),
       bucket.as("bucket"),
@@ -297,11 +311,9 @@ object TextAnalysis {
     */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
     val rates = KeepPerMille.toDF("lang", "keep_per_mille")
     Tables.documents(s, dir)
-      .withColumn("bucket", pmod(h, lit(1000L)))
+      .withColumn("bucket", SplitHash.bucket(col("doc_id")))
       .join(broadcast(rates), Seq("lang"), "left")
       .withColumn("keep_per_mille",
         coalesce(col("keep_per_mille"), lit(DefaultKeepPerMille)))
@@ -309,14 +321,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
-  /** Token-budget batch packing: documents are packed into training
-    * batches of ≤ [[PackBudget]] BPE-ish tokens by a running token sum.
-    * A single global running sum would serialize on one partition, so
-    * packing is per `source` shard — each shard's window sorts within
-    * its own partition and shards pack in parallel, which is how a
-    * production pipeline packs per input shard. batch_idx derives from
-    * the PRE-sum (cum − n), so a document starts a new batch only when
-    * the budget is already consumed.
+  /** Token-budget batch packing by running token sum: a batch closes
+    * once the pre-sum crosses a [[PackBudget]] boundary, so a batch
+    * holds ~PackBudget tokens and can overshoot by documents that
+    * straddle its boundary (a document is never split; a trainer that
+    * needs a hard cap truncates or splits upstream — this op decides
+    * GROUPING, not truncation). A single global running sum would
+    * serialize on one partition, so packing is per `source` shard —
+    * each shard's window sorts within its own partition and shards
+    * pack in parallel, which is how a production pipeline packs per
+    * input shard. batch_idx derives from the PRE-sum (cum − n), so a
+    * document starts a new batch only when the budget is already
+    * consumed.
     */
   val PackBudget = 4096L
   def packBatches(s: SparkSession, dir: String): DataFrame = {
@@ -381,13 +397,11 @@ object TextAnalysis {
         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
         |FROM documents""".stripMargin)(profileCorpus),
     Q("hash_split",
-      """SELECT doc_id, b AS bucket,
-        |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |    % 1000 AS b
-        |FROM documents)""".stripMargin)(hashSplit),
+      s"""SELECT doc_id, b AS bucket,
+         |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${SplitHash.bucketSql("doc_id")} AS b
+         |FROM documents)""".stripMargin)(hashSplit),
     Q("token_entropy",
       s"""WITH tc AS (
          |  SELECT source, tok, COUNT(*) AS c FROM (
@@ -428,8 +442,7 @@ object TextAnalysis {
     Q("sample_stratified",
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT d.doc_id, d.lang,
-         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |      % 1000 AS bucket,
+         |    ${SplitHash.bucketSql("d.doc_id")} AS bucket,
          |    COALESCE(r.keep, $DefaultKeepPerMille) AS keep
          |  FROM documents d
          |  LEFT JOIN (VALUES ${KeepPerMille.map { case (l, k) => s"('$l', $k)" }

@@ -102,7 +102,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("sample_stratified broadcasts the rate table (corpus never shuffles)") {
     val p = plan("sample_stratified")
     assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n${p.take(2000)}")
-    assert(!p.contains("ShuffleExchange"), "corpus-side shuffle in a map-only sample")
+    // shuffles print as "Exchange hashpartitioning(...)"; broadcast
+    // exchanges print as "BroadcastExchange" and are expected here
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle in a map-only sample:\n${p.take(2000)}")
   }
 
   test("join_bloom filters the fact side before the join") {

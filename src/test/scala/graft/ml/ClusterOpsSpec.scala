@@ -59,8 +59,12 @@ class ClusterOpsSpec extends AnyFunSuite {
     // to centroid); 1e-3 slack for the float quantization of means
     assert(meanSim(iterated) >= meanSim(seed) - 1e-3,
       s"objective got worse: ${meanSim(seed)} -> ${meanSim(iterated)}")
-    // and the assignment genuinely moved off the seed centroids
-    assert(iterated.zip(iterated.sortBy(_._1)).nonEmpty)
+    // and the re-centering genuinely changed the model: either some
+    // vector switched clusters or the objective strictly improved
+    val seedMap = seed.map(r => r._1 -> r._2).toMap
+    val moved = iterated.count { case (id, c, _) => seedMap(id) != c }
+    assert(moved > 0 || meanSim(iterated) > meanSim(seed) + 1e-9,
+      "iterate returned the seed assignment unchanged")
   }
 
   test("assignFrame scores a stream identically to batch (map-only transform)") {

@@ -46,6 +46,25 @@ class RangeBucketJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rule preserves broadcast hints when the bands side is on the left") {
+    import spark.implicits._
+    val b = bands.toDF("band_id", "lo", "hi")
+    def flipped() = broadcast(b).join(Tables.lineitem(spark, sfTiny),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band_id")).agg(count(lit(1)).as("n"))
+    val expected = flipped().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule {
+      val df = flipped()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+      // rewrite puts the probe on the left; the bands-side broadcast
+      // hint must follow the bands to the right, never the fact side
+      assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+        s"bands-side broadcast hint lost in flip:\n${p.take(2000)}")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    }
+  }
+
   test("rule leaves non-matching joins untouched") {
     import spark.implicits._
     withRule {
