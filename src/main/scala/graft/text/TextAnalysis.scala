@@ -321,6 +321,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds per mille: bucket < 368 → 0
+    * replicas, < 736 → 1, < 920 → 2, < 981 → 3, < 996 → 4, < 999 → 5,
+    * else 6. Shared verbatim with the oracle CASE.
+    */
+  private val PoissonCdfPerMille = Seq(368L, 736L, 920L, 981L, 996L, 999L)
+
+  /** Deterministic bootstrap resample — the third sampling flavor
+    * after subsetting ([[hashSplit]]) and per-stratum rates
+    * ([[sampleStratified]]): each document is REPLICATED k times with
+    * k ~ Poisson(1), the classic bootstrap weighting for uncertainty
+    * estimation and ensemble training. k comes from the content-stable
+    * [[SplitHash]] bucket through the inverse CDF, so the resample is
+    * reproducible and partition-independent; replication is a
+    * generator (`explode(sequence(...))`) on the scan — no shuffle,
+    * output ≈ |corpus| rows in expectation.
+    */
+  def sampleBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val b = SplitHash.bucket(col("doc_id"))
+    val k = PoissonCdfPerMille.zipWithIndex.foldRight(
+        lit(PoissonCdfPerMille.length): Column) {
+      case ((thr, i), acc) => when(b < thr, lit(i)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), k.cast("long").as("k"))
+      // Spark's sequence(1, 0) would count DOWN; k=0 docs must leave
+      // before the generator (the oracle's range(1, 1) is just empty)
+      .filter(col("k") > 0)
+      .select(col("doc_id"), col("k"),
+        explode(sequence(lit(1L), col("k"))).as("replica"))
+  }
+
   /** Token-budget batch packing by running token sum: a batch closes
     * once the pre-sum crosses a [[PackBudget]] boundary, so a batch
     * holds ~PackBudget tokens and can overshoot by documents that
@@ -439,6 +470,15 @@ object TextAnalysis {
          |  FROM r)
          |SELECT doc_id, n_tok, rep_ratio, reason = 'ok' AS keep, reason
          |FROM lab""".stripMargin)(qualityFilter),
+    Q("sample_bootstrap",
+      s"""SELECT doc_id, k, unnest(range(1, k + 1)) AS replica FROM (
+         |  SELECT doc_id,
+         |    CASE ${PoissonCdfPerMille.zipWithIndex
+              .map { case (t, i) => s"WHEN b < $t THEN $i" }.mkString(" ")}
+         |         ELSE ${PoissonCdfPerMille.length} END AS k
+         |  FROM (SELECT doc_id, ${SplitHash.bucketSql("doc_id")} AS b
+         |    FROM documents))
+         |WHERE k > 0""".stripMargin)(sampleBootstrap),
     Q("sample_stratified",
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT d.doc_id, d.lang,

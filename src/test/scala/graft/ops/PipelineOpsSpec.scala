@@ -177,6 +177,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap resample has Poisson-shaped replication and is deterministic") {
+    val rows = TextAnalysis.sampleBootstrap(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sfSmall).count()
+    // every kept doc contributes exactly k rows numbered 1..k
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val k = g.head._2
+      assert(g.forall(_._2 == k))
+      assert(g.map(_._3).sorted.toSeq == (1L to k), s"doc $id replicas wrong")
+    }
+    // total replicas ≈ n (Poisson mean 1); wide band for a 500-doc fixture
+    assert(math.abs(rows.length.toDouble / nDocs - 1.0) < 0.2,
+      s"${rows.length} replicas for $nDocs docs")
+    assert(rows.map(_._2).max <= 6)
+    // deterministic
+    val again = TextAnalysis.sampleBootstrap(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+  }
+
   test("zorder interleave matches a local bit recompute") {
     def morton(a: Long, b: Long): Long =
       (0 until 16).map(i =>
