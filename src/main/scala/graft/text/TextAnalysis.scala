@@ -321,6 +321,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Deterministic span corruption (T5/UL2-style preprocessing):
+    * every 5th token is replaced by a sentinel, producing the
+    * (corrupted input, span count) pairs a denoising objective trains
+    * on. Positional masking instead of RNG keeps it reproducible and
+    * oracle-checkable; a production pipeline would swap the position
+    * rule for a seeded hash without changing the plan (map-only,
+    * codegen'd except the one indexed lambda).
+    */
+  def maskSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      array_join(
+        transform(toks, (t, i) =>
+          when(i % 5 === 0, lit("<extra_id>")).otherwise(t)), " ")
+        .as("masked"),
+      size(toks).cast("long").as("n_tok"),
+      when(size(toks) > 0, ((size(toks) - 1) / 5 + 1).cast("long"))
+        .otherwise(0L).as("n_masked"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds per mille: bucket < 368 → 0
     * replicas, < 736 → 1, < 920 → 2, < 981 → 3, < 996 → 4, < 999 → 5,
     * else 6. Shared verbatim with the oracle CASE.
@@ -470,6 +491,16 @@ object TextAnalysis {
          |  FROM r)
          |SELECT doc_id, n_tok, rep_ratio, reason = 'ok' AS keep, reason
          |FROM lab""".stripMargin)(qualityFilter),
+    Q("mask_spans",
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform(range(1, len(t) + 1),
+         |    i -> CASE WHEN (i - 1) % 5 = 0 THEN '<extra_id>'
+         |              ELSE t[i] END), ' ') AS masked,
+         |  len(t) AS n_tok,
+         |  CASE WHEN len(t) > 0 THEN (len(t) - 1) // 5 + 1 ELSE 0 END
+         |    AS n_masked
+         |FROM (SELECT doc_id, $tokensSql AS t FROM documents)""".stripMargin)(
+      maskSpans),
     Q("sample_bootstrap",
       s"""SELECT doc_id, k, unnest(range(1, k + 1)) AS replica FROM (
          |  SELECT doc_id,
