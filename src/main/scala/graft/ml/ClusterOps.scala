@@ -169,6 +169,48 @@ object ClusterOps {
     a.select(col("vec_id"), col("cluster"), round(col("cs"), 6).as("sim"))
   }
 
+  private val NAnchors = 10
+  private val NNegatives = 3
+
+  /** Contrastive triplet mining — the training-pair construction for
+    * embedding models: for each anchor (vec_id < [[NAnchors]]), the
+    * positive is its nearest cosine neighbor and the negatives are
+    * the [[NNegatives]] lowest-id vectors from OTHER k-means clusters
+    * (cluster membership as the "semantically different" signal —
+    * cheap hard-ish negatives, the standard in-batch-alternative).
+    * Deterministic throughout, so the whole mining pipeline is under
+    * the differential gate. The positive search is the brute-force
+    * correctness baseline; at corpus scale the candidate set would
+    * come from SimOps' LSH buckets with identical downstream shape.
+    */
+  def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val a = assigned(s, dir).select(
+      col("vec_id"), col("embedding"), col("cluster"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val anchors = a.filter(col("vec_id") < NAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("va"),
+        col("nrm").as("nrma"), col("cluster").as("ca"))
+    // positive: top-1 cosine neighbor over the corpus
+    val cand = a.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"),
+      col("nrm").as("nrmc"))
+    val wPos = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    val positives = anchors.join(cand, col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("cs", vecDot(col("va"), col("vc")) / (col("nrma") * col("nrmc")))
+      .withColumn("rn", row_number().over(wPos))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("ca"),
+        col("neighbor_id").as("positive_id"), round(col("cs"), 6).as("pos_cos"))
+    // negatives: lowest-id members of other clusters
+    val others = a.select(col("vec_id").as("neg_id"), col("cluster").as("cn"))
+    val wNeg = Window.partitionBy(col("anchor_id")).orderBy(col("neg_id"))
+    positives.join(others, col("cn") =!= col("ca") && col("neg_id") =!= col("anchor_id"))
+      .withColumn("neg_rank", row_number().over(wNeg))
+      .filter(col("neg_rank") <= NNegatives)
+      .select(col("anchor_id"), col("positive_id"), col("pos_cos"),
+        col("neg_id"), col("neg_rank"))
+  }
+
   /** Cluster-stratified top-N selection — the curation move "keep the
     * N best documents of every cluster" that balances a corpus across
     * semantic regions. Quality here is the integer n_chars (with
@@ -247,6 +289,33 @@ object ClusterOps {
        |  WHERE rn = 1)""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("contrastive_triplets",
+      s"""WITH $assignCte,
+         |anch AS (
+         |  SELECT n.vec_id AS anchor_id, n.v AS va, n.nrm AS nrma,
+         |    a.cluster AS ca
+         |  FROM n JOIN assign a ON a.vec_id = n.vec_id
+         |  WHERE n.vec_id < $NAnchors),
+         |posc AS (
+         |  SELECT anch.anchor_id, anch.ca, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, len(anch.va) + 1),
+         |      j -> CAST(anch.va[j] AS DOUBLE) * CAST(c.v[j] AS DOUBLE)))
+         |      / (anch.nrma * c.nrm) AS cs2
+         |  FROM anch JOIN n c ON c.vec_id <> anch.anchor_id),
+         |pos AS (
+         |  SELECT anchor_id, ca, neighbor_id AS positive_id,
+         |    round(cs2, 6) AS pos_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cs2 DESC, neighbor_id) AS rn FROM posc)
+         |  WHERE rn = 1)
+         |SELECT anchor_id, positive_id, pos_cos, neg_id, neg_rank FROM (
+         |  SELECT p.anchor_id, p.positive_id, p.pos_cos,
+         |    o.vec_id AS neg_id,
+         |    row_number() OVER (PARTITION BY p.anchor_id
+         |      ORDER BY o.vec_id) AS neg_rank
+         |  FROM pos p JOIN assign o
+         |    ON o.cluster <> p.ca AND o.vec_id <> p.anchor_id)
+         |WHERE neg_rank <= $NNegatives""".stripMargin)(contrastiveTriplets),
     Q("kmeans_iterate",
       s"""WITH $assignCte,
          |${iterCte(1, "assign")},

@@ -95,6 +95,25 @@ class ClusterOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contrastive triplets: one positive, cluster-distinct negatives per anchor") {
+    val rows = ClusterOps.contrastiveTriplets(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    val clusters = ClusterOps.kmeansAssign(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.size == 10)
+    byAnchor.foreach { case (a, g) =>
+      assert(g.map(_._2).distinct.length == 1, s"anchor $a has several positives")
+      assert(g.map(_._5).sorted.toSeq == Seq(1, 2, 3), s"anchor $a negative ranks off")
+      g.foreach { case (_, pos, cos, neg, _) =>
+        assert(pos != a && neg != a)
+        assert(cos <= 1.0 + 1e-9)
+        assert(clusters(neg) != clusters(a),
+          s"negative $neg shares anchor $a's cluster")
+      }
+    }
+  }
+
   test("diversity_sample keeps at most N docs per cluster, ranked by length") {
     val rows = ClusterOps.diversitySample(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
