@@ -201,10 +201,24 @@ object ClusterOps {
       .filter(col("rn") === 1)
       .select(col("anchor_id"), col("ca"),
         col("neighbor_id").as("positive_id"), round(col("cs"), 6).as("pos_cos"))
-    // negatives: lowest-id members of other clusters
-    val others = a.select(col("vec_id").as("neg_id"), col("cluster").as("cn"))
+    // negatives: lowest-id members of other clusters, mined equi-style.
+    // A direct `cluster <> ca` join would be a nested-loop broadcast of
+    // the whole corpus; instead each cluster's lowest-NNegatives ids
+    // (a WindowGroupLimit — partial per partition, K·NNegatives rows
+    // total) fan out to the K−1 exclusion keys they can serve, the
+    // `<>` becomes a filter on that tiny frame, and the anchor join is
+    // a broadcast HASH join on the exclusion key. Same result: every
+    // global lowest-3-outside-ca id is also in its own cluster's
+    // lowest 3, and the anchor's own row sits in ca so the
+    // neg_id ≠ anchor_id guard can never bite.
+    val wClust = Window.partitionBy(col("cn")).orderBy(col("neg_id"))
+    val negCand = a.select(col("vec_id").as("neg_id"), col("cluster").as("cn"))
+      .withColumn("crn", row_number().over(wClust))
+      .filter(col("crn") <= NNegatives)
+      .withColumn("excl", explode(sequence(lit(0L), lit((K - 1).toLong))))
+      .filter(col("excl") =!= col("cn"))
     val wNeg = Window.partitionBy(col("anchor_id")).orderBy(col("neg_id"))
-    positives.join(others, col("cn") =!= col("ca") && col("neg_id") =!= col("anchor_id"))
+    positives.join(negCand, col("excl") === col("ca"))
       .withColumn("neg_rank", row_number().over(wNeg))
       .filter(col("neg_rank") <= NNegatives)
       .select(col("anchor_id"), col("positive_id"), col("pos_cos"),

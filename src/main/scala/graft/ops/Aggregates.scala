@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
@@ -140,7 +141,36 @@ object Aggregates {
         round(element_at(col("ps"), 3), 6).as("p99"),
         col("price_qty_corr"))
 
+  /** Equi-width numeric histogram — the column-profiling primitive
+    * behind data-quality dashboards and partition-size planning. Bin
+    * assignment is a codegen'd floor-divide on the scan (map-only),
+    * the count is one partial+final hash aggregate, and the share
+    * column is a window over the already-aggregated (≤#bins rows)
+    * frame — so the single-partition global window touches bins, not
+    * data, and the whole query is one corpus shuffle regardless of
+    * scale. Bin edges are IEEE-double exact (values ≪ 2^53), so both
+    * engines bin identically.
+    */
+  val HistWidth = 5000d
+  def histogramPrices(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select((floor(col("l_extendedprice") / HistWidth) * HistWidth)
+        .cast("long").as("bin_lo"))
+      .groupBy("bin_lo")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("histogram_prices",
+      """WITH h AS (
+        |  SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin_lo,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT bin_lo, cnt,
+        |  round(cnt / CAST(SUM(cnt) OVER () AS DOUBLE), 6) AS pct
+        |FROM h""".stripMargin)(histogramPrices),
     Q("agg_distinct",
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n

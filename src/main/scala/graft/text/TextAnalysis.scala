@@ -399,6 +399,106 @@ object TextAnalysis {
         floor((col("cum_tok") - col("n_tok")) / lit(PackBudget)).cast("long"))
   }
 
+  /** Fixed-size token-window chunking with overlap — how long
+    * documents become model-sized training examples (context windows
+    * of [[ChunkSize]] tokens, stride [[ChunkStride]], so consecutive
+    * chunks overlap by ChunkSize − ChunkStride tokens). A generator
+    * over the scan (explode of the start-offset sequence + array
+    * slice): map-only, no shuffle, output rows ∝ corpus tokens /
+    * stride — exactly the shape that scales to 100 TB.
+    */
+  val ChunkSize = 50
+  val ChunkStride = 40
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // sequence(0, -1, step) would be invalid: empty docs leave first
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("start") + 1, lit(ChunkSize)), " ")
+          .as("chunk_text"),
+        least(size(col("t")) - col("start"), lit(ChunkSize)).cast("long")
+          .as("n_tok"))
+  }
+
+  /** PII redaction patterns, shared verbatim with the oracle SQL.
+    * RE2/Java-common subset only (no backreferences, no lookaround)
+    * so both engines compile the identical automaton.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a web-corpus pipeline runs
+    * before training (emails, phone numbers, IPv4 addresses →
+    * typed placeholders), with per-document match counts for the
+    * scrub-rate telemetry. The fixture prose contains no natural PII,
+    * so both engines first append a deterministic synthetic
+    * contact-info tail derived from doc_id — the redaction logic
+    * itself (three chained codegen'd regexp_replace passes over the
+    * scan, map-only, no shuffle) is then exercised on every row.
+    * Counts are taken on the pre-redaction text so they are
+    * independent of replacement order; replacements run
+    * email → phone → IP (the patterns are mutually exclusive: the
+    * phone class has no dots, the IP form no dashes).
+    */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".7"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+          lit(IpRe), lit("<IP>")).as("redacted"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0)))
+          .cast("long").as("n_ip"))
+  }
+
+  /** PMI-scored bigram collocations — the phrase-detection statistic
+    * (Mikolov-style word2vec phrasing, tokenizer-merge candidates):
+    * pmi = ln(c(x,y)·N / (c(x,·)·c(·,y))) over the bigram universe.
+    * One shuffle for the bigram counts; the two marginals re-aggregate
+    * that same (already small, |vocab|²-bounded) frame; N is a
+    * broadcast scalar. The min-count gate (≥5) is the standard noise
+    * floor and keeps the output collocation-sized.
+    */
+  def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.documents(s, dir).select(col("text")).as[String]
+      .flatMap { t =>
+        val toks = graft.mr.MrJobs.tokenize(t)
+        if (toks.lengthCompare(2) < 0) Nil
+        else toks.sliding(2).map(w => (w.head, w(1)))
+      }
+      .toDF("w1", "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cx = big.groupBy("w1").agg(sum("c_xy").as("c_x"))
+    val cy = big.groupBy("w2").agg(sum("c_xy").as("c_y"))
+    val n = big.agg(sum("c_xy").as("n"))
+    big.join(cx, "w1").join(cy, "w2").crossJoin(broadcast(n))
+      .filter(col("c_xy") >= 5)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy").cast("double") * col("n")) /
+          (col("c_x") * col("c_y"))), 6).as("pmi"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("ngram_bigrams",
       s"""SELECT bigram, COUNT(*) AS cnt FROM (
@@ -530,6 +630,44 @@ object TextAnalysis {
          |  FROM documents)
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)(packBatches),
+    Q("chunk_docs",
+      s"""SELECT doc_id, st // $ChunkStride AS chunk_idx,
+         |  array_to_string(list_slice(t, st + 1, st + $ChunkSize), ' ')
+         |    AS chunk_text,
+         |  least(len(t) - st, $ChunkSize) AS n_tok
+         |FROM (SELECT doc_id, $tokensSql AS t FROM documents),
+         |  unnest(range(0, len(t), $ChunkStride)) AS u(st)""".stripMargin)(
+      chunkDocs),
+    Q("redact_pii",
+      s"""WITH a AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com or +1-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$IpRe', '<IP>', 'g') AS redacted,
+         |  len(regexp_extract_all(aug, '$EmailRe')) AS n_email,
+         |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phone,
+         |  len(regexp_extract_all(aug, '$IpRe')) AS n_ip
+         |FROM a""".stripMargin)(redactPii),
+    Q("collocation_pmi",
+      s"""WITH b AS (
+         |  SELECT w1, w2, COUNT(*) AS c_xy FROM (
+         |    SELECT t[i] AS w1, t[i+1] AS w2
+         |    FROM (SELECT $tokensSql AS t FROM documents),
+         |      unnest(range(1, greatest(len(t), 1))) AS u(i))
+         |  GROUP BY 1, 2),
+         |cx AS (SELECT w1 AS x1, SUM(c_xy) AS c_x FROM b GROUP BY 1),
+         |cy AS (SELECT w2 AS y2, SUM(c_xy) AS c_y FROM b GROUP BY 1),
+         |n AS (SELECT SUM(c_xy) AS n FROM b)
+         |SELECT b.w1, b.w2, b.c_xy,
+         |  round(ln((CAST(b.c_xy AS DOUBLE) * n.n) / (c_x * c_y)), 6) AS pmi
+         |FROM b JOIN cx ON b.w1 = x1 JOIN cy ON b.w2 = y2, n
+         |WHERE b.c_xy >= 5""".stripMargin)(collocationPmi),
     Q("doc_fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(

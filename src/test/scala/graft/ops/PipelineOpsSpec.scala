@@ -236,4 +236,73 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0)).toSet
     assert(again == kept.map(_._1).toSet)
   }
+
+  test("chunking tiles every document with the declared size and stride") {
+    val toks = Tables.documents(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> graft.mr.MrJobs.tokenize(r.getString(1)))
+      .toMap
+    val chunks = TextAnalysis.chunkDocs(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, g) =>
+      val n = toks(id).length
+      // chunk count = ceil(n / stride), indices contiguous from 0
+      assert(g.length == (n + TextAnalysis.ChunkStride - 1) / TextAnalysis.ChunkStride)
+      assert(g.map(_._2).sorted.toSeq == (0L until g.length.toLong))
+      g.foreach { case (_, idx, text, nTok) =>
+        val start = idx.toInt * TextAnalysis.ChunkStride
+        val want = toks(id).slice(start, start + TextAnalysis.ChunkSize)
+        assert(text == want.mkString(" "), s"doc $id chunk $idx text mismatch")
+        assert(nTok == want.length)
+      }
+    }
+    // docs with at least ChunkStride+1 tokens produce overlapping chunks
+    val full = chunks.filter(c => c._4 == TextAnalysis.ChunkSize)
+    assert(full.nonEmpty, "fixture has no full-size chunk")
+  }
+
+  test("pii redaction scrubs every synthetic contact and counts each kind") {
+    val rows = TextAnalysis.redactPii(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, red, ne, np, nip) =>
+      assert(ne >= 1 && np >= 1 && nip >= 1, s"doc $id missed a PII kind")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+      assert(!red.contains("@"), s"doc $id leaked an email")
+      assert(!red.contains("+1-555-"), s"doc $id leaked a phone")
+      assert(!red.contains("10.0."), s"doc $id leaked an ip")
+    }
+  }
+
+  test("collocation pmi matches a local recompute") {
+    val bigrams = Tables.documents(spark, sfSmall).collect()
+      .flatMap(r => graft.mr.MrJobs.tokenize(r.getString(1)).sliding(2)
+        .filter(_.length == 2).map(w => (w.head, w(1))))
+    val cXy = bigrams.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val cX = bigrams.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val cY = bigrams.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val n = bigrams.length.toLong
+    val got = TextAnalysis.collocationPmi(spark, sfSmall).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    // exactly the >= 5 bigrams, with the exact PMI
+    assert(got.keySet == cXy.filter(_._2 >= 5).keySet)
+    got.foreach { case ((w1, w2), (c, pmi)) =>
+      assert(c == cXy((w1, w2)))
+      val want = math.log(c.toDouble * n / (cX(w1) * cY(w2)))
+      assert(math.abs(pmi - want) < 1e-6, s"($w1,$w2) pmi $pmi vs $want")
+    }
+  }
+
+  test("price histogram conserves rows and its shares sum to one") {
+    val rows = Aggregates.histogramPrices(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = Tables.lineitem(spark, sfSmall).count()
+    assert(rows.map(_._2).sum == total, "histogram loses rows")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares don't sum to 1")
+    // bins are aligned to the declared width and non-overlapping
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (lo, _, _) => assert(lo % 5000 == 0, s"bin $lo misaligned") }
+  }
 }
