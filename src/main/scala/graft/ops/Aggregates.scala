@@ -162,7 +162,40 @@ object Aggregates {
         round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
   }
 
+  /** Percentile winsorization — the outlier-clipping cleanup step for
+    * numeric telemetry (clip each event's value into its event-type's
+    * [p05, p95] band, flagging which side was clipped). The band model
+    * is one exact-percentile aggregate over the fact table (5 rows)
+    * broadcast back onto the scan, so the clipping pass is map-shaped
+    * at any scale. Bounds are rounded to 6 decimals BEFORE comparing
+    * so the keep/clip boundary is identical in both engines (the same
+    * policy as the quality gate's rounded rep_ratio).
+    */
+  def winsorizeValues(s: SparkSession, dir: String): DataFrame = {
+    val pct = Tables.events(s, dir).groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("value"), lit(0.95)), 6).as("hi"))
+    Tables.events(s, dir).join(broadcast(pct), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+          .as("clipped"),
+        (col("value") < col("lo")).as("clipped_low"),
+        (col("value") > col("hi")).as("clipped_high"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("winsorize_values",
+      """WITH p AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round(least(greatest(value, lo), hi), 6) AS clipped,
+        |  value < lo AS clipped_low,
+        |  value > hi AS clipped_high
+        |FROM events e JOIN p ON e.event_type = p.event_type""".stripMargin)(
+      winsorizeValues),
     Q("histogram_prices",
       """WITH h AS (
         |  SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin_lo,

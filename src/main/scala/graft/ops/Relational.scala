@@ -186,7 +186,53 @@ object Relational {
         |GROUP BY s_nationkey""".stripMargin)
   }
 
+  /** Ordered funnel analysis — the product-analytics staple: for each
+    * user, the first `view`, the first `click` strictly after it, and
+    * the first `purchase` strictly after that, plus the stage reached
+    * (1–3). Each step is one filtered aggregate equi-joined on
+    * user_id — per-key state, no windows over the whole stream, no
+    * driver logic — so the funnel computes in three hash shuffles of
+    * the (already event-type-pruned) fact regardless of scale, and
+    * AQE broadcasts the shrinking step frames onto later joins.
+    */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+          .cast("long").as("stage"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("funnel_conversion",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)(funnelConversion),
     Q("q1_agg", q1Sql)(q1Agg),
     Q("q1_sql", q1Sql)(q1SqlEntry),
     Q("q3_shipping",

@@ -167,7 +167,40 @@ object SimOps {
     """list_sum(list_transform(range(1, len(q.v) + 1),
       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))""".stripMargin
 
+  /** Per-dimension min/max int8 quantization of the embedding corpus
+    * — the 4× storage shrink (float32 → int8) a 100 TB vector store
+    * applies before indexing; per-dim affine scaling is the standard
+    * symmetric-range scheme (q = round((v − lo)/(hi − lo)·255) − 128).
+    * The scale model (64 rows of per-dim lo/hi) comes from one
+    * posexplode aggregate and broadcasts back — the quantization pass
+    * itself is map-shaped, so the corpus is read twice and shuffled
+    * once (the K·dim model agg), at any scale. Constant dims quantize
+    * to 0, matching the oracle's hi > lo guard.
+    */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val mm = e.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    e.join(broadcast(mm), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("hi") > col("lo"),
+          round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255) - 128)
+          .otherwise(0).cast("long").as("q"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("quantize_embeddings",
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY 1)
+        |SELECT vec_id, e.dim,
+        |  CASE WHEN hi > lo
+        |    THEN CAST(round((v - lo) / (hi - lo) * 255) - 128 AS BIGINT)
+        |    ELSE 0 END AS q
+        |FROM e JOIN mm ON e.dim = mm.dim""".stripMargin)(quantizeEmbeddings),
     Q("cosine_topk",
       s"""WITH $normsCte,
          |s AS (

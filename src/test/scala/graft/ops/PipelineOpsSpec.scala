@@ -295,6 +295,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization covers the full range and inverts within one step") {
+    val q = graft.sim.SimOps.quantizeEmbeddings(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q.forall(r => r._3 >= -128 && r._3 <= 127), "q outside int8")
+    // every dimension hits both endpoints (min→-128, max→127)
+    q.groupBy(_._2).foreach { case (d, g) =>
+      assert(g.map(_._3).min == -128L, s"dim $d never hits -128")
+      assert(g.map(_._3).max == 127L, s"dim $d never hits 127")
+    }
+    // dequantized values reconstruct the original within one bin width
+    val emb = Tables.embeddings(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val dims = emb.values.head.indices
+    val lo = dims.map(d => emb.values.map(_(d)).min)
+    val hi = dims.map(d => emb.values.map(_(d)).max)
+    q.foreach { case (id, dim, qv) =>
+      val d = dim.toInt
+      val step = (hi(d) - lo(d)) / 255
+      val deq = lo(d) + (qv + 128) * step
+      assert(math.abs(deq - emb(id)(d)) <= step * 0.5 + 1e-9,
+        s"vec $id dim $d dequant error > half step")
+    }
+  }
+
+  test("winsorization clips into the band and flags ~5% per side") {
+    val rows = Aggregates.winsorizeValues(spark, sfSmall).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val n = g.length.toDouble
+      // a clipped row sits exactly on the band edge it crossed
+      val loEdge = g.filter(_._4).map(_._3).distinct
+      val hiEdge = g.filter(_._5).map(_._3).distinct
+      assert(loEdge.length == 1 && hiEdge.length == 1, s"$et band edges not unique")
+      // unclipped rows keep their value (to rounding)
+      g.filterNot(r => r._4 || r._5).foreach { r =>
+        assert(math.abs(r._3 - r._2) < 1e-6, s"$et unclipped row moved")
+      }
+      // ~5% clipped per side (exact percentile; wide tolerance for ties)
+      assert(math.abs(g.count(_._4) / n - 0.05) < 0.02, s"$et low clip rate off")
+      assert(math.abs(g.count(_._5) / n - 0.05) < 0.02, s"$et high clip rate off")
+    }
+  }
+
+  test("funnel stages match an exact per-user recompute") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        // micros, not millis: getTime truncates sub-milli precision
+        (r.getLong(0), r.getString(1),
+          ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+      }
+    val want = events.groupBy(_._1).flatMap { case (u, g) =>
+      val first = (t: String, after: Long) =>
+        g.filter(e => e._2 == t && e._3 > after).map(_._3).minOption
+      first("view", Long.MinValue).map { tv =>
+        val tc = first("click", tv)
+        val tp = tc.flatMap(t => first("purchase", t))
+        u -> (1 + tc.size + tp.size)
+      }
+    }
+    val got = Relational.funnelConversion(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(4).toInt).toMap
+    assert(got == want, "funnel stages diverge from recompute")
+    assert(got.values.exists(_ == 3) && got.values.forall(s => s >= 1 && s <= 3))
+  }
+
   test("price histogram conserves rows and its shares sum to one") {
     val rows = Aggregates.histogramPrices(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
