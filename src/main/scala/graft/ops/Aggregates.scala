@@ -183,7 +183,41 @@ object Aggregates {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** Key-skew diagnostics — the telemetry behind the salted-join /
+    * AQE-skew decisions: the top-20 heaviest join keys with their
+    * corpus share and skew factor (count ÷ mean count). The per-key
+    * aggregate is one partial+final shuffle; the top-20 cut is a
+    * TakeOrderedAndProject (never a global sort); the global totals
+    * (one row) ride in on a broadcast scalar cross join, the same
+    * documented pattern as tfidf's corpus-N. Rank is a window over
+    * the 20 surviving rows only.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts
+      .agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(20)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("user_id"))))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt") / col("total").cast("double"), 6).as("share"),
+        round(col("cnt") / (col("total").cast("double") / col("n_keys")), 6)
+          .as("skew"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("skew_report",
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c),
+        |top AS (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT user_id, cnt,
+        |  round(cnt / CAST(total AS DOUBLE), 6) AS share,
+        |  round(cnt / (CAST(total AS DOUBLE) / n_keys), 6) AS skew,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+        |FROM top, t""".stripMargin)(skewReport),
     Q("winsorize_values",
       """WITH p AS (
         |  SELECT event_type,

@@ -499,7 +499,58 @@ object TextAnalysis {
           (col("c_x") * col("c_y"))), 6).as("pmi"))
   }
 
+  /** Heavy-hitter words via the ApproxTopK sketch (Spark 4.1's
+    * approx_top_k aggregate) — the streaming-friendly frequent-items
+    * summary whose state is a fixed-size sketch instead of the full
+    * vocabulary (the exact top-k needs a |vocab|-sized aggregate;
+    * this needs O(k·capacity)). Registered rows-only like the other
+    * sketches (HLL++, approx percentiles); the spec pins it exactly
+    * equal to the exact top-10 on the fixture, where capacity far
+    * exceeds the vocabulary.
+    */
+  def approxTopKWords(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .selectExpr("approx_top_k(tok, 10, 100) AS tk")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").cast("long").as("cnt"))
+  }
+
+  /** Feature hashing (the "hashing trick") — fixed-width sparse
+    * featurization: every token folds into one of [[HashDim]] buckets
+    * through the engine-shared md5 bucket (same construction as
+    * [[SplitHash]], so the oracle reproduces it bit-for-bit), and the
+    * (doc, bucket) counts are the sparse feature vector a linear
+    * model / sketch consumer trains on. Vocabulary-independent state:
+    * one hash aggregate whose key space is docs × HashDim regardless
+    * of corpus vocabulary — the property that makes the op safe at
+    * 100 TB where a learned vocabulary would not be.
+    */
+  val HashDim = 32L
+
+  /** The engine-shared token→bucket fold (md5-prefix construction, as
+    * [[SplitHash]]), exposed for direct spec verification.
+    */
+  def hashBucket(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(HashDim))
+
+  def featureHashing(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("bucket", hashBucket(col("tok")))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
   val all: Seq[Q] = Seq(
+    Q.noOracle("approx_top_k_words")(approxTopKWords),
+    Q("feature_hashing",
+      s"""SELECT doc_id,
+         |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $HashDim
+         |    AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+         |GROUP BY 1, 2""".stripMargin)(featureHashing),
     Q("ngram_bigrams",
       s"""SELECT bigram, COUNT(*) AS cnt FROM (
          |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),

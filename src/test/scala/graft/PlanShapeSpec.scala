@@ -49,7 +49,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val allowed = Set(
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
       "join_theta", // genuine non-equi residual on equi key — hash join with filter
-      "tfidf", "cosine_topk_ivf", "collocation_pmi", // scalar-N / centroid cross joins (broadcast, tiny side)
+      "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report", // scalar-N / centroid cross joins (broadcast, tiny side)
       "contrastive_triplets") // brute positive search (documented baseline; negatives are equi-mined)
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString

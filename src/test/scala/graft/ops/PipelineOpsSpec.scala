@@ -340,6 +340,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx top-k words equals the exact top-10 when capacity covers the vocab") {
+    val exact = Tables.documents(spark, sfSmall).collect()
+      .flatMap(r => graft.mr.MrJobs.tokenize(r.getString(1)))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val got = TextAnalysis.approxTopKWords(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 10)
+    // every sketch estimate is the exact count (capacity >> vocab)
+    got.foreach { case (w, c) => assert(c == exact(w), s"$w est $c != exact") }
+    // the returned counts are the 10 largest (set-compare is tie-robust)
+    val top10 = exact.values.toSeq.sorted.reverse.take(10)
+    assert(got.map(_._2).sorted.reverse.toSeq == top10)
+  }
+
+  test("feature hashing conserves token counts and buckets stay in range") {
+    val rows = TextAnalysis.featureHashing(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < TextAnalysis.HashDim))
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    Tables.documents(spark, sfSmall).collect().foreach { r =>
+      val want = graft.mr.MrJobs.tokenize(r.getString(1)).length.toLong
+      assert(perDoc.getOrElse(r.getLong(0), 0L) == want,
+        s"doc ${r.getLong(0)} token count not conserved")
+    }
+    // the engine's bucket expression matches a local md5 recompute
+    def localBucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.HashDim
+    }
+    import spark.implicits._
+    val toks = graft.mr.MrJobs.tokenize(
+      Tables.documents(spark, sfSmall).limit(5).collect()
+        .map(_.getString(1)).mkString(" ")).distinct
+    val sparkBuckets = toks.toDF("tok")
+      .select(col("tok"), TextAnalysis.hashBucket(col("tok")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.foreach(t => assert(sparkBuckets(t) == localBucket(t),
+      s"bucket mismatch for '$t'"))
+  }
+
+  test("skew report ranks the heaviest keys with consistent shares") {
+    val rows = Aggregates.skewReport(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 20)
+    assert(rows.map(_._5).sorted.toSeq == (1L to 20L))
+    val byRank = rows.sortBy(_._5)
+    byRank.zip(byRank.tail).foreach { case (a, b) => assert(a._2 >= b._2) }
+    val nKeys = Tables.events(spark, sfSmall).select("user_id").distinct().count()
+    rows.foreach { case (_, _, share, skew, _) =>
+      assert(math.abs(skew - share * nKeys) < 1e-4, "skew != share * n_keys")
+    }
+  }
+
   test("funnel stages match an exact per-user recompute") {
     val events = Tables.events(spark, sfSmall)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
