@@ -208,7 +208,32 @@ object Aggregates {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Order-independent table checksum — the replication / migration
+    * integrity primitive: each row folds to a bounded hash through
+    * the engine-shared md5-prefix construction (over the stable
+    * non-float columns; float formatting is engine-specific) and the
+    * table fingerprint is the SUM — commutative, so the checksum is
+    * identical under any partitioning, ordering, or executor count.
+    * One partial+final aggregate, no shuffle of row data, scales to
+    * any table size.
+    */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val rowHash = pmod(
+      conv(substring(md5(concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).cast("binary")), 1, 15),
+        16, 10).cast("long"),
+      lit(2147483647L))
+    Tables.customer(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("table_checksum",
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)),
+        |    1, 15)) AS BIGINT) % 2147483647) AS BIGINT) AS checksum
+        |FROM customer""".stripMargin)(tableChecksum),
     Q("skew_report",
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
         |t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c),

@@ -216,7 +216,63 @@ object Relational {
           .cast("long").as("stage"))
   }
 
+  /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
+    * batch: a deterministic change feed derived from the base table
+    * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
+    * shifted key) full-outer-joins the base on the key; deletes drop,
+    * updates/inserts take the change row, untouched rows pass
+    * through, and every output row is tagged with the action that
+    * produced it. One equi-shuffle of base and feed — the standard
+    * distributed MERGE shape (Delta/Iceberg do exactly this join
+    * under AQE; a bloom prefilter like [[Joins.joinBloom]] slots in
+    * front when the feed is sparse).
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("bal"))
+    val m = pmod(col("c_custkey"), lit(10L))
+    val changes = Tables.customer(s, dir)
+      .withColumn("op",
+        when(m === 0, "delete").when(m <= 3, "update")
+          .when(m === 4, "insert"))
+      .filter(col("op").isNotNull)
+      .select(
+        when(col("op") === "insert", col("c_custkey") + 1000000L)
+          .otherwise(col("c_custkey")).as("k"),
+        col("op"), col("c_mktsegment").as("new_segment"),
+        round(col("c_acctbal") + 100, 2).as("new_bal"))
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("k"),
+        coalesce(col("new_segment"), col("segment")).as("segment"),
+        when(col("op").isNotNull, col("new_bal")).otherwise(col("bal"))
+          .as("bal"),
+        coalesce(col("op"), lit("keep")).as("op"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("cdc_merge",
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment, c_acctbal AS bal
+        |  FROM customer),
+        |ch AS (
+        |  SELECT CASE WHEN op = 'insert' THEN c_custkey + 1000000
+        |              ELSE c_custkey END AS k,
+        |    op, c_mktsegment AS new_segment,
+        |    round(c_acctbal + 100, 2) AS new_bal
+        |  FROM (SELECT *,
+        |      CASE WHEN c_custkey % 10 = 0 THEN 'delete'
+        |           WHEN c_custkey % 10 <= 3 THEN 'update'
+        |           WHEN c_custkey % 10 = 4 THEN 'insert' END AS op
+        |    FROM customer)
+        |  WHERE op IS NOT NULL)
+        |SELECT COALESCE(base.k, ch.k) AS k,
+        |  COALESCE(new_segment, segment) AS segment,
+        |  CASE WHEN op IS NOT NULL THEN new_bal ELSE bal END AS bal,
+        |  COALESCE(op, 'keep') AS op
+        |FROM base FULL JOIN ch ON base.k = ch.k
+        |WHERE op IS NULL OR op <> 'delete'""".stripMargin)(cdcMerge),
     Q("funnel_conversion",
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

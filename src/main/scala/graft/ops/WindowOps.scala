@@ -108,7 +108,41 @@ object WindowOps {
       nth_value(col("value"), 3).over(full).as("third_v"))
   }
 
+  /** Event-transition matrix — first-order Markov telemetry over the
+    * event stream: for each (from, to) adjacent pair within a user's
+    * micro-truncated-timestamp order (event_id tiebreak, so the
+    * sequence is unique), the transition count and the conditional
+    * probability p(to | from). One lead() window partitioned by
+    * user_id (per-key state, partial sort within hash partitions)
+    * plus one hash aggregate whose key space is |event_types|² — tiny
+    * at any corpus scale; the p column is a window over that tiny
+    * aggregate.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", round(col("cnt") /
+        sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("event_transitions",
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM t
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  round(cnt / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS p
+        |FROM c""".stripMargin)(eventTransitions),
     Q("window_frames",
       """SELECT event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

@@ -395,6 +395,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("event transitions conserve adjacency counts and p sums to one per state") {
+    val rows = WindowOps.eventTransitions(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nEvents = Tables.events(spark, sfSmall).count()
+    val nUsers = Tables.events(spark, sfSmall).select("user_id").distinct().count()
+    // every user with n events contributes n-1 transitions
+    assert(rows.map(_._3).sum == nEvents - nUsers, "transition count off")
+    rows.groupBy(_._1).foreach { case (from, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, s"$from probs don't sum to 1")
+    }
+  }
+
+  test("cdc merge applies deletes, updates, inserts, and passes keeps through") {
+    val base = Tables.customer(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getDouble(3))).toMap
+    val rows = Relational.cdcMerge(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val nDel = base.keys.count(_ % 10 == 0)
+    val nIns = base.keys.count(_ % 10 == 4)
+    assert(rows.length == base.size - nDel + nIns, "row count after merge wrong")
+    rows.foreach { case (k, seg, bal, op) =>
+      op match {
+        case "delete" => fail(s"deleted key $k survived")
+        case "keep" =>
+          assert(base(k) == ((seg, bal)), s"keep row $k mutated")
+        case "update" =>
+          assert(k % 10 >= 1 && k % 10 <= 3)
+          assert(math.abs(bal - (base(k)._2 + 100)) < 0.005, s"update $k bal wrong")
+        case "insert" =>
+          val orig = k - 1000000L
+          assert(orig % 10 == 4 && base.contains(orig), s"insert $k not from feed")
+          assert(math.abs(bal - (base(orig)._2 + 100)) < 0.005)
+      }
+    }
+    // no base key marked delete leaks through under its own key
+    assert(rows.forall(r => r._1 >= 1000000L || r._1 % 10 != 0))
+  }
+
+  test("table checksum matches a local recompute and ignores row order") {
+    def hex15(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val rows = Tables.customer(spark, sfSmall).collect()
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getInt(2)}|${r.getString(4)}")
+    val want = rows.map(s => hex15(s) % 2147483647L).sum
+    val got = Aggregates.tableChecksum(spark, sfSmall).collect().head
+    assert(got.getLong(0) == rows.length)
+    assert(got.getLong(1) == want, "checksum != local recompute")
+    // commutative fold: any permutation gives the same sum by construction
+    assert(scala.util.Random.shuffle(rows.toSeq)
+      .map(s => hex15(s) % 2147483647L).sum == want)
+  }
+
   test("funnel stages match an exact per-user recompute") {
     val events = Tables.events(spark, sfSmall)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
