@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.text.TextAnalysis
+
+/** Link-analysis operators over graphs derived from the fixture
+  * corpus. The reference has no graph surface at all (its only
+  * iterative structure is the MapReduce job loop, reference
+  * master.py:284-326); these exist because corpus curation uses link
+  * analysis for source weighting, and they exercise the iterative
+  * dataflow shape (like ml.ClusterOps.kmeansIterate and
+  * dedup.DedupOps.dedupClusters) on a third algorithm family.
+  *
+  * Scale shape: one shuffle builds the weighted edge list; each
+  * PageRank round is one equi-join of the rank vector with the edges
+  * plus one hash aggregate — the textbook distributed PageRank plan.
+  * Nothing is collected but the node count (model-sized scalar, the
+  * same trade as ClusterOps.meansOf).
+  */
+object GraphOps {
+
+  val Damping = 0.85
+  val Iters = 3
+
+  /** Weighted word-adjacency edges: wt(u→v) = c(u,v) / c(u,·).
+    * Long/long division — both engines produce the identical double.
+    */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCounts(s, dir)
+      .withColumn("wt", col("c_xy") /
+        sum(col("c_xy")).over(Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"), col("wt"))
+
+  /** [[Iters]] rounds of damped PageRank over the bigram graph,
+    * initialized uniform. Ranks are quantized to 6 decimals each
+    * round — the same cross-engine float policy as kmeansIterate's
+    * centroid means, so the DuckDB-unrolled oracle stays bit-stable
+    * against summation-order ulps. Dangling mass is dropped (the
+    * standard simplified variant), identically on both sides.
+    */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val ew = edges(s, dir).cache()
+    val nodes = ew.select(col("w1").as("node"))
+      .union(ew.select(col("w2").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble // model-sized scalar, not data
+    var pr = nodes.withColumn("pr", round(lit(1.0) / n, 6))
+    for (_ <- 1 to Iters) {
+      val mass = ew.join(pr, col("w1") === col("node"))
+        .select(col("w2").as("node"), (col("pr") * col("wt")).as("m"))
+        .groupBy("node").agg(sum("m").as("mass"))
+      pr = nodes.join(mass, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1 - Damping) / n +
+            lit(Damping) * coalesce(col("mass"), lit(0.0)), 6).as("pr"))
+    }
+    // materialize the (vocab-sized) result, then release the loop
+    // inputs — the same cache discipline as dedupClusters: nothing
+    // bigger than the model survives the call
+    val out = pr.cache()
+    out.count()
+    ew.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** One unrolled PageRank round in the oracle dialect. */
+  private def prIter(i: Int, prev: String): String =
+    s"""p$i AS (
+       |  SELECT nodes.node,
+       |    round(CAST(${1 - Damping} AS DOUBLE) / nn.n
+       |      + $Damping * COALESCE(m.mass, CAST(0 AS DOUBLE)), 6) AS pr
+       |  FROM nodes
+       |  LEFT JOIN (
+       |    SELECT ew.w2 AS node, SUM($prev.pr * ew.wt) AS mass
+       |    FROM ew JOIN $prev ON ew.w1 = $prev.node GROUP BY 1) m
+       |    ON nodes.node = m.node, nn)""".stripMargin
+
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  val all: Seq[Q] = Seq(
+    Q("pagerank_words",
+      s"""WITH e AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT $tokensSql AS t FROM documents),
+         |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
+         |ec AS (SELECT w1, w2, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |ew AS (SELECT w1, w2,
+         |  c / CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE) AS wt FROM ec),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT w1 AS node FROM ec UNION ALL SELECT w2 FROM ec)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |p0 AS (SELECT node,
+         |  round(CAST(1 AS DOUBLE) / nn.n, 6) AS pr FROM nodes, nn),
+         |${prIter(1, "p0")},
+         |${prIter(2, "p1")},
+         |${prIter(3, "p2")}
+         |SELECT node, pr FROM p3""".stripMargin)(pageRank),
+  )
+}

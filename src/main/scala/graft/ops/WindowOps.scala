@@ -130,7 +130,40 @@ object WindowOps {
         sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 6))
   }
 
+  /** Event-level sessionization — assign each event its user-session
+    * ordinal under a 30-minute inactivity gap (the row-granularity
+    * complement to the `events_session` session_window AGGREGATE: this
+    * one labels the events themselves, which is what downstream
+    * attribution joins consume). Gap arithmetic is exact integer
+    * microseconds (unix_micros / epoch_us) so the boundary decision is
+    * identical in both engines; the running sum of session starts is
+    * one window per user partition — per-key state, no global sort.
+    */
+  val SessionGapUs: Long = 1800L * 1000000L
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, dir)
+      .withColumn("new_sess",
+        when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sessionize_events",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |g AS (
+         |  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM e)
+         |SELECT user_id, event_id, ts,
+         |  SUM(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_seq
+         |FROM g""".stripMargin)(sessionizeEvents),
     Q("event_transitions",
       """WITH t AS (
         |  SELECT event_type AS from_type,

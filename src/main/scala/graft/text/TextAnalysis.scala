@@ -479,9 +479,13 @@ object TextAnalysis {
     * broadcast scalar. The min-count gate (≥5) is the standard noise
     * floor and keeps the output collocation-sized.
     */
-  def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+  /** (w1, w2, c_xy) bigram-adjacency counts — the shared frame behind
+    * [[collocationPmi]] and graph.GraphOps.pageRank. One typed flatMap
+    * pass plus one hash aggregate.
+    */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val big = Tables.documents(s, dir).select(col("text")).as[String]
+    Tables.documents(s, dir).select(col("text")).as[String]
       .flatMap { t =>
         val toks = graft.mr.MrJobs.tokenize(t)
         if (toks.lengthCompare(2) < 0) Nil
@@ -489,6 +493,10 @@ object TextAnalysis {
       }
       .toDF("w1", "w2")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+  }
+
+  def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+    val big = bigramCounts(s, dir)
     val cx = big.groupBy("w1").agg(sum("c_xy").as("c_x"))
     val cy = big.groupBy("w2").agg(sum("c_xy").as("c_y"))
     val n = big.agg(sum("c_xy").as("n"))

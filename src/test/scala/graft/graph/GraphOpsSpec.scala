@@ -1,0 +1,47 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** PageRank against an exact local recompute using the identical
+  * per-round 6-decimal quantization.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pagerank matches a local recompute and conserves damped mass") {
+    val bigrams = Tables.documents(spark, sfSmall).collect()
+      .flatMap(r => graft.mr.MrJobs.tokenize(r.getString(1)).sliding(2)
+        .filter(_.length == 2).map(w => (w.head, w(1))))
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val outSum = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = (bigrams.map(_._1) ++ bigrams.map(_._2)).distinct
+    val n = nodes.length.toDouble
+    var pr = nodes.map(_ -> round6(1.0 / n)).toMap
+    for (_ <- 1 to GraphOps.Iters) {
+      val mass = cnt.toSeq
+        .map { case ((u, v), c) => v -> pr(u) * (c.toDouble / outSum(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = nodes.map(w => w -> round6(
+        (1 - GraphOps.Damping) / n +
+          GraphOps.Damping * mass.getOrElse(w, 0.0))).toMap
+    }
+    val got = GraphOps.pageRank(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (w, p) =>
+      // summation order may differ pre-quantization; one last-place
+      // wobble of the 6th decimal is the only allowed divergence
+      assert(math.abs(p - pr(w)) <= 1e-6 + 1e-9, s"$w: $p vs ${pr(w)}")
+    }
+    // total rank stays within (1-d, 1]: damping floor plus lost
+    // dangling mass below, full conservation above
+    val total = got.values.sum
+    assert(total <= 1.0 + 1e-4 && total > 1 - GraphOps.Damping)
+    // ranks differentiate (a uniform fixpoint would signal a bug)
+    assert(got.values.toSeq.distinct.length > 1)
+  }
+}

@@ -395,6 +395,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionization matches a per-user gap-rule recompute") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), col("ts")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        (r.getLong(0), r.getLong(1), ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+      }
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2)).toSeq
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > WindowOps.SessionGapUs) seq += 1
+        prev = e._3
+        e._2 -> seq
+      }
+    }
+    val got = WindowOps.sessionizeEvents(spark, sfSmall).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == want.toMap, "session ordinals diverge from recompute")
+    assert(got.values.max > 1, "no user ever starts a second session")
+  }
+
   test("event transitions conserve adjacency counts and p sums to one per state") {
     val rows = WindowOps.eventTransitions(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
