@@ -219,7 +219,10 @@ object Relational {
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
-    * shifted key) full-outer-joins the base on the key; deletes drop,
+    * negated key — a namespace disjoint from the positive base keys
+    * at ANY table size, so a synthetic insert can never collide with
+    * and overwrite a real row) full-outer-joins the base on the key;
+    * deletes drop,
     * updates/inserts take the change row, untouched rows pass
     * through, and every output row is tagged with the action that
     * produced it. One equi-shuffle of base and feed — the standard
@@ -238,7 +241,7 @@ object Relational {
           .when(m === 4, "insert"))
       .filter(col("op").isNotNull)
       .select(
-        when(col("op") === "insert", col("c_custkey") + 1000000L)
+        when(col("op") === "insert", -col("c_custkey") - 1L)
           .otherwise(col("c_custkey")).as("k"),
         col("op"), col("c_mktsegment").as("new_segment"),
         round(col("c_acctbal") + 100, 2).as("new_bal"))
@@ -257,7 +260,7 @@ object Relational {
         |  SELECT c_custkey AS k, c_mktsegment AS segment, c_acctbal AS bal
         |  FROM customer),
         |ch AS (
-        |  SELECT CASE WHEN op = 'insert' THEN c_custkey + 1000000
+        |  SELECT CASE WHEN op = 'insert' THEN -c_custkey - 1
         |              ELSE c_custkey END AS k,
         |    op, c_mktsegment AS new_segment,
         |    round(c_acctbal + 100, 2) AS new_bal

@@ -471,14 +471,6 @@ object TextAnalysis {
           .cast("long").as("n_ip"))
   }
 
-  /** PMI-scored bigram collocations — the phrase-detection statistic
-    * (Mikolov-style word2vec phrasing, tokenizer-merge candidates):
-    * pmi = ln(c(x,y)·N / (c(x,·)·c(·,y))) over the bigram universe.
-    * One shuffle for the bigram counts; the two marginals re-aggregate
-    * that same (already small, |vocab|²-bounded) frame; N is a
-    * broadcast scalar. The min-count gate (≥5) is the standard noise
-    * floor and keeps the output collocation-sized.
-    */
   /** (w1, w2, c_xy) bigram-adjacency counts — the shared frame behind
     * [[collocationPmi]] and graph.GraphOps.pageRank. One typed flatMap
     * pass plus one hash aggregate.
@@ -495,6 +487,14 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
   }
 
+  /** PMI-scored bigram collocations — the phrase-detection statistic
+    * (Mikolov-style word2vec phrasing, tokenizer-merge candidates):
+    * pmi = ln(c(x,y)·N / (c(x,·)·c(·,y))) over the bigram universe.
+    * One shuffle for the bigram counts; the two marginals re-aggregate
+    * that same (already small, |vocab|²-bounded) frame; N is a
+    * broadcast scalar. The min-count gate (≥5) is the standard noise
+    * floor and keeps the output collocation-sized.
+    */
   def collocationPmi(s: SparkSession, dir: String): DataFrame = {
     val big = bigramCounts(s, dir)
     val cx = big.groupBy("w1").agg(sum("c_xy").as("c_x"))

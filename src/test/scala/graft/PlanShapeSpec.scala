@@ -59,6 +59,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastive triplets: one nested loop (positives search) and a hash negatives join") {
+    // the allowlist above admits the whole query; this pins the parts:
+    // exactly ONE nested-loop join (the documented brute positive
+    // search) and a broadcast HASH join for the equi-mined negatives —
+    // a revert to the corpus-broadcast `cluster <> ca` join would add
+    // a second nested loop and fail here
+    val p = SparkEntry.queries("contrastive_triplets")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    val nl = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(nl == 1, s"expected exactly 1 nested-loop join, found $nl")
+    assert(p.contains("BroadcastHashJoin"), "negatives join is not a hash join")
+  }
+
   test("shuffling queries run under adaptive execution (runtime re-planning)") {
     // AQE is the runtime half of the 100 TB posture: skew-join splits,
     // shuffle-partition coalescing, and join-strategy switches all hang

@@ -447,13 +447,14 @@ class PipelineOpsSpec extends AnyFunSuite {
           assert(k % 10 >= 1 && k % 10 <= 3)
           assert(math.abs(bal - (base(k)._2 + 100)) < 0.005, s"update $k bal wrong")
         case "insert" =>
-          val orig = k - 1000000L
+          val orig = -k - 1L
           assert(orig % 10 == 4 && base.contains(orig), s"insert $k not from feed")
           assert(math.abs(bal - (base(orig)._2 + 100)) < 0.005)
+          assert(k < 0 && !base.contains(k), s"insert key $k collides with base")
       }
     }
     // no base key marked delete leaks through under its own key
-    assert(rows.forall(r => r._1 >= 1000000L || r._1 % 10 != 0))
+    assert(rows.forall(r => r._1 < 0 || r._1 % 10 != 0))
   }
 
   test("table checksum matches a local recompute and ignores row order") {
