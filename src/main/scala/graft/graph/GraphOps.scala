@@ -46,6 +46,10 @@ object GraphOps {
     val nodes = ew.select(col("w1").as("node"))
       .union(ew.select(col("w2").as("node"))).distinct().cache()
     val n = nodes.count().toDouble // model-sized scalar, not data
+    if (n == 0) { // ANSI divide would fault on 1/0 at constant folding
+      ew.unpersist(); nodes.unpersist()
+      return nodes.select(col("node"), lit(0d).as("pr"))
+    }
     var pr = nodes.withColumn("pr", round(lit(1.0) / n, 6))
     for (_ <- 1 to Iters) {
       val mass = ew.join(pr, col("w1") === col("node"))

@@ -47,6 +47,17 @@ class NegativeSpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("iterative and generator ops survive an empty corpus") {
+    // the iterative loop divides by the node count (0) and the chunker
+    // guards its sequence() bounds — both must yield empty, not crash
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Tables.documents(spark, sfTiny).limit(0)
+      .write.parquet(s"$dir/documents.parquet")
+    assert(graft.graph.GraphOps.pageRank(spark, dir).count() == 0)
+    assert(graft.text.TextAnalysis.chunkDocs(spark, dir).count() == 0)
+    assert(graft.text.TextAnalysis.collocationPmi(spark, dir).count() == 0)
+  }
+
   test("range-bucket rule skips band tables above its size cap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
