@@ -216,6 +216,28 @@ object Relational {
           .cast("long").as("stage"))
   }
 
+  /** TPC-H Q18 shape — large-order customers: a HAVING-filtered
+    * aggregate over the fact drives the join back to orders and the
+    * customer dim. The quantity sum is exact decimal (policy above);
+    * the aggregate shrinks lineitem ~20× before any join, so the
+    * orders join shuffles only qualifying orderkeys and AQE broadcasts
+    * the survivor side when it fits — the pattern for any
+    * "aggregate-then-enrich" query at 100 TB.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 150)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_totalprice").as("total_price"),
+        col("sq").cast("double").as("sum_qty"))
+  }
+
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
@@ -292,6 +314,18 @@ object Relational {
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)(funnelConversion),
+    Q("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_mktsegment, o_orderkey,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day,
+        |  o_totalprice AS total_price,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)(q18LargeOrders),
     Q("q1_agg", q1Sql)(q1Agg),
     Q("q1_sql", q1Sql)(q1SqlEntry),
     Q("q3_shipping",

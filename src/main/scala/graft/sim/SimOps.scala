@@ -190,6 +190,62 @@ object SimOps {
           .otherwise(0).cast("long").as("q"))
   }
 
+  private lazy val cosineTopkSql =
+    s"""WITH $normsCte,
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $dotSql / (q.nrm * c.nrm) AS c
+       |  FROM n q JOIN n c
+       |    ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
+       |WHERE rank <= $TopK""".stripMargin
+
+  private lazy val cosineTopkLshSql =
+    s"""WITH $normsCte,
+       |bk AS (
+       |${(0 until NumTables).map(t =>
+          s"  SELECT vec_id, v, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+          .mkString("\n  UNION ALL\n")}),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM bk qb JOIN bk cb
+       |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |   AND qb.vec_id < $NQueries AND cb.vec_id <> qb.vec_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $dotSql / (q.nrm * c.nrm) AS c
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
+       |WHERE rank <= 3""".stripMargin
+
+  /** Recall@3 of the LSH ANN against the exact brute-force top-3 —
+    * the evaluation loop every ANN deployment runs before trusting an
+    * index: per query, how many of the true top-3 neighbors the
+    * approximate search returned. Composes the two existing pipelines
+    * and differentially tests the COMPOSITION (both oracles are reused
+    * verbatim as CTEs), so the recall numbers themselves are
+    * cross-engine checked, not just eyeballed. Work is |queries|·k
+    * rows on top of the underlying searches — negligible at any scale.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = cosineTopkLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / col("n_exact").cast("double"), 6))
+  }
+
   val all: Seq[Q] = Seq(
     Q("quantize_embeddings",
       """WITH e AS (
@@ -201,38 +257,20 @@ object SimOps {
         |    THEN CAST(round((v - lo) / (hi - lo) * 255) - 128 AS BIGINT)
         |    ELSE 0 END AS q
         |FROM e JOIN mm ON e.dim = mm.dim""".stripMargin)(quantizeEmbeddings),
-    Q("cosine_topk",
-      s"""WITH $normsCte,
-         |s AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    $dotSql / (q.nrm * c.nrm) AS c
-         |  FROM n q JOIN n c
-         |    ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
-         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
-         |WHERE rank <= $TopK""".stripMargin)(cosineTopk),
-    Q("cosine_topk_lsh",
-      s"""WITH $normsCte,
-         |bk AS (
-         |${(0 until NumTables).map(t =>
-            s"  SELECT vec_id, v, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
-            .mkString("\n  UNION ALL\n")}),
-         |cand AS (
-         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-         |  FROM bk qb JOIN bk cb
-         |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
-         |   AND qb.vec_id < $NQueries AND cb.vec_id <> qb.vec_id),
-         |s AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    $dotSql / (q.nrm * c.nrm) AS c
-         |  FROM cand
-         |  JOIN n q ON q.vec_id = cand.query_id
-         |  JOIN n c ON c.vec_id = cand.neighbor_id)
-         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
-         |WHERE rank <= 3""".stripMargin)(cosineTopkLsh),
+    Q("cosine_topk", cosineTopkSql)(cosineTopk),
+    Q("cosine_topk_lsh", cosineTopkLshSql)(cosineTopkLsh),
+    Q("ann_recall",
+      s"""WITH ex AS (
+         |  SELECT query_id, neighbor_id FROM ($cosineTopkSql)
+         |  WHERE rank <= 3),
+         |ap AS (SELECT query_id, neighbor_id FROM ($cosineTopkLshSql))
+         |SELECT ex.query_id, COUNT(*) AS n_exact,
+         |  SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END) AS n_hit,
+         |  round(SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin)(annRecall),
     Q("cosine_topk_ivf",
       s"""WITH $normsCte,
          |cents AS (

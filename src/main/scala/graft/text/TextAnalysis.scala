@@ -130,6 +130,52 @@ object TextAnalysis {
        |FROM sc""".stripMargin
   }
 
+  /** Confusion matrix of the corpus `lang` label against [[langId]]'s
+    * prediction, with per-label row shares — the evaluation harness
+    * every classifier in a curation pipeline needs (the fixture's
+    * labels are random metadata, so the matrix is near-uniform here;
+    * on real data its diagonal is the accuracy report). One join on
+    * doc_id plus a (lang, pred) aggregate; the row-share window runs
+    * over the ≤|langs|² matrix, not the corpus.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = langIdOn(docs).select(col("doc_id"), col("pred_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("lang")))
+          .cast("double"), 6))
+  }
+
+  /** Cross-source vocabulary overlap: token-set Jaccard for every
+    * unordered source pair — the corpus-composition diagnostic that
+    * flags two "different" crawls drawing from the same underlying
+    * pool (a near-dup signal at SOURCE granularity, complementing the
+    * per-document MinHash in graft.dedup). Works on the distinct
+    * (source, token) set, which is per-source vocabulary — sublinear
+    * in corpus size (Heaps' law) — so the self-join on token stays
+    * small at any corpus scale; output is |sources|²/2 rows.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"), Seq("tok"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Per-document quality metrics: char/token counts, average token
     * length, punctuation ratio, stopword ratio. Pure scan-side
     * expressions — zero shuffle.
@@ -290,6 +336,116 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_distinct"),
         max(col("n")).as("n_tokens"),
         round(-sum(p * log(p)), 6).as("entropy"))
+  }
+
+  /** Frequency-ranked tokenizer vocabulary with cumulative coverage —
+    * the induction step before BPE merges: every corpus token with its
+    * count, rank, and the fraction of all token OCCURRENCES covered by
+    * the vocabulary up to that rank (the curve that picks a vocab
+    * size). One (token) aggregate; the rank/coverage window is global
+    * but runs over the VOCABULARY, not the corpus — Heaps' law keeps
+    * distinct tokens sublinear in corpus size (≪10⁷ rows even at
+    * 100 TB), so the single-partition window is bounded and cheap.
+    * The (cnt DESC, tok) ordering is total, so rank and the running
+    * sum are deterministic in both engines.
+    */
+  def vocabTop(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("cnt"),
+        row_number().over(w).cast("long").as("rank"),
+        round(sum(col("cnt")).over(w) / col("n").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** Top-[[OovVocabSize]] vocabulary actually used by [[oovRate]] —
+    * small enough that the fixture corpus (≈31 distinct tokens) has
+    * real out-of-vocabulary mass.
+    */
+  private val OovVocabSize = 20
+
+  /** Per-source out-of-vocabulary rate against the top-K induced
+    * vocabulary — the coverage check run whenever a tokenizer trained
+    * on one corpus is applied to another. The vocabulary is a top-K
+    * aggregate (TakeOrdered, no full sort) broadcast onto the token
+    * stream: one corpus-side shuffle for the (source) aggregate,
+    * nothing else, at any scale.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(OovVocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Temperature-scaled source mixing weights (T = 2, i.e. w ∝ √p):
+    * the standard multilingual/multi-source rebalancing rule — upweight
+    * tail sources, damp the head — reported with the effective epoch
+    * count each source would train for under the mixture. One
+    * per-source count aggregate (5 rows); the global windows run over
+    * sources, not documents. Weights are rounded to 6 dp BEFORE any
+    * reuse so downstream thresholds are bit-identical across engines.
+    */
+  def sourceMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val wAll = Window.partitionBy()
+    val p = col("n_docs") / sum(col("n_docs")).over(wAll).cast("double")
+    val withPa = counts.withColumn("pa", sqrt(p))
+    withPa
+      .withColumn("weight", round(col("pa") / sum(col("pa")).over(wAll), 6))
+      .withColumn("epochs",
+        round(col("weight") * sum(col("n_docs")).over(wAll)
+          / col("n_docs").cast("double"), 6))
+      .select(col("lang"), col("n_docs"), col("weight"), col("epochs"))
+  }
+
+  /** Oracle CTE chain mirroring [[sourceMixWeights]] — shared by the
+    * weights query and the sampler so the two oracles can never
+    * disagree about the mixture.
+    */
+  private val MixWeightsCtes =
+    """WITH nc AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n_docs) AS n FROM nc),
+      |pa AS (SELECT lang, n_docs,
+      |    sqrt(n_docs / CAST(n AS DOUBLE)) AS pa FROM nc, tot),
+      |w AS (SELECT lang, n_docs,
+      |    round(pa / (SELECT SUM(pa) FROM pa), 6) AS weight FROM pa)""".stripMargin
+
+  /** Realize the [[sourceMixWeights]] mixture as a deterministic
+    * document sample: each source keeps `⌊1000·w/max(w)⌋` per mille of
+    * its documents (the max-weight source keeps everything; others are
+    * downsampled in proportion), membership decided by the shared
+    * content-stable [[SplitHash]] bucket. The 4-row threshold table
+    * broadcasts, so the pass is a map-only scan of the corpus — the
+    * same zero-shuffle shape as [[sampleStratified]] but with the rate
+    * table COMPUTED from corpus statistics instead of configured.
+    * Thresholds derive from the 6dp-ROUNDED weights through IEEE
+    * division/floor, so both engines draw identical boundaries.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val thr = sourceMixWeights(s, dir)
+      .withColumn("keep_per_mille",
+        floor(col("weight") / max(col("weight")).over(wAll) * 1000)
+          .cast("long"))
+      .select(col("lang"), col("keep_per_mille"))
+    Tables.documents(s, dir)
+      .join(broadcast(thr), Seq("lang"))
+      .filter(SplitHash.bucket(col("doc_id")) < col("keep_per_mille"))
+      .select(col("doc_id"), col("lang"))
   }
 
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
@@ -623,6 +779,69 @@ object TextAnalysis {
          |  round(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
          |    AS entropy
          |FROM t GROUP BY source""".stripMargin)(tokenEntropy),
+    Q("lang_confusion",
+      s"""WITH pred AS ($langIdOracle)
+         |SELECT d.lang, p.pred_lang, COUNT(*) AS n,
+         |  round(COUNT(*)
+         |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS DOUBLE), 6)
+         |    AS row_share
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY d.lang, p.pred_lang""".stripMargin)(langConfusion),
+    Q("source_overlap",
+      s"""WITH st AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest($tokensSql) AS tok FROM documents)),
+         |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+         |it AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM it JOIN sz sa ON it.src_a = sa.source
+         |JOIN sz sb ON it.src_b = sb.source""".stripMargin)(sourceOverlap),
+    Q("vocab_top",
+      s"""WITH tc AS (
+         |  SELECT tok, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |n AS (SELECT SUM(cnt) AS n FROM tc)
+         |SELECT tok, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+         |  round(SUM(cnt) OVER (ORDER BY cnt DESC, tok)
+         |    / CAST(n.n AS DOUBLE), 6) AS coverage
+         |FROM tc, n""".stripMargin)(vocabTop),
+    Q("oov_rate",
+      s"""WITH toks AS (
+         |  SELECT source, unnest($tokensSql) AS tok FROM documents),
+         |v AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+         |  ORDER BY cnt DESC, tok LIMIT $OovVocabSize)
+         |SELECT source, COUNT(*) AS n_tokens,
+         |  SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         |  round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+         |FROM toks LEFT JOIN v ON toks.tok = v.tok
+         |GROUP BY source""".stripMargin)(oovRate),
+    Q("source_mix_weights",
+      s"""$MixWeightsCtes
+         |SELECT lang, n_docs, weight,
+         |  round(weight * (SELECT n FROM tot) / CAST(n_docs AS DOUBLE), 6)
+         |    AS epochs
+         |FROM w""".stripMargin)(sourceMixWeights),
+    Q("sample_temperature",
+      s"""$MixWeightsCtes,
+         |thr AS (
+         |  SELECT lang,
+         |    CAST(floor(weight / (SELECT MAX(weight) FROM w) * 1000)
+         |      AS BIGINT) AS kp
+         |  FROM w)
+         |SELECT doc_id, d.lang FROM documents d
+         |JOIN thr ON d.lang = thr.lang
+         |WHERE ${SplitHash.bucketSql("doc_id")} < kp""".stripMargin)(
+      sampleTemperature),
     Q("repetition_ratio",
       s"""SELECT doc_id, len(g3) AS total_3g,
          |  len(list_distinct(g3)) AS distinct_3g,

@@ -496,6 +496,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_ == 3) && got.values.forall(s => s >= 1 && s <= 3))
   }
 
+  test("oov rate matches a local recompute against the top-20 vocab") {
+    val toks = Tables.documents(spark, sfSmall)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => graft.mr.MrJobs.tokenize(r.getString(1)).map(r.getString(0) -> _))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val want = toks.groupBy(_._1).map { case (src, g) =>
+      src -> (g.length.toLong, g.count(t => !vocab(t._2)).toLong)
+    }
+    val got = TextAnalysis.oovRate(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "OOV counts diverge from recompute")
+    // the cutoff is real: some mass is out of vocabulary, most is in
+    assert(got.values.exists(_._2 > 0) &&
+      got.values.forall { case (n, oov) => oov < n })
+  }
+
+  test("mix weights sum to 1 and upweight tail languages") {
+    val rows = TextAnalysis.sourceMixWeights(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights don't sum to 1")
+    val total = rows.map(_._2).sum.toDouble
+    // the fixture lang distribution is skewed (en ≈ 44%), so the
+    // rebalancing must actually move weight, not just echo shares
+    rows.foreach { case (lang, n, w, epochs) =>
+      val p = n / total
+      // temperature T=2 pulls every weight toward uniform: tail langs
+      // sit above their natural share, head langs below
+      if (p < 1.0 / rows.length) assert(w > p, s"$lang tail not upweighted")
+      if (p > 1.0 / rows.length) assert(w < p, s"$lang head not damped")
+      assert(math.abs(epochs - w * total / n) < 1e-4, s"$lang epochs wrong")
+    }
+    assert(rows.exists { case (_, n, w, _) => w < n / total - 1e-3 },
+      "no head language was actually damped")
+  }
+
+  test("temperature sampler realizes the computed per-language keep rates") {
+    val wts = TextAnalysis.sourceMixWeights(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val maxW = wts.values.max
+    val docs = Tables.documents(spark, sfSmall).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.sampleTemperature(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.map(_._1).distinct.length == kept.length, "duplicate docs")
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    docs.foreach { case (lang, n) =>
+      val rate = math.floor(wts(lang) / maxW * 1000) / 1000.0
+      val got = byLang.getOrElse(lang, 0L).toDouble / n
+      // md5 buckets are uniform; 64+ docs per lang at sf0.01 → loose band
+      assert(math.abs(got - rate) < 0.2, s"$lang kept $got, wanted ~$rate")
+    }
+    // the max-weight (head) language keeps everything; some tail
+    // language is genuinely downsampled
+    val maxLang = wts.maxBy(_._2)._1
+    assert(byLang(maxLang) == docs(maxLang), "max-weight lang was sampled")
+    assert(docs.exists { case (l, n) => byLang.getOrElse(l, 0L) < n },
+      "sampler dropped nothing — degenerate mixture")
+  }
+
   test("price histogram conserves rows and its shares sum to one") {
     val rows = Aggregates.histogramPrices(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
