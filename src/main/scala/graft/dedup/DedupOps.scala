@@ -256,6 +256,25 @@ object DedupOps {
           .as("edit_ratio"))
   }
 
+  /** Per-document duplication count: how many near-dup partners
+    * (J ≥ 0.8) each document has, 0 for unique docs — the annotation
+    * soft-dedup training pipelines weight by (keep one copy, or
+    * downsample by 1/(1+dups)) instead of hard-dropping. Reuses the
+    * session's cached verified-pairs frame; the count is a symmetric
+    * union of both pair directions plus a left join back onto the
+    * corpus — one aggregate over a pair set that LSH already bounded.
+    */
+  def dupCount(s: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(s, dir)
+    val partners = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_neardup"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+  }
+
   /** Near-dup cluster resolution — the final dedup step: connected
     * components over the verified pair graph, each doc labeled with
     * its component's minimum doc_id (the canonical representative to
@@ -569,6 +588,17 @@ object DedupOps {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin)(dedupKeepLatest),
+    Q("dup_count",
+      s"""WITH pr AS (
+         |$jaccardOracle),
+         |pc AS (
+         |  SELECT doc_id, COUNT(*) AS n_neardup FROM (
+         |    SELECT doc_a AS doc_id FROM pr
+         |    UNION ALL SELECT doc_b FROM pr)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_neardup, 0) AS n_neardup
+         |FROM documents d LEFT JOIN pc ON d.doc_id = pc.doc_id""".stripMargin)(
+      dupCount),
     Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
     Q("dedup_clusters",

@@ -448,6 +448,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Band cutoffs for [[perplexityScore]], on the ROUNDED score so
+    * both engines draw identical boundaries. Fixture-calibrated (the
+    * synthetic corpus' NLL spans ≈3.38–3.68) so all three bands
+    * occur; production cutoffs would be config or quantile-derived.
+    */
+  private val NllHeadMax = 3.40
+  private val NllMiddleMax = 3.41
+
+  /** CCNet-style language-model quality scoring: a unigram LM with
+    * add-one smoothing is "trained" on the TRAIN split (the shared
+    * [[SplitHash]] bucket < 800 — the same membership every other
+    * split-aware op uses), every document is scored by its mean token
+    * negative log-likelihood, and scores band into head/middle/tail —
+    * the signal CCNet/LLaMA-style pipelines keep/downsample/drop on.
+    * OOV tokens take the unseen-mass slot of the same smoothed
+    * formula: p = (c+1)/(N+V), c = 0 when unseen.
+    *
+    * The LM is a broadcast dimension (vocabulary-sized, sublinear in
+    * corpus — Heaps' law), so scoring is a map-side join over the
+    * token stream plus one per-doc aggregate: one corpus shuffle at
+    * any scale, and the train/score passes never collect to the
+    * driver. A bigram/KenLM upgrade changes the model table, not the
+    * plan shape.
+    */
+  def perplexityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tc = docs.filter(SplitHash.bucket(col("doc_id")) < 800)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nv = tc.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val nll = -log((coalesce(col("c"), lit(0L)) + 1)
+      / (col("n") + col("v")).cast("double"))
+    toks.join(broadcast(tc), Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), round(avg(nll), 6).as("nll"))
+      .withColumn("band",
+        when(col("nll") < NllHeadMax, "head")
+          .when(col("nll") < NllMiddleMax, "middle")
+          .otherwise("tail"))
+  }
+
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
     * downsample the majority language, keep more of the tail — the
     * standard rebalancing move in multilingual corpus curation.
@@ -801,6 +844,29 @@ object TextAnalysis {
          |    AS jaccard
          |FROM it JOIN sz sa ON it.src_a = sa.source
          |JOIN sz sb ON it.src_b = sb.source""".stripMargin)(sourceOverlap),
+    Q("perplexity_score",
+      s"""WITH tr AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${SplitHash.bucketSql("doc_id")} < 800),
+         |tc AS (
+         |  SELECT tok, COUNT(*) AS c FROM (
+         |    SELECT unnest($tokensSql) AS tok FROM tr)
+         |  GROUP BY 1),
+         |nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tc),
+         |toks AS (
+         |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    -ln((COALESCE(c, 0) + 1) / CAST(n + v AS DOUBLE)) AS tok_nll
+         |  FROM toks LEFT JOIN tc ON toks.tok = tc.tok, nv),
+         |d AS (
+         |  SELECT doc_id, COUNT(*) AS n_tok, round(AVG(tok_nll), 6) AS nll
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tok, nll,
+         |  CASE WHEN nll < $NllHeadMax THEN 'head'
+         |       WHEN nll < $NllMiddleMax THEN 'middle'
+         |       ELSE 'tail' END AS band
+         |FROM d""".stripMargin)(perplexityScore),
     Q("vocab_top",
       s"""WITH tc AS (
          |  SELECT tok, COUNT(*) AS cnt FROM (

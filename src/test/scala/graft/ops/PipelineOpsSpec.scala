@@ -556,6 +556,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       "sampler dropped nothing — degenerate mixture")
   }
 
+  test("perplexity score matches a local unigram-LM recompute") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), graft.mr.MrJobs.tokenize(r.getString(1))))
+    val tc = docs.filter(d => bucket(d._1) < 800).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = tc.values.sum
+    val v = tc.size.toLong
+    val got = TextAnalysis.perplexityScore(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val nll = toks.map(t =>
+        -math.log((tc.getOrElse(t, 0L) + 1).toDouble / (n + v))).sum / toks.length
+      val (gn, gnll, band) = got(id)
+      assert(gn == toks.length, s"doc $id token count")
+      // accumulation order differs; rounded values agree to the ulp band
+      assert(math.abs(gnll - nll) < 1e-6, s"doc $id nll $gnll vs $nll")
+      val wantBand =
+        if (gnll < 3.40) "head" else if (gnll < 3.41) "middle" else "tail"
+      assert(band == wantBand, s"doc $id band")
+    }
+    // the banding must actually separate the corpus
+    assert(got.values.map(_._3).toSet.size == 3, "degenerate banding")
+  }
+
+  test("dup_count agrees with the verified pair list and covers the corpus") {
+    val pairs = graft.dedup.DedupOps.verifiedPairs(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.dedup.DedupOps.dupCount(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == Tables.documents(spark, sfSmall).count(),
+      "every doc must carry an annotation")
+    got.foreach { case (id, c) =>
+      assert(c == want.getOrElse(id, 0L), s"doc $id count $c")
+    }
+    assert(got.values.exists(_ > 0), "fixture has planted near-dups")
+    assert(got.values.count(_ == 0) > got.size / 2, "most docs unique")
+  }
+
   test("price histogram conserves rows and its shares sum to one") {
     val rows = Aggregates.histogramPrices(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
