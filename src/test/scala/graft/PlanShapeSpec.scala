@@ -49,8 +49,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val allowed = Set(
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
       "join_theta", // genuine non-equi residual on equi key — hash join with filter
-      "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report", // scalar-N / centroid cross joins (broadcast, tiny side)
-      "contrastive_triplets") // brute positive search (documented baseline; negatives are equi-mined)
+      "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report",
+      "vocab_top", "perplexity_score", // scalar-N / centroid cross joins (broadcast, tiny side)
+      "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
+      "ann_recall") // embeds cosine_topk, the exact baseline it measures recall against
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -134,5 +136,32 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("decontaminate broadcasts the eval shingle side") {
     assert(plan("decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("q18 aggregates lineitem before joining orders (aggregate-then-enrich)") {
+    val p = plan("q18_large_orders")
+    // the HAVING aggregate must sit BELOW the join with orders: the
+    // fact shrinks ~20× before any join touches it
+    val joinAt = p.indexOf("Join")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0 && aggAt > joinAt,
+      s"lineitem aggregate not below the join:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"), "quantity sum must partial-aggregate")
+  }
+
+  test("perplexity_score broadcasts the LM table onto the token stream") {
+    val p = plan("perplexity_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM join not broadcast:\n${p.take(2000)}")
+    // per-doc scoring is the only corpus-wide aggregate and it is
+    // partial+final on doc_id
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      "scoring aggregate not partial")
+  }
+
+  test("sample_temperature broadcasts the computed rate table (corpus scan stays map-only)") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join not broadcast:\n${p.take(2000)}")
   }
 }
