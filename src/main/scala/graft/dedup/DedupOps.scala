@@ -113,6 +113,29 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Directional shingle containment C(A→B) = |A∩B| / |A| ≥ 0.9 — the
+    * doc-inside-doc signal symmetric Jaccard misses: a short document
+    * quoted whole inside a long one has high containment but low
+    * Jaccard (the union is dominated by the long doc). Same inverted
+    * shingle equi-join as [[ngramJaccard]] (one shuffle on 8-byte
+    * shingle hashes, never all-pairs); the output is directional, so a
+    * planted copy appears as both (A→B) and (B→A) only when the two
+    * docs are near-identical in BOTH directions.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh_h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") / col("na") >= 0.9)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("na"), 6).as("containment"))
+  }
+
   private val jaccardOracle =
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensSql AS t FROM documents),
@@ -588,6 +611,23 @@ object DedupOps {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin)(dedupKeepLatest),
+    Q("dedup_containment",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(inter / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |WHERE inter / sa.n >= 0.9""".stripMargin)(containmentPairs),
     Q("dup_count",
       s"""WITH pr AS (
          |$jaccardOracle),

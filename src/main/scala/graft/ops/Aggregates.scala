@@ -183,6 +183,36 @@ object Aggregates {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** Robust per-user anomaly scores: z = (v − median) / (1.4826·MAD),
+    * flagged at |z| > 3 — the outlier detector for telemetry streams.
+    * Median/MAD instead of mean/stddev for two reasons: robustness
+    * (one glitch can't drag the baseline it is judged against), and
+    * DETERMINISM — exact percentiles are order-insensitive selections,
+    * while a distributed stddev's floating-point accumulation order
+    * varies run to run (the same reason the double-precision policy
+    * sums in decimal). Median and MAD are rounded to 6 dp before the
+    * score so both engines draw identical anomaly boundaries. Plan:
+    * two aggregates on user_id — the join output is already hash-
+    * partitioned on user_id, so the MAD aggregate and final join
+    * reuse that exchange rather than reshuffling.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val med = e.groupBy("user_id")
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val mad = e.join(med, Seq("user_id"))
+      .groupBy("user_id", "med")
+      .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
+        .as("mad"))
+    val z = when(col("mad") > 0,
+      round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6))
+    e.join(mad, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("med"), col("mad"), z.as("z"),
+        coalesce(abs(z) > 3, lit(false)).as("is_anomaly"))
+  }
+
   /** Key-skew diagnostics — the telemetry behind the salted-join /
     * AQE-skew decisions: the top-20 heaviest join keys with their
     * corpus share and skew factor (count ÷ mean count). The per-key
@@ -243,6 +273,21 @@ object Aggregates {
         |  round(cnt / (CAST(total AS DOUBLE) / n_keys), 6) AS skew,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
         |FROM top, t""".stripMargin)(skewReport),
+    Q("anomaly_zscore",
+      """WITH med AS (
+        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.user_id, med,
+        |    round(quantile_cont(abs(e.value - med), 0.5), 6) AS mad
+        |  FROM events e JOIN med USING (user_id) GROUP BY 1, 2)
+        |SELECT event_id, e.user_id, value, med, mad,
+        |  CASE WHEN mad > 0
+        |    THEN round((value - med) / (1.4826 * mad), 6) END AS z,
+        |  COALESCE(abs(CASE WHEN mad > 0
+        |    THEN round((value - med) / (1.4826 * mad), 6) END) > 3, FALSE)
+        |    AS is_anomaly
+        |FROM events e JOIN mad USING (user_id)""".stripMargin)(anomalyZscore),
     Q("winsorize_values",
       """WITH p AS (
         |  SELECT event_type,

@@ -111,4 +111,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() ==
       events.select("user_id", "event_type").distinct().count())
   }
+
+  test("containment pairs equal an all-pairs local recompute") {
+    val sets = graft.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> DedupOps.shingleStrings(r.getString(1)).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = (sa intersect sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b) -> math.round(c * 1e6) / 1e6).toMap
+    val got = DedupOps.containmentPairs(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want, "containment pairs diverge from recompute")
+    assert(got.nonEmpty, "fixture has planted containment pairs")
+    // directionality is real: some pair must hold in one direction only
+    // (a short doc inside a long one, not mutual near-identity)
+    assert(got.keys.exists { case (a, b) => !got.contains((b, a)) },
+      "all pairs symmetric — containment adds nothing over Jaccard here")
+  }
 }

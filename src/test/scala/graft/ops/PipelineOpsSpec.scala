@@ -604,6 +604,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.count(_ == 0) > got.size / 2, "most docs unique")
   }
 
+  test("anomaly z-scores match a local median/MAD recompute") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val events = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = events.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+    val got = Aggregates.anomalyZscore(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+      .toMap
+    assert(got.size == events.length, "every event must be scored")
+    events.foreach { case (eid, uid, v) =>
+      val med = r6(medianOf(byUser(uid)))
+      val mad = r6(medianOf(byUser(uid).map(x => math.abs(x - med))))
+      val (gmed, gmad, gz, flag) = got(eid)
+      assert(math.abs(gmed - med) < 1e-9, s"event $eid median")
+      assert(math.abs(gmad - mad) < 1e-9, s"event $eid MAD")
+      if (mad > 0) {
+        val z = r6((v - med) / (1.4826 * mad))
+        assert(gz.exists(g => math.abs(g - z) < 1e-9), s"event $eid z")
+        assert(flag == (math.abs(z) > 3), s"event $eid flag")
+      } else assert(gz.isEmpty && !flag, s"event $eid null-MAD handling")
+    }
+    assert(got.values.exists(_._4), "no anomaly flagged on the fixture")
+    assert(got.values.count(_._4) < events.length / 10, "flags not rare")
+  }
+
   test("price histogram conserves rows and its shares sum to one") {
     val rows = Aggregates.histogramPrices(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
