@@ -238,6 +238,37 @@ object Relational {
         col("sq").cast("double").as("sum_qty"))
   }
 
+  /** RFM customer segmentation — the classic warehouse scoring query:
+    * per customer, Recency (days since last order, against the
+    * corpus-max date), Frequency (order count), Monetary (exact
+    * decimal lifetime spend), each banded 1–3 on fixed thresholds
+    * (fixture-calibrated tertiles; production thresholds are config,
+    * or quantile-derived like [[Aggregates.winsorizeValues]]'s
+    * bounds). One aggregate over orders plus a 1-row max-date
+    * broadcast: two scans, one shuffle, at any scale. The monetary
+    * band compares the exact decimal→double sum, so banding is
+    * engine-identical without rounding tricks.
+    */
+  def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val maxD = o.agg(max(to_date(col("o_orderdate"))).as("dmax"))
+    val r = col("recency_days")
+    val f = col("frequency")
+    val m = col("monetary")
+    o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency_days", datediff(col("dmax"), col("last_d")).cast("long"))
+      .select(col("o_custkey").as("custkey"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        when(r <= 120, 3L).when(r <= 270, 2L).otherwise(1L).as("r_score"),
+        when(f >= 12, 3L).when(f >= 9, 2L).otherwise(1L).as("f_score"),
+        when(m >= 2800000d, 3L).when(m >= 2000000d, 2L).otherwise(1L)
+          .as("m_score"))
+  }
+
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
@@ -314,6 +345,25 @@ object Relational {
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)(funnelConversion),
+    Q("customer_rfm",
+      """WITH mx AS (
+        |  SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+        |agg AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey AS custkey,
+        |  CAST(dmax - last_d AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(CASE WHEN dmax - last_d <= 120 THEN 3
+        |       WHEN dmax - last_d <= 270 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+        |  CAST(CASE WHEN frequency >= 12 THEN 3
+        |       WHEN frequency >= 9 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+        |  CAST(CASE WHEN monetary >= 2800000 THEN 3
+        |       WHEN monetary >= 2000000 THEN 2 ELSE 1 END AS BIGINT) AS m_score
+        |FROM agg, mx""".stripMargin)(customerRfm),
     Q("q18_large_orders",
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq

@@ -151,7 +151,93 @@ object WindowOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
   }
 
+  /** Rolling 7-day active users (DAU / WAU / stickiness) — the
+    * product-analytics staple that is genuinely hard at scale because
+    * COUNT(DISTINCT) cannot ride a window frame. The scale-safe shape
+    * used here: reduce events to the distinct (day, user) set (one
+    * exact two-phase distinct), EXPLODE each pair into the ≤7 window
+    * anchors it contributes to (a generator — map-side, ×7 row cost),
+    * keep only observed days via a broadcast of the tiny day
+    * dimension, and take an exact distinct count per anchor. Every
+    * join is equi, nothing nested-loops, and the 7× blow-up applies
+    * to the already-collapsed (day, user) set, not raw events. At
+    * 100 TB the same plan holds; the sketch alternative
+    * (approx_count_distinct per window) drops in without changing
+    * shape when exactness can be traded.
+    */
+  def rollingActives(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select(col("d")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val contrib = du.select(
+      explode(sequence(col("d"), date_add(col("d"), 6))).as("d"),
+      col("user_id"))
+    val wau = contrib.join(broadcast(days), Seq("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  /** Time-series densification — fill each user's daily activity
+    * series with explicit zero rows for the days they were silent,
+    * over the corpus' observed [min, max] day span. The downstream
+    * consumers (rolling averages, churn models, forecasting) all
+    * assume a dense grid; the fill itself is the (users × span) grid
+    * generator — a broadcast of the 1-row span scalar onto the user
+    * dimension, exploded map-side — left-joined against the daily
+    * aggregate. Row cost is |users|·|days|, the size of the dense
+    * output itself, and every join is equi.
+    */
+  def fillGaps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val daily = e.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("fill_gaps",
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+        |    user_id FROM events),
+        |daily AS (SELECT user_id, d, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(range(d0, d1 + 1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM daily), span)
+        |SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day,
+        |  COALESCE(n, 0) AS n_events
+        |FROM grid g LEFT JOIN daily
+        |  ON g.user_id = daily.user_id AND g.d = daily.d""".stripMargin)(
+      fillGaps),
+    Q("rolling_actives",
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY 1),
+        |contrib AS (
+        |  SELECT du.d + k AS d, user_id
+        |  FROM du, (SELECT unnest(range(7)) AS k)),
+        |wau AS (
+        |  SELECT c.d, COUNT(DISTINCT user_id) AS wau
+        |  FROM contrib c JOIN days ON c.d = days.d GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, wau,
+        |  round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin)(rollingActives),
     Q("sessionize_events",
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -50,7 +50,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
       "join_theta", // genuine non-equi residual on equi key — hash join with filter
       "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report",
-      "vocab_top", "perplexity_score", // scalar-N / centroid cross joins (broadcast, tiny side)
+      "vocab_top", "perplexity_score", "fill_gaps",
+      "customer_rfm", // scalar-N / centroid cross joins (broadcast, tiny side)
       "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
       "ann_recall") // embeds cosine_topk, the exact baseline it measures recall against
     SparkEntry.registry.foreach { q =>

@@ -636,6 +636,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.count(_._4) < events.length / 10, "flags not rare")
   }
 
+  test("rolling actives match a local DAU/WAU recompute") {
+    val events = Tables.events(spark, sfTiny)
+      .select(to_date(col("ts")).as("d"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val du = events.distinct
+    val days = du.map(_._1).distinct
+    val got = WindowOps.rollingActives(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == days.length, "one row per observed day")
+    days.foreach { day =>
+      val dau = du.count(_._1 == day).toLong
+      val wau = du.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+      val (gd, gw, stick) = got(day.toString)
+      assert(gd == dau, s"$day dau $gd != $dau")
+      assert(gw == wau, s"$day wau $gw != $wau")
+      assert(math.abs(stick - dau.toDouble / wau) < 1e-6, s"$day stickiness")
+      assert(gw >= gd, s"$day wau < dau (impossible)")
+    }
+    // the window is real: wau must exceed dau somewhere
+    assert(got.values.exists { case (d, w, _) => w > d }, "wau degenerate")
+  }
+
+  test("fill_gaps emits a dense user x day grid conserving event counts") {
+    val rows = WindowOps.fillGaps(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = rows.map(_._1).distinct
+    val days = rows.map(_._2).distinct
+    assert(rows.length == users.length * days.length, "grid not dense")
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // zero-filled days exist, and totals match the raw event count
+    assert(rows.exists(_._3 == 0L), "no gap was filled")
+    assert(rows.map(_._3).sum == Tables.events(spark, sfTiny).count())
+  }
+
+  test("customer_rfm scores match their own metrics and cover all bands") {
+    val rows = Relational.customerRfm(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per customer")
+    rows.foreach { case (c, rec, freq, mon, rs, fs, ms) =>
+      assert(rs == (if (rec <= 120) 3 else if (rec <= 270) 2 else 1), s"cust $c r")
+      assert(fs == (if (freq >= 12) 3 else if (freq >= 9) 2 else 1), s"cust $c f")
+      assert(ms == (if (mon >= 2800000d) 3 else if (mon >= 2000000d) 2 else 1),
+        s"cust $c m")
+    }
+    // thresholds are calibrated: every band of every score occurs
+    for ((get, nm) <- Seq[((Long, Long, Long, Double, Long, Long, Long)) => Long](
+        _._5, _._6, _._7).zip(Seq("r", "f", "m")))
+      assert(rows.map(get).distinct.sorted.toSeq == Seq(1L, 2L, 3L),
+        s"$nm-score bands degenerate")
+  }
+
   test("price histogram conserves rows and its shares sum to one") {
     val rows = Aggregates.histogramPrices(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
