@@ -230,7 +230,7 @@ object WindowOps {
         |days AS (SELECT DISTINCT d FROM du),
         |dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY 1),
         |contrib AS (
-        |  SELECT du.d + k AS d, user_id
+        |  SELECT du.d + CAST(k AS INTEGER) AS d, user_id
         |  FROM du, (SELECT unnest(range(7)) AS k)),
         |wau AS (
         |  SELECT c.d, COUNT(DISTINCT user_id) AS wau
@@ -246,9 +246,9 @@ object WindowOps {
          |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
          |  FROM e)
          |SELECT user_id, event_id, ts,
-         |  SUM(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
+         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS session_seq
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          |FROM g""".stripMargin)(sessionizeEvents),
     Q("event_transitions",
       """WITH t AS (

@@ -265,7 +265,7 @@ object SimOps {
          |  WHERE rank <= 3),
          |ap AS (SELECT query_id, neighbor_id FROM ($cosineTopkLshSql))
          |SELECT ex.query_id, COUNT(*) AS n_exact,
-         |  SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END) AS n_hit,
+         |  CAST(SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
          |  round(SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
          |FROM ex LEFT JOIN ap

@@ -802,7 +802,7 @@ object TextAnalysis {
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  COUNT(DISTINCT source) AS n_sources,
-        |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
         |FROM documents""".stripMargin)(profileCorpus),
@@ -818,7 +818,7 @@ object TextAnalysis {
          |    SELECT source, unnest($tokensSql) AS tok FROM documents)
          |  GROUP BY 1, 2),
          |t AS (SELECT *, SUM(c) OVER (PARTITION BY source) AS n FROM tc)
-         |SELECT source, COUNT(*) AS n_distinct, MAX(n) AS n_tokens,
+         |SELECT source, COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS n_tokens,
          |  round(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
          |    AS entropy
          |FROM t GROUP BY source""".stripMargin)(tokenEntropy),
@@ -886,7 +886,7 @@ object TextAnalysis {
          |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
          |  ORDER BY cnt DESC, tok LIMIT $OovVocabSize)
          |SELECT source, COUNT(*) AS n_tokens,
-         |  SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |  round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
          |FROM toks LEFT JOIN v ON toks.tok = v.tok
@@ -966,7 +966,7 @@ object TextAnalysis {
          |WHERE bucket < keep""".stripMargin)(sampleStratified),
     Q("pack_batches",
       s"""SELECT doc_id, source, n_tok,
-         |  SUM(n_tok) OVER w AS cum_tok,
+         |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok,
          |  CAST(floor((SUM(n_tok) OVER w - n_tok) / $PackBudget.0) AS BIGINT)
          |    AS batch_idx
          |FROM (SELECT doc_id, source,

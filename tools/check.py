@@ -54,8 +54,35 @@ def main():
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # Driver parity: its differ goes through pandas, where DuckDB
+        # HUGEINT becomes float64 while Spark's int64 stays integer —
+        # values hash as "5.0" vs "5" and the row hash diverges even
+        # when every value is numerically identical. Flag any column
+        # whose type family differs between the two sides.
+        def family(t):
+            t = t.upper()
+            if t == "HUGEINT" or t == "UHUGEINT":
+                return "hugeint"  # own family: pandas-hostile
+            if t in ("TINYINT","SMALLINT","INTEGER","BIGINT","UTINYINT",
+                     "USMALLINT","UINTEGER","UBIGINT"):
+                return "int"
+            if t in ("FLOAT","DOUBLE") or t.startswith("DECIMAL"):
+                return "float"
+            return t
+        got_types = dict(
+            (c, t) for c, t, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
+        exp_types = dict(
+            (c, t) for c, t, *_ in con.execute("DESCRIBE " + sql).fetchall())
         ok = True
-        if sorted(got_cols) != sorted(exp_cols):
+        type_bad = [(c, got_types.get(c), exp_types.get(c))
+                    for c in got_types
+                    if c in exp_types
+                    and family(got_types[c]) != family(exp_types[c])]
+        if type_bad:
+            print(f"FAIL {name}: type-family mismatch {type_bad}")
+            ok = False
+        elif sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
             ok = False
         elif len(got_rows) != len(exp_rows):
