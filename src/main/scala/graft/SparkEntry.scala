@@ -21,7 +21,8 @@ object SparkEntry {
       graft.mr.MrJobs.all ++ graft.text.TextAnalysis.all ++
       graft.stream.StreamOps.all ++ graft.mm.MultimodalOps.all ++
       graft.functions.TypedAggregators.all ++ graft.sources.FileSources.all ++
-      graft.ml.ClusterOps.all ++ graft.graph.GraphOps.all
+      graft.ml.ClusterOps.all ++ graft.graph.GraphOps.all ++
+      graft.text.CurationRules.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

@@ -225,6 +225,41 @@ object ClusterOps {
         col("neg_id"), col("neg_rank"))
   }
 
+  private val SemTau = 0.45
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    * scoped WITHIN k-means clusters — assign every embedding to its
+    * centroid, compare pairs only inside a cluster, and mark the
+    * higher vec_id of any pair with cosine ≥ [[SemTau]] as a
+    * duplicate (the keeper is the lowest id, the engine's standard
+    * canonical rule). The cluster scoping is the entire scale story:
+    * the pair join is an equi-join on the cluster id, so candidate
+    * cost is Σ|cluster|² rather than the |corpus|² of
+    * DedupOps.embeddingNeardup — with K proportional to corpus size,
+    * cluster populations stay bounded and so does the per-key work.
+    * Threshold uses the same unrounded in-plan cosine as the
+    * brute-force baseline (bit-identical folds on both engines).
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val a = assigned(s, dir)
+    val l = a.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"))
+      .withColumn("nrma", sqrt(vecDot(col("va"), col("va"))))
+    val r = a.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"))
+      .withColumn("nrmb", sqrt(vecDot(col("vb"), col("vb"))))
+    val dup = l.join(r, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("c", vecDot(col("va"), col("vb")) / (col("nrma") * col("nrmb")))
+      .filter(col("c") >= SemTau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    a.select(col("vec_id"), col("cluster"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   /** Cluster-stratified top-N selection — the curation move "keep the
     * N best documents of every cluster" that balances a corpus across
     * semantic regions. Quality here is the integer n_chars (with
@@ -356,5 +391,19 @@ object ClusterOps {
          |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
          |  FROM assign a JOIN documents d ON d.doc_id = a.vec_id)
          |WHERE rn <= $TopPerCluster""".stripMargin)(diversitySample),
+    Q("semdedup",
+      s"""WITH $assignCte,
+         |dup AS (
+         |  SELECT DISTINCT y.vec_id FROM assign x
+         |  JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  JOIN n na ON na.vec_id = x.vec_id
+         |  JOIN n nb ON nb.vec_id = y.vec_id
+         |  WHERE list_sum(list_transform(range(1, len(na.v) + 1),
+         |      i -> CAST(na.v[i] AS DOUBLE) * CAST(nb.v[i] AS DOUBLE)))
+         |    / (na.nrm * nb.nrm) >= $SemTau)
+         |SELECT a.vec_id, a.cluster,
+         |  (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin)(
+      semDedup),
   )
 }

@@ -53,7 +53,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "vocab_top", "perplexity_score", "fill_gaps",
       "customer_rfm", // scalar-N / centroid cross joins (broadcast, tiny side)
       "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
-      "ann_recall") // embeds cosine_topk, the exact baseline it measures recall against
+      "ann_recall", // embeds cosine_topk, the exact baseline it measures recall against
+      "dsir_weights", // 1-row totals broadcast onto the 64-row bucket model
+      "bm25_score") // 1-row corpus stats broadcast onto the |query|-row idf frame
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")

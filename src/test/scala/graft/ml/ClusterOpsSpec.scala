@@ -114,6 +114,27 @@ class ClusterOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup flags exactly the higher id of within-cluster pairs over tau") {
+    import spark.implicits._
+    val got = ClusterOps.semDedup(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val clusters = got.map(x => x._1 -> x._2).toMap
+    val vecs = graft.Tables.embeddings(spark, sfSmall)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byCluster = clusters.keys.groupBy(clusters)
+    got.foreach { case (id, c, isDup) =>
+      val hasLowerPartner = byCluster(c).exists(o =>
+        o < id && cos(vecs(o), vecs(id)) >= 0.45)
+      assert(isDup == hasLowerPartner, s"vec $id in cluster $c flagged $isDup")
+    }
+    assert(got.exists(_._3), "fixture's planted near-dups should be flagged")
+  }
+
   test("diversity_sample keeps at most N docs per cluster, ranked by length") {
     val rows = ClusterOps.diversitySample(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
