@@ -22,7 +22,7 @@ object SparkEntry {
       graft.stream.StreamOps.all ++ graft.mm.MultimodalOps.all ++
       graft.functions.TypedAggregators.all ++ graft.sources.FileSources.all ++
       graft.ml.ClusterOps.all ++ graft.graph.GraphOps.all ++
-      graft.text.CurationRules.all
+      graft.text.CurationRules.all ++ graft.sim.RetrievalOps.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

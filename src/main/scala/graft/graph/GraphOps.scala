@@ -24,6 +24,7 @@ object GraphOps {
 
   val Damping = 0.85
   val Iters = 3
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
 
   /** Weighted word-adjacency edges: wt(u→v) = c(u,v) / c(u,·).
     * Long/long division — both engines produce the identical double.
@@ -70,6 +71,74 @@ object GraphOps {
     out
   }
 
+  /** Per-node triangle count and local clustering coefficient over
+    * the undirected bigram co-occurrence graph — the community
+    * structure statistic source-graph analyses use to separate
+    * template/boilerplate clusters (dense, high clustering) from
+    * organic text (sparse). Edges are canonicalized a < b once; the
+    * triangle enumeration is the textbook two-join plan on ordered
+    * edges (a<b<c), so each triangle is produced exactly once and
+    * the join fan-out is bounded by the degree distribution, never
+    * all-pairs. At 100 TB-scale graphs the same plan reads with the
+    * edge list hash-partitioned on the join key each hop.
+    */
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val bc = TextAnalysis.bigramCounts(s, dir)
+      .filter(col("w1") =!= col("w2"))
+    val e = bc.select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val tri = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), Seq("b"))
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(lit(2) * col("n_tri") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  private val triangleOracle =
+    s"""WITH bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT $tokensSql AS t FROM documents),
+       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
+       |e AS (
+       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+       |  FROM bg WHERE w1 <> w2),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tpn AS (
+       |  SELECT node, COUNT(*) AS n_tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1)
+       |SELECT deg.node, degree, coalesce(n_tri, 0) AS n_tri,
+       |  CASE WHEN degree >= 2
+       |    THEN round(2 * coalesce(n_tri, 0)
+       |      / CAST(degree * (degree - 1) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN tpn ON deg.node = tpn.node""".stripMargin
+
   /** One unrolled PageRank round in the oracle dialect. */
   private def prIter(i: Int, prev: String): String =
     s"""p$i AS (
@@ -81,8 +150,6 @@ object GraphOps {
        |    SELECT ew.w2 AS node, SUM($prev.pr * ew.wt) AS mass
        |    FROM ew JOIN $prev ON ew.w1 = $prev.node GROUP BY 1) m
        |    ON nodes.node = m.node, nn)""".stripMargin
-
-  private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
 
   val all: Seq[Q] = Seq(
     Q("pagerank_words",
@@ -102,5 +169,6 @@ object GraphOps {
          |${prIter(2, "p1")},
          |${prIter(3, "p2")}
          |SELECT node, pr FROM p3""".stripMargin)(pageRank),
+    Q("graph_triangles", triangleOracle)(triangleStats),
   )
 }

@@ -151,6 +151,32 @@ object Relational {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q14-shaped promo revenue share: one month of lineitem
+    * joined to part (broadcast — part is a dimension), conditional
+    * decimal revenue sums, one scalar out. The conditional aggregate
+    * runs in the same partial+final hash agg as the plain sum — one
+    * pass, no second scan for the numerator. Both sums stay exact
+    * decimal to the end; the percentage is one double division on
+    * identical operands in both engines.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1996-02-01 00:00:00"))
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("pr"),
+        sum(rev).as("tr"))
+      .select(
+        round(lit(100.0) * col("pr").cast("double") / col("tr").cast("double"), 6)
+          .as("promo_pct"),
+        col("pr").cast("double").as("promo_revenue"),
+        col("tr").cast("double").as("total_revenue"))
+  }
+
   // ---------------------------------------------------------------
   // Subqueries — Catalyst's scalar / IN / correlated-EXISTS rewrite
   // machinery (decorrelated into joins; the plan-shape sweep keeps
@@ -405,6 +431,23 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin)(q5RegionRevenue),
+    Q("q14_promo_revenue",
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'),
+        |s AS (
+        |  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS pr,
+        |    SUM(rev) AS tr
+        |  FROM j)
+        |SELECT round(100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+        |    AS promo_pct,
+        |  CAST(pr AS DOUBLE) AS promo_revenue,
+        |  CAST(tr AS DOUBLE) AS total_revenue
+        |FROM s""".stripMargin)(q14PromoRevenue),
     Q("subquery_scalar",
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders

@@ -151,6 +151,30 @@ object WindowOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
   }
 
+  /** Last-touch attribution — for every purchase, the most recent
+    * strictly-preceding engagement event (view or click) by the same
+    * user, the join marketing/conversion pipelines run to credit a
+    * touchpoint. One window per user partition (ordered by ts with
+    * event_id as the total-order tiebreak) evaluating
+    * last(..., ignoreNulls) over UNBOUNDED PRECEDING..1 PRECEDING —
+    * per-key state only, no self-join, no global sort; the two
+    * last() calls share one window spec so they read the same sorted
+    * run and always pick the same attributed row.
+    */
+  def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"), col("event_id"))
+    val touchType = when(col("event_type").isin("view", "click"), col("event_type"))
+    Tables.events(s, dir)
+      .withColumn("attr_event_id", last(touch, ignoreNulls = true).over(w))
+      .withColumn("attr_type", last(touchType, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("attr_event_id"), col("attr_type"))
+  }
+
   /** Rolling 7-day active users (DAU / WAU / stickiness) — the
     * product-analytics staple that is genuinely hard at scale because
     * COUNT(DISTINCT) cannot ride a window frame. The scale-safe shape
@@ -250,6 +274,21 @@ object WindowOps {
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          |FROM g""".stripMargin)(sessionizeEvents),
+    Q("attribution_last_touch",
+      """SELECT event_id, user_id, attr_event_id, attr_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |      THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS attr_event_id,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |      THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS attr_type
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin)(attributionLastTouch),
     Q("event_transitions",
       """WITH t AS (
         |  SELECT event_type AS from_type,

@@ -1,0 +1,186 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.vecDot
+
+/** Hybrid retrieval and embedding-hygiene operators — the two sides
+  * of a RAG/data-curation index the reference engine (a bare
+  * MapReduce pipeline, reference worker.py:118-214) has no surface
+  * for:
+  *
+  *  - [[rrfFusion]]: reciprocal-rank fusion (Cormack et al. 2009) of
+  *    a lexical BM25 ranking and a dense cosine ranking — the
+  *    standard way production search fuses keyword and embedding
+  *    retrieval without score calibration (only ranks matter, so the
+  *    two score distributions never need to be commensurable).
+  *  - [[embeddingOutliers]]: distance-to-centroid outlier flagging —
+  *    the embedding-space hygiene pass that catches encoder failures
+  *    and off-distribution documents before they enter a training
+  *    mix or an ANN index.
+  *
+  * Scale design: both rankings end in a global top-K with K tiny
+  * (≤ [[KCand]]) — at 100 TB those are TakeOrdered over per-partition
+  * heads, never a full sort. The fusion join touches ≤ 2·K rows. The
+  * outlier pass is two corpus scans: one K·dim-group aggregate for
+  * the centroid (broadcast back, model-sized like
+  * ml.ClusterOps.kmeansUpdate), one per-vector aggregate for the
+  * distance; the threshold is a 1-row broadcast.
+  *
+  * Cross-engine determinism: per-dimension sums and distance sums go
+  * through DECIMAL(18,6) of 6-decimal-rounded terms (exact,
+  * order-free); every double division/multiplication happens on
+  * identical operands in both engines, so the results are
+  * bit-identical — the repo's standard policy (ops/Relational.scala).
+  */
+object RetrievalOps {
+
+  private val KCand = 20 // candidates kept from each ranking
+  private val RrfK = 60 // the standard RRF dampening constant
+  private val KOut = 10 // fused results returned
+  private val QueryVec = 0L // dense query: embedding of vec_id 0
+
+  /** Reciprocal-rank fusion of the BM25 ranking (query =
+    * CurationRules.QueryTerms) with the dense cosine ranking against
+    * the [[QueryVec]] embedding: score(d) = Σ_runs 1/([[RrfK]] +
+    * rank_run(d)), summed over the runs that retrieved d. The two
+    * 1/(k+r) terms are added in a fixed order (lexical first), so the
+    * double is reproducible; ranks are dense integers, so the fusion
+    * is calibration-free.
+    */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    // lexical run: BM25 over the fixed query-term bag; the frame is
+    // already restricted to docs hitting ≥1 query term, so the
+    // global window ranks a small candidate set, not the corpus
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = graft.text.CurationRules.bm25(s, dir)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= KCand)
+      .select(col("doc_id"), col("lex_rank"))
+    // dense run: exact cosine of every non-query vector against the
+    // query embedding (1-row broadcast); top-K via TakeOrdered shape
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("vq"), col("nrm").as("nrmq"))
+    val wDense = Window.orderBy(col("c").desc, col("vec_id"))
+    val dense = e.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("c", vecDot(col("embedding"), col("vq")) / (col("nrm") * col("nrmq")))
+      .withColumn("dense_rank", row_number().over(wDense).cast("long"))
+      .filter(col("dense_rank") <= KCand)
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    val wFused = Window.orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(dense, Seq("doc_id"), "full")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(wFused).cast("long"))
+      .filter(col("fused_rank") <= KOut)
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf_score"), col("fused_rank"))
+  }
+
+  private val rrfOracle = {
+    val dot =
+      """list_sum(list_transform(range(1, len(e.v) + 1),
+        |      i -> CAST(e.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))""".stripMargin
+    s"""WITH lex AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+       |        AS lex_rank
+       |    FROM (${graft.text.CurationRules.bm25Oracle}))
+       |  WHERE lex_rank <= $KCand),
+       |n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding AS v,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |dense AS (
+       |  SELECT doc_id, dense_rank FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      CAST(row_number() OVER (
+       |        ORDER BY $dot / (e.nrm * q.nrm) DESC, e.vec_id) AS BIGINT)
+       |        AS dense_rank
+       |    FROM n e, (SELECT v, nrm FROM n WHERE vec_id = $QueryVec) q
+       |    WHERE e.vec_id <> $QueryVec)
+       |  WHERE dense_rank <= $KCand)
+       |SELECT doc_id, lex_rank, dense_rank, rrf_score, fused_rank FROM (
+       |  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |    lex_rank, dense_rank,
+       |    round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |      + coalesce(1.0 / ($RrfK + dense_rank), 0.0), 6) AS rrf_score,
+       |    CAST(row_number() OVER (
+       |      ORDER BY round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |        + coalesce(1.0 / ($RrfK + dense_rank), 0.0), 6) DESC,
+       |        coalesce(lex.doc_id, dense.doc_id)) AS BIGINT) AS fused_rank
+       |  FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
+       |WHERE fused_rank <= $KOut""".stripMargin
+  }
+
+  // ---- embedding outliers ------------------------------------------
+
+  private val OutlierFactor = 1.5 // flag dist > factor × mean dist
+
+  /** Euclidean distance of every embedding to the corpus centroid,
+    * flagged as an outlier when the distance exceeds
+    * [[OutlierFactor]] × the mean distance. The centroid (dim rows)
+    * and the threshold (1 row) broadcast back onto the scan — the
+    * corpus itself shuffles only on vec_id for the per-vector sum.
+    * All sums are DECIMAL(18,6) of rounded terms, so centroid,
+    * distances, and threshold are bit-identical across engines.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val cent = e.groupBy(col("dim"))
+      .agg(round(
+        sum(round(col("v"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("cd"))
+    val dist = e.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(round(sqrt(
+        sum(round((col("v") - col("cd")) * (col("v") - col("cd")), 6)
+          .cast("decimal(18,6)")).cast("double")), 6).as("dist"))
+    val thr = dist.agg(round(lit(OutlierFactor) * round(
+      sum(col("dist").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6), 6).as("thr"))
+    dist.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("dist"), (col("dist") > col("thr")).as("is_outlier"))
+  }
+
+  private val outlierOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |c AS (
+       |  SELECT dim, round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE) / COUNT(*), 6) AS cd
+       |  FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT vec_id, round(sqrt(CAST(
+       |    SUM(CAST(round((v - cd) * (v - cd), 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE)), 6) AS dist
+       |  FROM e JOIN c USING (dim) GROUP BY 1),
+       |t AS (
+       |  SELECT round($OutlierFactor * round(CAST(
+       |    SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6), 6)
+       |    AS thr
+       |  FROM d)
+       |SELECT vec_id, dist, dist > thr AS is_outlier FROM d, t""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("rrf_fusion", rrfOracle)(rrfFusion),
+    Q("embedding_outliers", outlierOracle)(embeddingOutliers),
+  )
+}

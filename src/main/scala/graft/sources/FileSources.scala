@@ -79,6 +79,61 @@ object FileSources {
     rollup(s.read.schema(eventsDdl).option("rowTag", "event")
       .format("xml").load(eventsAs(s, dir, "xml")))
 
+  /** Two parquet batches with EVOLVED schemas, written once per
+    * (JVM, dir): batch b=1 is the "legacy" shape (event_id, user_id,
+    * value — no event_type column yet), batch b=2 the "current" one
+    * (event_id, user_id, event_type — value dropped). The split is
+    * deterministic (event_id parity) so the oracle can reconstruct
+    * both generations from the fixture.
+    */
+  private def evolvedDir(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/evolve/$key"
+    if (!written.contains(out)) {
+      val ev = Tables.events(s, dir)
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      written += out
+    }
+    out
+  }
+
+  /** Schema-evolution read: `mergeSchema` unions the two batch
+    * schemas by name (absent columns null-filled), and the partition
+    * column `b` is discovered from the directory layout — the two
+    * mechanics a long-lived 100 TB dataset depends on when its schema
+    * grows columns over time (mergeSchema is a footer-union, not a
+    * data scan, so the read stays cheap). The rollup pivots on the
+    * null-filled columns, so a wrong fill or a dropped batch flips
+    * the result.
+    */
+  def evolvedEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(evolvedDir(s, dir))
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_with_value"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"),
+        min(col("b")).cast("long").as("min_batch"),
+        max(col("b")).cast("long").as("max_batch"))
+
+  private val evolvedOracle =
+    """SELECT
+      |  coalesce(CASE WHEN event_id % 2 = 1 THEN event_type END, 'legacy')
+      |    AS event_type,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN event_id % 2 = 0 THEN value END) AS n_with_value,
+      |  round(CAST(SUM(CASE WHEN event_id % 2 = 0
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS sum_value,
+      |  MIN(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS min_batch,
+      |  MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS max_batch
+      |FROM events GROUP BY 1""".stripMargin
+
   private val rollupOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -91,5 +146,6 @@ object FileSources {
     Q("source_json", rollupOracle)(jsonEvents),
     Q("source_orc", rollupOracle)(orcEvents),
     Q("source_xml", rollupOracle)(xmlEvents),
+    Q("source_evolved_schema", evolvedOracle)(evolvedEvents),
   )
 }

@@ -230,7 +230,7 @@ object CurationRules {
         sum(col("c")).cast("double").as("bm25"))
   }
 
-  private val bm25Oracle = {
+  private[graft] val bm25Oracle = {
     val terms = QueryTerms.mkString("['", "','", "']")
     s"""WITH dl AS (
        |  SELECT doc_id, len($tokensSql) AS dl FROM documents),

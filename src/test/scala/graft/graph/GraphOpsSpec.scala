@@ -44,4 +44,29 @@ class GraphOpsSpec extends AnyFunSuite {
     // ranks differentiate (a uniform fixpoint would signal a bug)
     assert(got.values.toSeq.distinct.length > 1)
   }
+
+  test("triangle stats match a brute-force local enumeration") {
+    val edges = Tables.documents(spark, sfSmall).collect()
+      .flatMap(r => graft.mr.MrJobs.tokenize(r.getString(1)).sliding(2)
+        .filter(_.length == 2).map(w => (w.head, w(1))))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map[String, Long]()
+    for {
+      (a, b) <- edges
+      c <- adj(a).intersect(adj(b)) if b < c
+    } Seq(a, b, c).foreach(n => triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1)
+    val got = GraphOps.triangleStats(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == adj.keySet)
+    got.foreach { case (node, deg, tri, cc) =>
+      assert(deg == adj(node).size.toLong, s"$node degree")
+      assert(tri == triPerNode.getOrElse(node, 0L), s"$node triangles")
+      val want = if (deg >= 2) round6(2.0 * tri / (deg * (deg - 1))) else 0.0
+      assert(math.abs(cc - want) <= 1e-9, s"$node clustering $cc vs $want")
+    }
+  }
 }

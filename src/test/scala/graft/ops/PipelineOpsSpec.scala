@@ -701,4 +701,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
     rows.foreach { case (lo, _, _) => assert(lo % 5000 == 0, s"bin $lo misaligned") }
   }
+
+  test("last-touch attribution matches a per-user scan recompute") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        (r.getLong(0), r.getLong(1),
+          ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, r.getString(3))
+      }
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2)).toSeq
+      var lastTouch: Option[(Long, String)] = None
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase") Some(e._2 -> lastTouch) else None
+        if (e._4 == "view" || e._4 == "click") lastTouch = Some((e._2, e._4))
+        out
+      }
+    }.toMap
+    val got = graft.ops.WindowOps.attributionLastTouch(spark, sfSmall).collect()
+      .map { r =>
+        val attr =
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getString(3)))
+        r.getLong(0) -> attr
+      }.toMap
+    assert(got == want, "attributed touchpoints diverge from scan recompute")
+    assert(got.values.exists(_.isDefined), "no purchase ever attributed")
+  }
+
+  test("evolved-schema read null-fills exactly the absent generation columns") {
+    val rows = graft.sources.FileSources.evolvedEvents(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val legacy = rows.filter(_._1 == "legacy")
+    assert(legacy.length == 1, "legacy batch collapsed to one group")
+    // every legacy row carried a value; no current row did
+    assert(legacy.head._2 == legacy.head._3, "legacy rows lost their value column")
+    val current = rows.filterNot(_._1 == "legacy")
+    assert(current.nonEmpty && current.forall(_._3 == 0L),
+      "value column leaked into the value-less generation")
+    val total = Tables.events(spark, sfSmall).count()
+    assert(rows.map(_._2).sum == total, "schema merge dropped rows")
+  }
 }

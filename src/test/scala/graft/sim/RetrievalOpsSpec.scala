@@ -1,0 +1,84 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Hybrid retrieval (RRF) and embedding-outlier flags against local
+  * recomputes from the raw fixture data.
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrf fusion reproduces a local rank fusion of its two runs") {
+    val lex = graft.text.CurationRules.bm25(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val vecs = Tables.embeddings(spark, sfSmall)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val q = vecs(0L)
+    val nq = math.sqrt(dot(q, q))
+    val dense = vecs.toSeq
+      .filter { case (id, v) => id != 0L && dot(v, v) > 0 }
+      .map { case (id, v) => (id, dot(v, q) / (math.sqrt(dot(v, v)) * nq)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val want = (lex.keySet ++ dense.keySet).toSeq
+      .map { id =>
+        val s = round6(lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        (id, s)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = RetrievalOps.rrfFusion(spark, sfSmall)
+      .orderBy(col("fused_rank")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq, "fused ranking diverges from local RRF")
+  }
+
+  test("embedding outliers flag exactly the vectors beyond 1.5x the mean distance") {
+    val rows = RetrievalOps.embeddingOutliers(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0), "distances must be non-negative")
+    // the threshold the operator applied must equal the one recomputed
+    // from its own reported distances (same rounding pipeline)
+    val mean = round6(rows.map(r => BigDecimal(r._2)).sum.toDouble / rows.length)
+    val thr = round6(1.5 * mean)
+    rows.foreach { case (id, d, flag) =>
+      assert(flag == d > thr, s"vec $id: flag $flag but dist $d vs thr $thr")
+    }
+    // sanity: not everything is an outlier (mean-based cut can't flag all)
+    assert(rows.count(_._3) < rows.length / 2, "more than half flagged")
+  }
+
+  test("embedding outlier distance matches a local centroid recompute") {
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val dim = vecs.head._2.length
+    val cent = (0 until dim).map { d =>
+      round6(vecs.map(v => BigDecimal(round6(v._2(d)))).sum.toDouble / vecs.length)
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> round6(math.sqrt(
+        (0 until dim).map(d => BigDecimal(round6((v(d) - cent(d)) * (v(d) - cent(d)))))
+          .sum.toDouble))
+    }.toMap
+    val got = RetrievalOps.embeddingOutliers(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, d) =>
+      assert(math.abs(d - want(id)) <= 1e-6 + 1e-9, s"vec $id: $d vs ${want(id)}")
+    }
+  }
+}
