@@ -540,6 +540,76 @@ object DedupOps {
       .withColumn("severe", col("n_common") >= 10)
   }
 
+  /** Tile width for exact-substring dedup (tokens per tile). */
+  private val TileN = 16
+
+  /** Exact-substring dedup at tile granularity (the practical form of
+    * Lee et al. 2022's suffix-array dedup): each document is cut into
+    * non-overlapping [[TileN]]-token tiles; across the whole corpus
+    * only the FIRST occurrence of each distinct tile (by doc_id, then
+    * tile position) survives, and every document is re-assembled from
+    * its kept tiles in order. Unlike [[graft.text.CurationRules
+    * .spanDupFraction]] (which only SCORES repetition), this operator
+    * performs the removal and returns the cleaned text.
+    *
+    * Scale shape: one typed flatMap emits (doc, pos, tile); ownership
+    * is one window over the tile key (shuffle on tile — at 100 TB the
+    * key becomes xxhash64(tile), as documented for the shingle joins);
+    * reassembly is one aggregation on doc_id sorting each doc's
+    * surviving tile list in memory (documents are bounded, so the
+    * per-group sort is bounded).
+    */
+  def exactSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiles = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.mr.MrJobs.tokenize(t).grouped(TileN).zipWithIndex
+          .map { case (tile, k) => (id, k.toLong, tile.mkString(" ")) }
+      }
+      .toDF("doc_id", "pos", "tile")
+    val w = Window.partitionBy(col("tile")).orderBy(col("doc_id"), col("pos"))
+    val owned = tiles
+      .withColumn("keep", row_number().over(w) === 1)
+    val perDoc = owned.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("tile"))))),
+          x => x.getField("tile")), " ").as("cleaned_text"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  private val exactSubstringOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |tiles AS (
+       |  SELECT doc_id, k AS pos,
+       |    array_to_string(t[$TileN*k+1 : $TileN*(k+1)], ' ') AS tile
+       |  FROM toks,
+       |    unnest(range(0, CAST(ceil(len(t) / $TileN.0) AS BIGINT))) AS u(k)),
+       |owned AS (
+       |  SELECT doc_id, pos, tile,
+       |    row_number() OVER (PARTITION BY tile ORDER BY doc_id, pos) = 1
+       |      AS keep
+       |  FROM tiles),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tiles,
+       |    COUNT(*) FILTER (keep) AS n_kept,
+       |    string_agg(tile, ' ' ORDER BY pos) FILTER (keep) AS cleaned_text
+       |  FROM owned GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_tiles, 0) AS n_tiles,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  coalesce(cleaned_text, '') AS cleaned_text
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("curate_pipeline",
       s"""WITH RECURSIVE pairs AS (
@@ -715,5 +785,6 @@ object DedupOps {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(c, 6) AS cosine
         |FROM p WHERE c >= 0.45""".stripMargin)(embeddingNeardup),
+    Q("dedup_exact_substring", exactSubstringOracle)(exactSubstringDedup),
   )
 }

@@ -175,6 +175,49 @@ object WindowOps {
         col("attr_event_id"), col("attr_type"))
   }
 
+  /** EWMA lookback depth: the current event plus 7 predecessors. */
+  private val EwmaDepth = 7
+
+  /** Per-user exponentially-weighted moving average of event values
+    * (half-life 1 step: weight 0.5^d for the event d steps back,
+    * normalized over the weights actually present) — the smoothing
+    * pass metric/sensor pipelines apply before thresholding. A
+    * frame-positional weighted sum has no direct window form (frame
+    * aggregates can't see the offset), so the scale-safe plan is a
+    * map-side fan-out: each event contributes to its next
+    * [[EwmaDepth]] anchor ordinals via one generator (×8 rows), then
+    * one equi-shuffle on (user, anchor) aggregates exact DECIMAL
+    * sums of pre-rounded terms. No self-join fan-out, no range join,
+    * deterministic at any partitioning.
+    */
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    // exact decimal end-to-end: value is 2-decimal money (the cast the
+    // source rollups already gate on), 0.5^d is exact at scale 7, so
+    // the products and sums carry NO float rounding anywhere — a
+    // round(double, 6) here would sit on systematic .xxxxxx5 ties
+    // (2-decimal × 2^-d) where engine tie-breaking diverges
+    val contrib = ev
+      .select(col("user_id"), col("rn"), col("value"),
+        explode(sequence(lit(0), lit(EwmaDepth))).as("d"))
+      .select(col("user_id"), (col("rn") + col("d")).as("rn"),
+        (col("value").cast("decimal(18,2)")
+          * pow(lit(0.5), col("d")).cast("decimal(9,7)")).as("wx"),
+        pow(lit(0.5), col("d")).cast("decimal(9,7)").as("wt"))
+    val agg = contrib.groupBy(col("user_id"), col("rn"))
+      .agg(sum(col("wx")).as("swx"), sum(col("wt")).as("swt"))
+    // the quotient stays UNROUNDED: both operands are exact decimals,
+    // so the IEEE division is bit-identical in both engines, while a
+    // round(·, 6) would re-introduce engine-specific tie behavior on
+    // results landing exactly on a half-ulp boundary
+    ev.join(agg, Seq("user_id", "rn"))
+      .select(col("user_id"), col("event_id"),
+        (col("swx").cast("double") / col("swt").cast("double")).as("ewma"))
+  }
+
   /** Rolling 7-day active users (DAU / WAU / stickiness) — the
     * product-analytics staple that is genuinely hard at scale because
     * COUNT(DISTINCT) cannot ride a window frame. The scale-safe shape
@@ -274,6 +317,25 @@ object WindowOps {
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          |FROM g""".stripMargin)(sessionizeEvents),
+    Q("ewma_smooth",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         |  FROM events),
+         |c AS (
+         |  SELECT user_id, rn + d AS rn,
+         |    CAST(value AS DECIMAL(18,2))
+         |      * CAST(power(0.5, d) AS DECIMAL(9,7)) AS wx,
+         |    CAST(power(0.5, d) AS DECIMAL(9,7)) AS wt
+         |  FROM ev, (SELECT unnest(range(0, ${EwmaDepth + 1})) AS d)),
+         |a AS (
+         |  SELECT user_id, rn, SUM(wx) AS swx, SUM(wt) AS swt
+         |  FROM c GROUP BY 1, 2)
+         |SELECT ev.user_id, event_id,
+         |  CAST(swx AS DOUBLE) / CAST(swt AS DOUBLE) AS ewma
+         |FROM ev JOIN a ON ev.user_id = a.user_id AND ev.rn = a.rn""".stripMargin)(
+      ewmaSmooth),
     Q("attribution_last_touch",
       """SELECT event_id, user_id, attr_event_id, attr_type FROM (
         |  SELECT event_id, user_id, event_type,

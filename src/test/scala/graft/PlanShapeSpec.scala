@@ -55,7 +55,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
       "ann_recall", // embeds cosine_topk, the exact baseline it measures recall against
       "dsir_weights", // 1-row totals broadcast onto the 64-row bucket model
-      "bm25_score") // 1-row corpus stats broadcast onto the |query|-row idf frame
+      "bm25_score", // 1-row corpus stats broadcast onto the |query|-row idf frame
+      "rrf_fusion", // 1-row dense query vector broadcast (plus bm25's stats row)
+      "embedding_outliers") // 1-row outlier threshold broadcast
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -76,6 +78,22 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
     assert(nl == 1, s"expected exactly 1 nested-loop join, found $nl")
     assert(p.contains("BroadcastHashJoin"), "negatives join is not a hash join")
+  }
+
+  test("q14 joins the part dimension as a broadcast with partial aggregation") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), "part dimension not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("embedding_outliers broadcasts the centroid model (corpus never reshuffles for it)") {
+    val p = plan("embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), "dim-model join is not a broadcast hash join")
+    // the only nested loop is the 1-row threshold scalar riding in
+    val nl = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(nl == 1, s"expected exactly the 1-row threshold cross join, found $nl")
   }
 
   test("shuffling queries run under adaptive execution (runtime re-planning)") {

@@ -130,4 +130,38 @@ class DedupSpec extends AnyFunSuite {
     assert(got.keys.exists { case (a, b) => !got.contains((b, a)) },
       "all pairs symmetric — containment adds nothing over Jaccard here")
   }
+
+  test("exact-substring dedup keeps each tile's first occurrence and rebuilds docs") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> graft.mr.MrJobs.tokenize(r.getString(1)))
+    val tiles = docs.flatMap { case (id, toks) =>
+      toks.grouped(16).zipWithIndex.map { case (t, k) =>
+        (id, k.toLong, t.mkString(" "))
+      }
+    }
+    val firstOwner = tiles.groupBy(_._3).view
+      .mapValues(_.minBy(t => (t._1, t._2))).toMap
+    val want = docs.map { case (id, toks) =>
+      val mine = tiles.filter(_._1 == id).sortBy(_._2)
+      val kept = mine.filter(t => firstOwner(t._3) == t)
+      id -> (mine.length.toLong, kept.length.toLong,
+        kept.map(_._3).mkString(" "))
+    }.toMap
+    val got = DedupOps.exactSubstringDedup(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == want, "tile ownership or reassembly diverges from recompute")
+    // removal really happens somewhere: the fixture plants near-dup docs
+    assert(got.values.exists(v => v._2 < v._1),
+      "no duplicate tile ever removed — fixture should contain planted copies")
+    // and every doc's kept text is a subsequence of its token stream
+    got.foreach { case (id, (_, _, cleaned)) =>
+      val orig = docs.toMap.apply(id).mkString(" ")
+      assert(cleaned.isEmpty || orig.contains(cleaned.split(" ").head),
+        s"doc $id cleaned text diverges from source tokens")
+    }
+  }
 }

@@ -730,6 +730,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_.isDefined), "no purchase ever attributed")
   }
 
+  test("ewma smoothing matches a per-user exact-decimal recompute") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        (r.getLong(0), r.getLong(1),
+          ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, r.getDouble(3))
+      }
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2)).toVector
+      sorted.indices.map { i =>
+        val lo = math.max(0, i - 7)
+        val terms = (lo to i).map { j =>
+          val w = BigDecimal(0.5).pow(i - j)
+          (BigDecimal(sorted(j)._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) * w, w)
+        }
+        sorted(i)._2 -> (terms.map(_._1).sum.toDouble / terms.map(_._2).sum.toDouble)
+      }
+    }.toMap
+    val got = graft.ops.WindowOps.ewmaSmooth(spark, sfSmall).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == want(id), s"event $id: $v vs ${want(id)}")
+    }
+  }
+
   test("evolved-schema read null-fills exactly the absent generation columns") {
     val rows = graft.sources.FileSources.evolvedEvents(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
