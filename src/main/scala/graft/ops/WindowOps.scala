@@ -151,6 +151,22 @@ object WindowOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
   }
 
+  /** Per-session rollup over [[sessionizeEvents]]'s labels: event
+    * count and wall-clock duration (exact integer microseconds) per
+    * (user, session ordinal) — the session-quality telemetry fed to
+    * engagement dashboards and bot filters (1-event sessions and
+    * marathon sessions are both anomalies). One extra hash aggregate
+    * on (user_id, session_seq) on top of the sessionize window; the
+    * key space is bounded by the session count, never raw events.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(s, dir)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+
   /** Last-touch attribution — for every purchase, the most recent
     * strictly-preceding engagement event (view or click) by the same
     * user, the join marketing/conversion pipelines run to credit a
@@ -317,6 +333,22 @@ object WindowOps {
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          |FROM g""".stripMargin)(sessionizeEvents),
+    Q("session_stats",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |g AS (
+         |  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM e),
+         |lab AS (
+         |  SELECT user_id, ts,
+         |    CAST(SUM(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM g)
+         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+         |FROM lab GROUP BY 1, 2""".stripMargin)(sessionStats),
     Q("ewma_smooth",
       s"""WITH ev AS (
          |  SELECT user_id, event_id, value,

@@ -53,16 +53,19 @@ object RetrievalOps {
     */
   def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    // lexical run: BM25 over the fixed query-term bag; the frame is
-    // already restricted to docs hitting ≥1 query term, so the
-    // global window ranks a small candidate set, not the corpus
+    // Each run takes its top-K via orderBy().limit(K) — planned as
+    // TakeOrderedAndProject (per-partition heads merged on the
+    // driver), NOT a row_number over an un-partitioned window, which
+    // would drag the whole scored corpus onto one partition. The
+    // rank ordinals are then assigned by a window over the ≤K
+    // surviving rows, where a global window is free.
     val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
     val lex = graft.text.CurationRules.bm25(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(KCand)
       .withColumn("lex_rank", row_number().over(wLex).cast("long"))
-      .filter(col("lex_rank") <= KCand)
       .select(col("doc_id"), col("lex_rank"))
     // dense run: exact cosine of every non-query vector against the
-    // query embedding (1-row broadcast); top-K via TakeOrdered shape
+    // query embedding (1-row broadcast)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
@@ -73,8 +76,8 @@ object RetrievalOps {
     val dense = e.filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))
       .withColumn("c", vecDot(col("embedding"), col("vq")) / (col("nrm") * col("nrmq")))
+      .orderBy(col("c").desc, col("vec_id")).limit(KCand)
       .withColumn("dense_rank", row_number().over(wDense).cast("long"))
-      .filter(col("dense_rank") <= KCand)
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
     val wFused = Window.orderBy(col("rrf_score").desc, col("doc_id"))
     lex.join(dense, Seq("doc_id"), "full")

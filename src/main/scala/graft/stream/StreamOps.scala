@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
@@ -80,6 +81,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
+  /** Trending top-3 event types per sliding window — the "what's hot
+    * right now" leaderboard over [[slidingAgg]]'s counts. The rank
+    * window partitions by window-start, so state is |event_types| per
+    * window — tiny at any scale. In streaming form the rank runs in
+    * foreachBatch over the windowed aggregate (rank is not an
+    * incremental operator); the batch twin here is the oracle-checked
+    * semantics both share.
+    */
+  def trendingTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type"))
+    slidingAgg(Tables.events(s, dir))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("ws"), col("event_type"), col("n"), col("rank"))
+  }
 
   /** The streaming forms: same logic, plus an event-time watermark so
     * state can be evicted and late data (beyond 1 hour) dropped.
@@ -197,6 +215,22 @@ object StreamOps {
         |    ]) AS ws, event_type, value
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin)(eventsSliding),
+    Q("trending_topk",
+      """WITH s AS (
+        |  SELECT ws, event_type, COUNT(*) AS n
+        |  FROM (
+        |    SELECT unnest([
+        |        time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+        |        time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE
+        |      ]) AS ws, event_type
+        |    FROM events)
+        |  GROUP BY 1, 2)
+        |SELECT ws, event_type, n, rank FROM (
+        |  SELECT ws, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY ws
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        |  FROM s)
+        |WHERE rank <= 3""".stripMargin)(trendingTopk),
     Q("events_session",
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -96,6 +96,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nl == 1, s"expected exactly the 1-row threshold cross join, found $nl")
   }
 
+  test("rrf_fusion takes both candidate top-Ks as TakeOrdered, not a global-window sort") {
+    val p = plan("rrf_fusion")
+    val tops = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(tops >= 2, s"expected 2 TakeOrderedAndProject heads, found $tops")
+  }
+
   test("shuffling queries run under adaptive execution (runtime re-planning)") {
     // AQE is the runtime half of the 100 TB posture: skew-join splits,
     // shuffle-partition coalescing, and join-strategy switches all hang

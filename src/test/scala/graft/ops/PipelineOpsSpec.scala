@@ -758,6 +758,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trending top-k matches a local sliding-window leaderboard") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("ts"), col("event_type")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(0)
+        (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, r.getString(1))
+      }
+    val slotUs = 30L * 60 * 1000000
+    val counts = events
+      .flatMap { case (us, ty) =>
+        val b = math.floorDiv(us, slotUs) * slotUs
+        Seq((b, ty), (b - slotUs, ty))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = counts.toSeq
+      .map { case ((ws, ty), n) => (ws, ty, n) }
+      .groupBy(_._1).toSeq.flatMap { case (ws, g) =>
+        g.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, ty, n), i) => (ws, ty, n, i + 1L) }
+      }.toSet
+    val got = graft.stream.StreamOps.trendingTopk(spark, sfSmall).collect()
+      .map { r =>
+        val ts = r.getTimestamp(0)
+        (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000,
+          r.getString(1), r.getLong(2), r.getLong(3))
+      }.toSet
+    assert(got == want, "leaderboard diverges from local sliding recompute")
+  }
+
+  test("session stats agree with the sessionize labels they roll up") {
+    val labels = WindowOps.sessionizeEvents(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val wantCounts = labels.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = WindowOps.sessionStats(spark, sfSmall).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == wantCounts.keySet, "session key sets differ")
+    got.foreach { case (k, (n, dur)) =>
+      assert(n == wantCounts(k), s"session $k count")
+      assert(dur >= 0, s"session $k negative duration")
+      if (n == 1) assert(dur == 0L, s"1-event session $k must have zero duration")
+    }
+    assert(got.values.map(_._1).sum == labels.length.toLong, "events lost in rollup")
+  }
+
   test("evolved-schema read null-fills exactly the absent generation columns") {
     val rows = graft.sources.FileSources.evolvedEvents(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
