@@ -610,7 +610,82 @@ object DedupOps {
        |  coalesce(cleaned_text, '') AS cleaned_text
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** Modulus selecting the "incoming batch" slice: doc_id % 10 == 7. */
+  private val IncBatchMod = 7
+
+  /** Incremental dedup — the production shape: a new ingest batch
+    * (here the deterministic doc_id % 10 == [[IncBatchMod]] slice)
+    * checked against the EXISTING corpus, instead of re-deduping the
+    * world. Each new document is labeled `exact_dup` (content hash
+    * already present — hash equi-join against the base hash set),
+    * else `near_dup` (a verified J ≥ 0.8 partner across the
+    * batch/base boundary — the cached pair set filtered to cross
+    * pairs), else `unique`. At 100 TB the base hash set is a bloom /
+    * hash index lookup and the near-dup check is the MinHash bucket
+    * join restricted to the batch's bands — both O(batch), never
+    * O(corpus): the whole point of running dedup incrementally.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) === IncBatchMod
+    val newDocs = docs.filter(isNew)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val baseHash = docs.filter(!isNew)
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id").as("b"))
+      .groupBy(col("h")).agg(min(col("b")).as("exact_partner"))
+    val pairs = verifiedPairs(s, dir)
+    val cross = pairs
+      .select(col("doc_a").as("n"), col("doc_b").as("p"), col("jaccard"))
+      .union(pairs.select(col("doc_b").as("n"), col("doc_a").as("p"), col("jaccard")))
+      .filter(pmod(col("n"), lit(10)) === IncBatchMod &&
+        pmod(col("p"), lit(10)) =!= IncBatchMod)
+    val wBest = Window.partitionBy(col("n")).orderBy(col("jaccard").desc, col("p"))
+    val near = cross
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("n").as("doc_id"), col("p").as("near_partner"), col("jaccard"))
+    newDocs.join(baseHash, Seq("h"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_partner").isNotNull, "exact_dup")
+          .when(col("near_partner").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_partner"), col("near_partner")).as("partner"),
+        when(col("exact_partner").isNull, col("jaccard")).as("jaccard"))
+  }
+
+  private def incrementalOracle =
+    s"""WITH pairs AS (
+       |$jaccardOracle),
+       |newdocs AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |  WHERE doc_id % 10 = $IncBatchMod),
+       |basehash AS (
+       |  SELECT md5(text) AS h, MIN(doc_id) AS exact_partner
+       |  FROM documents WHERE doc_id % 10 <> $IncBatchMod GROUP BY 1),
+       |crossp AS (
+       |  SELECT n, p, jaccard FROM (
+       |    SELECT doc_a AS n, doc_b AS p, jaccard FROM pairs
+       |    UNION ALL
+       |    SELECT doc_b, doc_a, jaccard FROM pairs)
+       |  WHERE n % 10 = $IncBatchMod AND p % 10 <> $IncBatchMod),
+       |near AS (
+       |  SELECT n AS doc_id, p AS near_partner, jaccard FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY n
+       |      ORDER BY jaccard DESC, p) AS rn FROM crossp)
+       |  WHERE rn = 1)
+       |SELECT nd.doc_id,
+       |  CASE WHEN exact_partner IS NOT NULL THEN 'exact_dup'
+       |    WHEN near_partner IS NOT NULL THEN 'near_dup'
+       |    ELSE 'unique' END AS status,
+       |  coalesce(exact_partner, near_partner) AS partner,
+       |  CASE WHEN exact_partner IS NULL THEN jaccard END AS jaccard
+       |FROM newdocs nd
+       |LEFT JOIN basehash bh ON nd.h = bh.h
+       |LEFT JOIN near ON nd.doc_id = near.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dedup_incremental", incrementalOracle)(dedupIncremental),
     Q("curate_pipeline",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),

@@ -190,6 +190,33 @@ object SimOps {
           .otherwise(0).cast("long").as("q"))
   }
 
+  /** Per-dimension quantile normalization of the embedding corpus —
+    * each value replaced by its within-dimension percent rank
+    * ((rank − 1)/(n − 1), the rank-to-uniform map): the
+    * distribution-free rescaling vector stores apply when dimensions
+    * have wildly different spreads and min/max scaling
+    * ([[quantizeEmbeddings]]) would let outliers crush the range.
+    * One posexplode, one window per dim partition (dim count is
+    * fixed, each partition holds corpus-size rows — at 100 TB the
+    * rank comes from a per-dim sort within hash partitions, the same
+    * per-key-window shape as every sessionize/rank op here). The
+    * percent rank is an integer/integer division — identical doubles
+    * in both engines.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("v"), col("vec_id"))
+    // floor-quantize to 6 decimals: floor is the one rounding both
+    // engines define identically on doubles (CAST double→BIGINT
+    // truncates in Spark but rounds in DuckDB — never use it here)
+    e.withColumn("qn",
+        floor(percent_rank().over(w) * 1000000) / lit(1000000.0))
+      .select(col("vec_id"), col("dim"), col("qn"))
+  }
+
   private lazy val cosineTopkSql =
     s"""WITH $normsCte,
        |s AS (
@@ -257,6 +284,14 @@ object SimOps {
         |    THEN CAST(round((v - lo) / (hi - lo) * 255) - 128 AS BIGINT)
         |    ELSE 0 END AS q
         |FROM e JOIN mm ON e.dim = mm.dim""".stripMargin)(quantizeEmbeddings),
+    Q("quantile_normalize",
+      """SELECT vec_id, dim,
+        |  floor(percent_rank() OVER (PARTITION BY dim
+        |    ORDER BY v, vec_id) * 1000000) / 1000000.0 AS qn
+        |FROM (
+        |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))""".stripMargin)(
+      quantileNormalize),
     Q("cosine_topk", cosineTopkSql)(cosineTopk),
     Q("cosine_topk_lsh", cosineTopkLshSql)(cosineTopkLsh),
     Q("ann_recall",

@@ -131,6 +131,49 @@ class DedupSpec extends AnyFunSuite {
       "all pairs symmetric — containment adds nothing over Jaccard here")
   }
 
+  test("incremental dedup labels the batch against the base corpus correctly") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (batch, base) = texts.keys.partition(_ % 10 == 7)
+    val baseByText = base.groupBy(texts)
+    val pairs = DedupOps.ngramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossBest = (pairs.map(p => (p._1, p._2, p._3)) ++
+        pairs.map(p => (p._2, p._1, p._3)))
+      .filter { case (n, p, _) => n % 10 == 7 && p % 10 != 7 }
+      .groupBy(_._1).view
+      .mapValues(_.minBy { case (_, p, j) => (-j, p) }).toMap
+    val got = DedupOps.dedupIncremental(spark, sfSmall).collect()
+      .map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }
+    assert(got.map(_._1).toSet == batch.toSet, "batch slice mismatch")
+    got.foreach { case (id, status, partner, j) =>
+      baseByText.get(texts(id)) match {
+        case Some(dups) =>
+          assert(status == "exact_dup" && partner.contains(dups.min) && j.isEmpty,
+            s"doc $id should be exact_dup of ${dups.min}")
+        case None =>
+          crossBest.get(id) match {
+            case Some((_, p, jac)) =>
+              assert(status == "near_dup" && partner.contains(p) && j.contains(jac),
+                s"doc $id should be near_dup of $p")
+            case None =>
+              assert(status == "unique" && partner.isEmpty && j.isEmpty,
+                s"doc $id should be unique")
+          }
+      }
+    }
+    // the fixture's planted duplicates must make the label set non-trivial
+    assert(got.exists(_._2 != "unique"), "no duplicate ever detected")
+    assert(got.exists(_._2 == "unique"), "everything flagged duplicate")
+  }
+
   test("exact-substring dedup keeps each tile's first occurrence and rebuilds docs") {
     import graft.Tables
     import org.apache.spark.sql.functions.col

@@ -51,4 +51,27 @@ class SimSpec extends AnyFunSuite {
     val lsh = SimOps.cosineTopkLsh(spark, sfSmall).collect()
     assert(lsh.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("quantile normalization matches a per-dim rank recompute") {
+    import org.apache.spark.sql.functions.col
+    val raw = graft.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val n = raw.length
+    val want = (0 until raw.head._2.length).flatMap { d =>
+      raw.map { case (id, v) => (id, d.toLong, v(d)) }
+        .sortBy { case (id, _, v) => (v, id) }
+        .zipWithIndex
+        .map { case ((id, dim, _), rank) =>
+          (id, dim) -> math.floor(rank.toDouble / (n - 1) * 1000000) / 1000000.0
+        }
+    }.toMap
+    val got = SimOps.quantileNormalize(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"$k: $v vs ${want(k)}") }
+    // range covers [0, 1] in every dimension
+    assert(got.filter(_._1._2 == 0L).values.min == 0.0)
+    assert(got.filter(_._1._2 == 0L).values.max == 1.0)
+  }
 }
