@@ -44,7 +44,84 @@ object AsOf {
         col("click_value"))
   }
 
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Nearest-neighbor as-of join (pandas merge_asof
+    * direction='nearest'): each purchase matched to the click with
+    * the smallest |Δts| in either direction, ties to the earlier
+    * click. Same union-merge plan as [[asofJoin]] — one shuffle, one
+    * per-user sort — with TWO frames over the one sorted run (last
+    * click carried forward, first click carried backward); the
+    * nearer candidate is a per-row comparison on exact integer
+    * microseconds. Still no range join, still no pair blowup.
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("p_event_id"),
+        col("value").as("c_value"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("p_event_id"),
+        lit(null).cast("double").as("c_value"),
+        lit(null).cast("timestamp").as("c_ts"))
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val m = clicks.unionAll(purchases)
+      .select(col("side"), col("p_event_id"), col("ts"),
+        last(col("c_value"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(col("c_ts"), ignoreNulls = true).over(wPrev).as("pt"),
+        first(col("c_value"), ignoreNulls = true).over(wNext).as("nv"),
+        first(col("c_ts"), ignoreNulls = true).over(wNext).as("nt"))
+      .filter(col("side") === 1)
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("pt"))
+    val dNext = unix_micros(col("nt")) - unix_micros(col("ts"))
+    val usePrev = col("nt").isNull || (col("pt").isNotNull && dPrev <= dNext)
+    m.select(col("p_event_id").as("event_id"),
+      when(usePrev, date_format(col("pt"), TsFmt))
+        .otherwise(date_format(col("nt"), TsFmt)).as("click_ts"),
+      when(usePrev, col("pv")).otherwise(col("nv")).as("click_value"),
+      when(col("pt").isNull && col("nt").isNull, lit(null).cast("string"))
+        .when(usePrev, lit("prev")).otherwise(lit("next")).as("direction"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("asof_nearest",
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS p_event_id,
+        |    value AS c_value, CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT side, p_event_id, ts,
+        |    last_value(c_value IGNORE NULLS) OVER wprev AS pv,
+        |    last_value(c_ts IGNORE NULLS) OVER wprev AS pt,
+        |    first_value(c_value IGNORE NULLS) OVER wnext AS nv,
+        |    first_value(c_ts IGNORE NULLS) OVER wnext AS nt
+        |  FROM u
+        |  WINDOW
+        |    wprev AS (PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wnext AS (PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT p_event_id AS event_id,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pt) <= epoch_us(nt) - epoch_us(ts))
+        |    THEN strftime(pt, '%Y-%m-%d %H:%M:%S.%f')
+        |    ELSE strftime(nt, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pt) <= epoch_us(nt) - epoch_us(ts))
+        |    THEN pv ELSE nv END AS click_value,
+        |  CASE WHEN pt IS NULL AND nt IS NULL THEN NULL
+        |    WHEN nt IS NULL OR (pt IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pt) <= epoch_us(nt) - epoch_us(ts))
+        |    THEN 'prev' ELSE 'next' END AS direction
+        |FROM m WHERE side = 1""".stripMargin)(asofNearest),
     Q("asof_join",
       """SELECT p.event_id,
         |  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,

@@ -90,14 +90,8 @@ object StreamOps {
     * incremental operator); the batch twin here is the oracle-checked
     * semantics both share.
     */
-  def trendingTopk(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("ws"))
-      .orderBy(col("n").desc, col("event_type"))
-    slidingAgg(Tables.events(s, dir))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("ws"), col("event_type"), col("n"), col("rank"))
-  }
+  def trendingTopk(s: SparkSession, dir: String): DataFrame =
+    rankWindows(slidingAgg(Tables.events(s, dir)))
 
   /** The streaming forms: same logic, plus an event-time watermark so
     * state can be evicted and late data (beyond 1 hour) dropped.
@@ -105,6 +99,21 @@ object StreamOps {
     */
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingAgg(events.withWatermark("ts", "1 hour"))
+
+  def slidingStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "1 hour"))
+
+  /** The rank step of [[trendingTopk]] alone, for foreachBatch use on
+    * a streaming windowed aggregate (rank is not incremental, so in
+    * streaming it runs per micro-batch over the updated windows).
+    */
+  def rankWindows(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("ws"), col("event_type"), col("n"), col("rank"))
+  }
 
   def sessionStream(events: DataFrame): DataFrame =
     sessionAgg(events.withWatermark("ts", "1 hour"))

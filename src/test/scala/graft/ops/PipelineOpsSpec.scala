@@ -803,6 +803,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == labels.length.toLong, "events lost in rollup")
   }
 
+  test("asof nearest picks the closer click on both sides, ties to the earlier") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        (r.getLong(0), r.getLong(1),
+          ts.getTime / 1000 * 1000000L + ts.getNanos / 1000,
+          r.getString(3), r.getDouble(4))
+      }
+    val clicksByUser = events.filter(_._4 == "click").groupBy(_._1)
+    val want = events.filter(_._4 == "purchase").map { p =>
+      val cands = clicksByUser.getOrElse(p._1, Array.empty)
+      if (cands.isEmpty) p._2 -> None
+      else {
+        val best = cands.minBy(c => (math.abs(c._3 - p._3),
+          if (c._3 <= p._3) 0 else 1)) // tie at equal distance -> prev
+        p._2 -> Some((best._3, best._5, if (best._3 <= p._3) "prev" else "next"))
+      }
+    }.toMap
+    val got = graft.ops.AsOf.asofNearest(spark, sfSmall).collect()
+      .map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getString(1), r.getDouble(2), r.getString(3))))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, exp) =>
+      (exp, got(id)) match {
+        case (None, None) =>
+        case (Some((ts, v, dir)), Some((gts, gv, gdir))) =>
+          assert(gv == v && gdir == dir, s"purchase $id: ($gv,$gdir) vs ($v,$dir)")
+          // timestamp round-trips through the same micro format
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          assert(gts.startsWith(fmt.format(new java.util.Date(ts / 1000))),
+            s"purchase $id ts $gts vs $ts")
+        case other => fail(s"purchase $id mismatch: $other")
+      }
+    }
+  }
+
   test("evolved-schema read null-fills exactly the absent generation columns") {
     val rows = graft.sources.FileSources.evolvedEvents(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

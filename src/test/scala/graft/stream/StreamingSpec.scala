@@ -199,6 +199,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending leaderboard runs as a stream: rank in foreachBatch over sliding windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("trend").resolve("t").toString
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.slidingStream(stream.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.rankWindows(batch).write.mode("append").parquet(out)
+      }.start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:11:00"), "click", 1.0, 2),
+        Ev(ts("2024-01-01 00:12:00"), "view", 1.0, 3))
+      q.processAllAvailable()
+      // the 00:00 window's latest update must rank click(2) over view(1)
+      val rows = spark.read.parquet(out)
+        .filter(col("ws") === ts("2024-01-01 00:00:00"))
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains(("click", 2L, 1L)), s"got ${rows.mkString(",")}")
+      assert(rows.contains(("view", 1L, 2L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming query resumes from checkpoint with aggregation state intact") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
