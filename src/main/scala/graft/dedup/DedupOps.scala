@@ -610,6 +610,53 @@ object DedupOps {
        |  coalesce(cleaned_text, '') AS cleaned_text
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** Candidate-pair similarity histogram — the threshold-tuning view
+    * behind every dedup rollout: the full (unthresholded) Jaccard
+    * distribution of shingle-sharing pairs, bucketed at 0.1, for
+    * j ≥ 0.5. Picking 0.8 as the near-dup cut is a claim about this
+    * histogram (a valley between the boilerplate hump and the planted
+    * near-dups); shipping the histogram makes the claim inspectable.
+    * Same inverted shingle equi-join as [[ngramJaccard]] — computing
+    * j for all candidate pairs costs the same join either way; only
+    * the final filter differs. Bucket arithmetic is floor(j·10)/10 —
+    * floor is the rounding both engines define identically.
+    */
+  def similarityHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh_h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .groupBy((floor(col("j") * 10) / 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val similarityHistogramOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT inter / (sa.n + sb.n - inter) AS j
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT floor(j * 10) / 10 AS bucket, COUNT(*) AS n_pairs
+       |FROM j WHERE j >= 0.5 GROUP BY 1""".stripMargin
+
   /** Modulus selecting the "incoming batch" slice: doc_id % 10 == 7. */
   private val IncBatchMod = 7
 
@@ -686,6 +733,7 @@ object DedupOps {
 
   val all: Seq[Q] = Seq(
     Q("dedup_incremental", incrementalOracle)(dedupIncremental),
+    Q("dedup_similarity_histogram", similarityHistogramOracle)(similarityHistogram),
     Q("curate_pipeline",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),

@@ -257,7 +257,105 @@ object Aggregates {
       .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
   }
 
+  /** Declarative data-quality constraint sweep (the
+    * expectations/dbt-test pattern): each constraint reports how many
+    * rows it checked and how many violate it — range bounds, primary
+    * key uniqueness, referential integrity, cross-table temporal
+    * consistency, domain membership, and derived-column consistency.
+    * The fixture's lineitem ships before its order half the time, so
+    * the temporal rule genuinely fires; the rest hold — a DQ run on
+    * real data looks exactly like this, one loud rule among quiet
+    * ones.
+    *
+    * Scale shape: one aggregate pass per table (all of a table's
+    * row-local rules fold into a single partial+final agg), and ONE
+    * left join covering both referential integrity and the
+    * cross-table rule — never a scan per rule. Output is
+    * |constraints| rows.
+    */
+  def qualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val lchk = l.agg(
+      count(lit(1)).as("n"),
+      count(when(!col("l_quantity").between(1, 50), 1)).as("q_viol"),
+      count(when(!col("l_discount").between(0, 0.1), 1)).as("d_viol"))
+    val ochk = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_viol"),
+      count(when(col("o_totalprice") <= 0, 1)).as("price_viol"))
+    val jchk = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderkey").isNull, 1)).as("fk_viol"),
+        count(when(col("o_orderkey").isNotNull &&
+          col("l_shipdate") < col("o_orderdate"), 1)).as("ship_viol"))
+    val echk = Tables.events(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(when(col("value") < 0, 1)).as("neg_viol"),
+      count(when(!col("event_type").isin(
+        "view", "click", "purchase", "signup", "error"), 1)).as("dom_viol"))
+    val dchk = Tables.documents(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(when(col("n_chars") =!= length(col("text")), 1)).as("len_viol"))
+    def unfold(df: DataFrame, rows: (String, String)*): DataFrame =
+      rows.map { case (name, violCol) =>
+        df.select(lit(name).as("constraint_name"),
+          col("n").as("n_checked"), col(violCol).as("n_violations"))
+      }.reduce(_.unionAll(_))
+    unfold(lchk, "lineitem_quantity_range" -> "q_viol",
+        "lineitem_discount_range" -> "d_viol")
+      .unionAll(unfold(ochk, "orders_pk_unique" -> "pk_viol",
+        "orders_price_positive" -> "price_viol"))
+      .unionAll(unfold(jchk, "lineitem_fk_orders" -> "fk_viol",
+        "lineitem_ships_after_order" -> "ship_viol"))
+      .unionAll(unfold(echk, "events_value_nonneg" -> "neg_viol",
+        "events_type_domain" -> "dom_viol"))
+      .unionAll(unfold(dchk, "documents_nchars_consistent" -> "len_viol"))
+  }
+
+  private val constraintsOracle =
+    """WITH lchk AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (l_quantity NOT BETWEEN 1 AND 50) AS q_viol,
+      |    COUNT(*) FILTER (l_discount NOT BETWEEN 0 AND 0.1) AS d_viol
+      |  FROM lineitem),
+      |ochk AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_viol,
+      |    COUNT(*) FILTER (o_totalprice <= 0) AS price_viol
+      |  FROM orders),
+      |jchk AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (o_orderkey IS NULL) AS fk_viol,
+      |    COUNT(*) FILTER (o_orderkey IS NOT NULL
+      |      AND l_shipdate < o_orderdate) AS ship_viol
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+      |echk AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (value < 0) AS neg_viol,
+      |    COUNT(*) FILTER (event_type NOT IN
+      |      ('view','click','purchase','signup','error')) AS dom_viol
+      |  FROM events),
+      |dchk AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (n_chars <> length(text)) AS len_viol
+      |  FROM documents)
+      |SELECT 'lineitem_quantity_range' AS constraint_name,
+      |  n AS n_checked, q_viol AS n_violations FROM lchk
+      |UNION ALL SELECT 'lineitem_discount_range', n, d_viol FROM lchk
+      |UNION ALL SELECT 'orders_pk_unique', n, pk_viol FROM ochk
+      |UNION ALL SELECT 'orders_price_positive', n, price_viol FROM ochk
+      |UNION ALL SELECT 'lineitem_fk_orders', n, fk_viol FROM jchk
+      |UNION ALL SELECT 'lineitem_ships_after_order', n, ship_viol FROM jchk
+      |UNION ALL SELECT 'events_value_nonneg', n, neg_viol FROM echk
+      |UNION ALL SELECT 'events_type_domain', n, dom_viol FROM echk
+      |UNION ALL SELECT 'documents_nchars_consistent', n, len_viol FROM dchk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("quality_constraints", constraintsOracle)(qualityConstraints),
     Q("table_checksum",
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(('0x' || substr(md5(

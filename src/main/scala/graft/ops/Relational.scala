@@ -177,6 +177,38 @@ object Relational {
         col("tr").cast("double").as("total_revenue"))
   }
 
+  /** TPC-H Q7-shaped bi-national trade volume: revenue flowing
+    * between two fixed nations (supplier side vs customer side, both
+    * directions), by ship year. The fact chain is
+    * lineitem→orders→customer; supplier and both nation legs are
+    * broadcast dimensions, and the disjunctive nation-pair predicate
+    * rides the broadcast joins as a residual filter — the fact table
+    * shuffles only for the lineitem⋈orders key, exactly once.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   // ---------------------------------------------------------------
   // Subqueries — Catalyst's scalar / IN / correlated-EXISTS rewrite
   // machinery (decorrelated into joins; the plan-shape sweep keeps
@@ -448,6 +480,22 @@ object Relational {
         |  CAST(pr AS DOUBLE) AS promo_revenue,
         |  CAST(tr AS DOUBLE) AS total_revenue
         |FROM s""".stripMargin)(q14PromoRevenue),
+    Q("q7_nation_volume",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin)(q7NationVolume),
     Q("subquery_scalar",
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders

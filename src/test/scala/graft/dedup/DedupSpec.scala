@@ -131,6 +131,18 @@ class DedupSpec extends AnyFunSuite {
       "all pairs symmetric — containment adds nothing over Jaccard here")
   }
 
+  test("similarity histogram buckets cover every verified near-dup pair") {
+    val hist = DedupOps.similarityHistogram(spark, sfSmall).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(hist.keys.forall(b => b >= 0.5 && b <= 1.0))
+    val pairs = DedupOps.ngramJaccard(spark, sfSmall).collect()
+      .map(r => r.getDouble(2))
+    // every J >= 0.8 pair must be counted in a bucket at or above 0.8
+    val high = hist.filter(_._1 >= 0.8 - 1e-9).values.sum
+    assert(high == pairs.length.toLong,
+      s"histogram high-bucket mass $high vs ${pairs.length} verified pairs")
+  }
+
   test("incremental dedup labels the batch against the base corpus correctly") {
     import graft.Tables
     import org.apache.spark.sql.functions.col

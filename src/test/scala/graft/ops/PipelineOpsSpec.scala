@@ -758,6 +758,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality constraints: temporal rule fires, structural rules hold, counts check") {
+    val rows = Aggregates.qualityConstraints(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nL = Tables.lineitem(spark, sfSmall).count()
+    val nO = Tables.orders(spark, sfSmall).count()
+    assert(rows("lineitem_quantity_range") == ((nL, 0L)))
+    assert(rows("lineitem_discount_range") == ((nL, 0L)))
+    assert(rows("orders_pk_unique") == ((nO, 0L)))
+    assert(rows("lineitem_fk_orders")._2 == 0L)
+    // the fixture generates l_shipdate independent of o_orderdate, so
+    // the temporal-consistency rule must catch a large slice
+    val (shipChecked, shipViol) = rows("lineitem_ships_after_order")
+    assert(shipChecked == nL && shipViol > nL / 4,
+      s"expected the temporal rule to fire broadly, got $shipViol / $shipChecked")
+    assert(rows.size == 9 && rows.values.forall(v => v._2 <= v._1))
+  }
+
   test("trending top-k matches a local sliding-window leaderboard") {
     val events = Tables.events(spark, sfSmall)
       .select(col("ts"), col("event_type")).collect()
