@@ -135,7 +135,90 @@ object MultimodalOps {
       round(col("byte_sum") / n, 6).as("mean_byte") +: bins: _*)
   }
 
+  /** Nearest-neighbor "resize": keep every [[ResizeStride]]-th byte —
+    * the downsampling plumbing (image thumbnail / audio decimation)
+    * the prompt-side decode would feed. Real resizes interpolate
+    * inside the codec; the Spark-side contract (binary in, smaller
+    * binary out, fingerprint + sizes) is what this pins. Map-only.
+    */
+  private val ResizeStride = 4
+
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        // -- begin fake resize (replace with real interpolation) --
+        val small = Iterator.range(0, bytes.length, ResizeStride)
+          .map(bytes).toArray
+        // -- end fake resize --
+        (docId, bytes.length.toLong, small.length.toLong, small)
+      })
+      .toDF("doc_id", "n_bytes", "n_resized", "resized")
+      .select(col("doc_id"), col("n_bytes"), col("n_resized"),
+        md5(col("resized")).as("resized_md5"))
+  }
+
+  /** Waveform statistics over the payload interpreted as unsigned
+    * 8-bit PCM (centered at 128): RMS energy, peak amplitude, and
+    * silence ratio — the audio-side triage pass (clipped, silent, or
+    * dead channels are dropped before transcription). The batch loop
+    * emits exact integer sums; every double is one rounded IEEE op
+    * on identical integers in both engines.
+    */
+  private val SilenceAmp = 8
+
+  def mmWaveform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        // -- begin fake decode (a real one would parse WAV/FLAC) --
+        var sumsq = 0L
+        var peak = 0L
+        var silent = 0L
+        bytes.foreach { b =>
+          val amp = ((b & 0xff) - 128).toLong
+          sumsq += amp * amp
+          if (math.abs(amp) > peak) peak = math.abs(amp)
+          if (math.abs(amp) < SilenceAmp) silent += 1
+        }
+        // -- end fake decode --
+        (docId, bytes.length.toLong, sumsq, peak, silent)
+      })
+      .toDF("doc_id", "n_samples", "sumsq", "peak", "n_silent")
+    val n = greatest(col("n_samples"), lit(1)).cast("double")
+    stats.select(col("doc_id"), col("n_samples"),
+      round(sqrt(col("sumsq") / n), 6).as("rms"),
+      col("peak"),
+      round(col("n_silent") / n, 6).as("silence_ratio"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("mm_resize",
+      s"""SELECT doc_id, length(text) AS n_bytes,
+         |  CAST(ceil(length(text) / $ResizeStride.0) AS BIGINT) AS n_resized,
+         |  md5(array_to_string(list_transform(
+         |    range(1, length(text) + 1, $ResizeStride),
+         |    i -> substr(text, i, 1)), '')) AS resized_md5
+         |FROM documents""".stripMargin)(mmResize),
+    Q("mm_waveform",
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n_samples,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> ascii(substr(text, i, 1)) - 128) AS amps
+         |  FROM documents)
+         |SELECT doc_id, n_samples,
+         |  round(sqrt(CAST(coalesce(list_sum(list_transform(amps, x -> x * x)), 0)
+         |      AS BIGINT)
+         |    / CAST(greatest(n_samples, 1) AS DOUBLE)), 6) AS rms,
+         |  CAST(coalesce(list_max(list_transform(amps, x -> abs(x))), 0)
+         |    AS BIGINT) AS peak,
+         |  round(CAST(len(list_filter(amps, x -> abs(x) < $SilenceAmp)) AS BIGINT)
+         |    / CAST(greatest(n_samples, 1) AS DOUBLE), 6) AS silence_ratio
+         |FROM b""".stripMargin)(mmWaveform),
     Q("mm_metadata",
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

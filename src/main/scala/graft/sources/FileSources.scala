@@ -134,6 +134,55 @@ object FileSources {
       |  MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS max_batch
       |FROM events GROUP BY 1""".stripMargin
 
+  /** CSV with deterministically planted malformed rows (every
+    * event_id ≡ 0 mod 1000 becomes a line whose numeric fields don't
+    * parse), written once per (JVM, dir) as raw text.
+    */
+  private def corruptCsvDir(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/corrupt/$key"
+    if (!written.contains(out)) {
+      Tables.events(s, dir)
+        .select(
+          when(pmod(col("event_id"), lit(1000)) === 0,
+            concat_ws(",", col("event_id"), lit("oops"), lit("x")))
+            .otherwise(concat_ws(",",
+              col("event_id"), col("user_id"), col("value"))).as("line"))
+        .write.mode("overwrite").text(out)
+      written += out
+    }
+    out
+  }
+
+  /** Robust ingestion: PERMISSIVE CSV parsing with a corrupt-record
+    * column — the malformed-row quarantine pattern a 100 TB text
+    * ingest needs (FAILFAST kills the job on one bad line;
+    * DROPMALFORMED silently loses data — quarantine keeps the
+    * pipeline running AND the evidence). The rollup counts both
+    * populations and sums only cleanly parsed values, so a row
+    * misclassified in either direction flips the result.
+    */
+  def corruptCsv(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(corruptCsvDir(s, dir))
+      .agg(
+        count(when(col("_corrupt").isNull, 1)).as("n_good"),
+        count(col("_corrupt")).as("n_corrupt"),
+        round(sum(when(col("_corrupt").isNull, col("value"))
+          .cast("decimal(18,2)")).cast("double"), 2).as("sum_value_good"))
+
+  private val corruptOracle =
+    """SELECT
+      |  COUNT(*) FILTER (event_id % 1000 <> 0) AS n_good,
+      |  COUNT(*) FILTER (event_id % 1000 = 0) AS n_corrupt,
+      |  round(CAST(SUM(CASE WHEN event_id % 1000 <> 0
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+      |    AS sum_value_good
+      |FROM events""".stripMargin
+
   private val rollupOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -147,5 +196,6 @@ object FileSources {
     Q("source_orc", rollupOracle)(orcEvents),
     Q("source_xml", rollupOracle)(xmlEvents),
     Q("source_evolved_schema", evolvedOracle)(evolvedEvents),
+    Q("source_csv_corrupt", corruptOracle)(corruptCsv),
   )
 }

@@ -55,4 +55,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(last == md5hex(text.substring(text.length - 32)))
     }
   }
+
+  test("resize keeps every 4th byte and fingerprints the downsampled payload") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val got = MultimodalOps.mmResize(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(_._1).toSet == texts.keySet)
+    got.foreach { case (id, n, nr, m) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val small = Iterator.range(0, bytes.length, 4).map(bytes).toArray
+      assert(n == bytes.length.toLong && nr == small.length.toLong, s"doc $id sizes")
+      assert(m == md5hex(small), s"doc $id fingerprint")
+    }
+  }
+
+  test("waveform stats match a local PCM recompute") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = MultimodalOps.mmWaveform(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    got.foreach { case (id, n, rms, peak, silence) =>
+      val amps = texts(id).getBytes("UTF-8").map(b => ((b & 0xff) - 128).toLong)
+      assert(n == amps.length.toLong)
+      assert(rms == round6(math.sqrt(
+        amps.map(a => a * a).sum.toDouble / math.max(amps.length, 1))))
+      assert(peak == (if (amps.isEmpty) 0L else amps.map(math.abs).max))
+      assert(silence == round6(
+        amps.count(a => math.abs(a) < 8).toDouble / math.max(amps.length, 1)))
+    }
+  }
 }

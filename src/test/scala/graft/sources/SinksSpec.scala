@@ -78,4 +78,14 @@ class SinksSpec extends AnyFunSuite {
     val both = spark.read.parquet(p1, p2)
     assert(both.count() == 2 * wc.count())
   }
+
+  test("permissive csv quarantines exactly the planted malformed rows") {
+    val total = Tables.events(spark, sfTiny).count()
+    val planted = Tables.events(spark, sfTiny)
+      .filter(pmod(col("event_id"), lit(1000)) === 0).count()
+    val row = FileSources.corruptCsv(spark, sfTiny).collect().head
+    assert(row.getLong(0) == total - planted, "good-row count off")
+    assert(row.getLong(1) == planted, "corrupt-row count off")
+    assert(planted > 0, "fixture too small to plant any corrupt row")
+  }
 }
