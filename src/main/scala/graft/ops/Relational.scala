@@ -186,8 +186,8 @@ object Relational {
     * shuffles only for the lineitem⋈orders key, exactly once.
     */
   def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
-    val n1 = "NATION_1"
-    val n2 = "NATION_2"
+    val n1 = "NATION_18"
+    val n2 = "NATION_19"
     val supNation = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -493,8 +493,8 @@ object Relational {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
-        |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-        |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |  WHERE (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+        |     OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18'))
         |GROUP BY 1, 2, 3""".stripMargin)(q7NationVolume),
     Q("subquery_scalar",
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price

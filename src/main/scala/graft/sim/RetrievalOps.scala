@@ -182,8 +182,74 @@ object RetrievalOps {
        |  FROM d)
        |SELECT vec_id, dist, dist > thr AS is_outlier FROM d, t""".stripMargin
 
+  // ---- RAG index build ---------------------------------------------
+
+  /** End-to-end retrieval-index build — the composition a RAG corpus
+    * actually runs: quality-gate the documents
+    * (TextAnalysis.qualityFilter), chunk the survivors into
+    * overlapping token windows (TextAnalysis.chunkDocs), and shard
+    * every chunk into its document's IVF inverted list
+    * (SimOps.ivfAssignments). Output is the index manifest: one row
+    * per (kept chunk) with its list id — what an ANN service loads
+    * per shard. Every stage is an oracled operator composed; the
+    * joins are a semi-join on doc_id (AQE-broadcast once the kept
+    * set proves small) and an equi-join onto the assignment frame.
+    */
+  def ragIndex(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.text.TextAnalysis.qualityFilter(s, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val chunks = graft.text.TextAnalysis.chunkDocs(s, dir)
+      .join(kept, Seq("doc_id"), "left_semi")
+    val lists = SimOps.ivfAssignments(s, dir)
+      .withColumnRenamed("vec_id", "doc_id")
+    chunks.join(lists, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        col("cent_id").as("ivf_list"))
+  }
+
+  private val ragOracle = {
+    val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |r AS (
+       |  SELECT doc_id, len(t) AS n_tok,
+       |    round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+       |      AS rep_ratio
+       |  FROM (SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+       |    FROM t0 WHERE len(t) >= 3)),
+       |kept AS (
+       |  SELECT doc_id FROM r
+       |  WHERE NOT (n_tok < 30 OR n_tok > 90 OR rep_ratio > 0.02)),
+       |ch AS (
+       |  SELECT doc_id, st // ${graft.text.TextAnalysis.ChunkStride} AS chunk_idx,
+       |    least(len(t) - st, ${graft.text.TextAnalysis.ChunkSize}) AS n_tok
+       |  FROM t0,
+       |    unnest(range(0, len(t), ${graft.text.TextAnalysis.ChunkStride})) AS u(st)),
+       |${SimOps.normsCte},
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS vcent, nrm AS nrmcent
+       |  FROM n WHERE vec_id < ${SimOps.NumCentroids}),
+       |simc AS (
+       |  SELECT n.vec_id, cents.cent_id,
+       |    list_sum(list_transform(range(1, len(n.v) + 1),
+       |      i -> CAST(n.v[i] AS DOUBLE) * CAST(cents.vcent[i] AS DOUBLE)))
+       |      / (n.nrm * cents.nrmcent) AS cs
+       |  FROM n, cents),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
+       |  WHERE arn = 1)
+       |SELECT ch.doc_id, chunk_idx, ch.n_tok, cent_id AS ivf_list
+       |FROM ch
+       |JOIN kept ON ch.doc_id = kept.doc_id
+       |JOIN assign ON ch.doc_id = assign.vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("rrf_fusion", rrfOracle)(rrfFusion),
     Q("embedding_outliers", outlierOracle)(embeddingOutliers),
+    Q("rag_index", ragOracle)(ragIndex),
   )
 }

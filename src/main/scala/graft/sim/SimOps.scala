@@ -109,8 +109,33 @@ object SimOps {
 
   // ---- IVF ---------------------------------------------------------
 
-  private val NumCentroids = 16
+  private[sim] val NumCentroids = 16
   private val Probes = 4
+
+  /** Corpus → nearest-centroid assignment (the IVF inverted-list
+    * structure), shared by [[cosineTopkIvf]] and the RAG index
+    * composition in [[RetrievalOps]]. Centroids broadcast; the
+    * assignment argmin is a per-vector window over [[NumCentroids]]
+    * candidate rows.
+    */
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("vcent"),
+        col("nrm").as("nrmcent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        vecDot(col("embedding"), col("vcent")) / (col("nrm") * col("nrmcent")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+  }
 
   /** IVF-style ANN: the corpus is partitioned into inverted lists by
     * nearest centroid; a query probes only the lists of its closest
@@ -155,7 +180,7 @@ object SimOps {
         round(col("c"), 6).as("cosine"))
   }
 
-  private val normsCte =
+  private[sim] val normsCte =
     """n AS (
       |  SELECT * FROM (
       |    SELECT vec_id, embedding AS v,
@@ -163,7 +188,7 @@ object SimOps {
       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |    FROM embeddings) WHERE nrm > 0)""".stripMargin
 
-  private val dotSql =
+  private[sim] val dotSql =
     """list_sum(list_transform(range(1, len(q.v) + 1),
       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))""".stripMargin
 

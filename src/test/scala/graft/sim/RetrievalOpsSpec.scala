@@ -61,6 +61,24 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.count(_._3) < rows.length / 2, "more than half flagged")
   }
 
+  test("rag index manifest is exactly kept-docs x their chunks x their ivf list") {
+    val kept = graft.text.TextAnalysis.qualityFilter(spark, sfSmall)
+      .filter(col("keep")).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val chunks = graft.text.TextAnalysis.chunkDocs(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val lists = SimOps.ivfAssignments(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = chunks
+      .filter(c => kept(c._1) && lists.contains(c._1))
+      .map(c => (c._1, c._2, c._3, lists(c._1))).toSet
+    val got = RetrievalOps.ragIndex(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, "manifest diverges from the composed stages")
+    assert(got.nonEmpty && got.map(_._4).size > 1,
+      "manifest should shard across multiple ivf lists")
+  }
+
   test("embedding outlier distance matches a local centroid recompute") {
     val vecs = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), col("embedding")).collect()
