@@ -327,6 +327,123 @@ object Relational {
           .as("m_score"))
   }
 
+  /** TPC-H Q6 shape — the forecast-revenue scan: a single pass over
+    * lineitem with every predicate (date range, discount band,
+    * quantity cap) pushed to the parquet scan and one exact-decimal
+    * sum out. The simplest query in the suite and the purest test of
+    * pushdown: at 100 TB this is min/max-pruned row groups + a
+    * map-only partial aggregate — zero shuffle beyond the final
+    * 1-row exchange.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q10 shape — returned-item ranking: one quarter of orders
+    * joined to 'R'-flagged lineitem, enriched with customer and the
+    * broadcast nation dim, top-20 by lost revenue. Both fact filters
+    * are pushed below the join, so the orderkey shuffle carries only
+    * the quarter × returned-rows intersection; the final ranking is
+    * TakeOrderedAndProject (per-partition heaps), never a full sort.
+    * Ties can't break differently across engines: the sort key
+    * (revenue, c_custkey) is total because c_custkey is in the group.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: a LEFT join
+    * so zero-order customers survive, then two aggregations (orders
+    * per customer, customers per count). The reference's comment-LIKE
+    * filter has no fixture column; the '4-NOT SPECIFIED' priority
+    * plays the excluded class. The histogram's second aggregate
+    * groups on a value with ~tens of distinct counts — the classic
+    * shrinking re-aggregation that AQE coalesces to a handful of
+    * partitions.
+    */
+  def q13OrderCounts(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * revenue-per-supplier aggregate is computed once, its 1-row max
+    * broadcast back onto it (exact decimal equality — no double
+    * epsilon games), and winners enriched from the supplier dim.
+    * The "view used twice" of the official query becomes one frame
+    * reused in two subplans; Spark evaluates the scan twice rather
+    * than caching — correct and cheap since the aggregate output is
+    * supplier-cardinality, and at 100 TB you'd persist the revenue
+    * frame explicitly between the two uses.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("r"))
+    val mx = rev.agg(max(col("r")).as("mr"))
+    rev.join(broadcast(mx), col("r") === col("mr"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("r").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive brand/size/quantity predicate over
+    * the part join: three (brand, size-range, quantity-range)
+    * conjuncts OR-ed together. The join key is shared by all three
+    * arms, so this stays ONE broadcast hash join with the disjunction
+    * as a residual filter — not a UNION of three joins — and Catalyst
+    * extracts the common p_partkey equality. The arm predicates
+    * reference both sides, which is exactly what a residual is for.
+    */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    def arm(brand: String, szHi: Int, qLo: Double, qHi: Double): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+        arm("Brand#3", 15, 20, 30))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
@@ -434,6 +551,65 @@ object Relational {
         |FROM orders
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin)(q18LargeOrders),
+    Q("q6_forecast",
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)(q6Forecast),
+    Q("q10_returned_items",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)(q10ReturnedItems),
+    Q("q13_order_counts",
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust GROUP BY 1""".stripMargin)(q13OrderCounts),
+    Q("q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT MAX(r) FROM rev)""".stripMargin)(q15TopSupplier),
+    Q("q19_discounted_revenue",
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)(q19DiscountedRevenue),
     Q("q1_agg", q1Sql)(q1Agg),
     Q("q1_sql", q1Sql)(q1SqlEntry),
     Q("q3_shipping",
