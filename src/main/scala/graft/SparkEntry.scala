@@ -21,6 +21,7 @@ object SparkEntry {
       graft.mr.MrJobs.all ++ graft.text.TextAnalysis.all ++
       graft.stream.StreamOps.all ++ graft.mm.MultimodalOps.all ++
       graft.functions.TypedAggregators.all ++ graft.sources.FileSources.all ++
+      graft.sources.Bucketed.all ++
       graft.ml.ClusterOps.all ++ graft.graph.GraphOps.all ++
       graft.text.CurationRules.all ++ graft.sim.RetrievalOps.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
