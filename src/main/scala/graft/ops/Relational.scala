@@ -444,6 +444,151 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q4 shape — late-shipping order priorities: one quarter of
+    * orders kept when ANY of their lineitems shipped more than 30
+    * days after the order date. The EXISTS decorrelates to a left
+    * SEMI join (first match short-circuits — no fan-out, no distinct
+    * needed), with the 30-day comparison as the join residual. The
+    * fixture lacks TPC-H's commit/receipt dates, so ship-vs-order
+    * lateness plays the Q4 predicate (reference has no date columns
+    * at all; this is the Spark-idiomatic shape of the query class).
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+    o.join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q8 shape — market share: of the revenue ASIA-region
+    * customers generated in 1996–1997, what fraction was supplied by
+    * NATION_2's suppliers, per year. `nation` joins in TWO roles
+    * (customer side restricting to the region, supplier side naming
+    * the competitor) — both broadcast, so the fact pipeline
+    * lineitem⋈orders⋈customer shuffles only on its own keys. The
+    * share division happens once per year row; sums stay exact
+    * decimal until then.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .withColumn("vol", dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round((sum(when(col("supp_nation") === "NATION_2", col("vol"))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          / sum(col("vol"))).cast("double"), 6).as("mkt_share"),
+        sum(col("vol")).cast("double").as("total_volume"))
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and
+    * year: every lineitem whose part name contains 'widget', revenue
+    * grouped by the supplying nation and order year. Part, supplier,
+    * and nation are broadcast dims; orders joins on the fact's own
+    * orderkey — one fact shuffle total. (No partsupp table in the
+    * fixture, so profit = revenue without supply cost; the join
+    * topology — fact × 3 dims + orders — is the Q9 shape.)
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("profit"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q16 shape — supplier diversity per part attribute:
+    * distinct supplying suppliers per (brand, size), excluding one
+    * brand and the small sizes. The fixture has no partsupp, so the
+    * observed lineitem (partkey, suppkey) pairs play the relation —
+    * same shape: a distinct aggregation over a join, where the
+    * distinct is a second shuffle on (brand, size, suppkey) before
+    * the count (Spark plans count(DISTINCT) as expand+two-phase agg).
+    */
+  def q16SupplierParts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#45" && col("p_size") > 10)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q17 shape — small-quantity revenue: lineitems of one brand
+    * whose quantity is below 20% of that part's average quantity.
+    * The correlated scalar subquery decorrelates to a per-part
+    * aggregate joined back on partkey. The threshold compare avoids
+    * division entirely — `5 · qty · count < sum` in exact decimal —
+    * so no float rounding can flip a boundary row in either engine.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("cq") < col("sq"))
+      .agg(
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q22 shape — dormant high-balance customers: above the
+    * positive-balance average, with no orders at all. The global
+    * average arrives as a broadcast 1-row aggregate; the compare is
+    * division-free (`bal · n > sum` in decimal, exact in both
+    * engines); dormancy ("no orders since 1999") is a left ANTI join
+    * — the 100 TB-safe form of NOT EXISTS (never a NOT IN, whose
+    * null semantics also force a nullable-aware plan) — with the date
+    * filter pushed below it so the anti side shrinks at the scan.
+    * (Unscoped Q22 "no orders ever" is empty at every fixture scale —
+    * all high-balance customers have some order — so the dormancy
+    * window keeps the query demonstrably non-trivial.)
+    */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sb"), count(lit(1)).as("cb"))
+    Tables.customer(s, dir)
+      .join(broadcast(avgBal))
+      .filter(dec(col("c_acctbal")) * col("cb") > col("sb"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
+
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
@@ -610,6 +755,83 @@ object Relational {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)(q19DiscountedRevenue),
+    Q("q4_order_priority",
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin)(q4OrderPriority),
+    Q("q8_market_share",
+      """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |  round(CAST(
+        |    SUM(CASE WHEN n2.n_name = 'NATION_2' THEN vol
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) / SUM(vol)
+        |    AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_volume
+        |FROM (
+        |  SELECT l_suppkey, o_orderdate,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') f
+        |JOIN supplier ON f.l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1""".stripMargin)(q8MarketShare),
+    Q("q9_profit",
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin)(q9Profit),
+    Q("q16_supplier_parts",
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_size > 10
+        |GROUP BY 1, 2""".stripMargin)(q16SupplierParts),
+    Q("q17_small_quantity",
+      """WITH per_part AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    COUNT(*) AS cq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN per_part ON l_partkey = pk
+        |WHERE p_brand = 'Brand#23'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq""".stripMargin)(
+      q17SmallQuantity),
+    Q("q22_global_sales",
+      """WITH t AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sb,
+        |    COUNT(*) AS cb
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cb > sb
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin)(q22GlobalSales),
     Q("q1_agg", q1Sql)(q1Agg),
     Q("q1_sql", q1Sql)(q1SqlEntry),
     Q("q3_shipping",
