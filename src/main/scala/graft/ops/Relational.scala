@@ -589,6 +589,32 @@ object Relational {
         sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
   }
 
+  /** Global contiguous row IDs — the scale-safe form of
+    * `row_number() OVER (ORDER BY …)`. An un-partitioned window drags
+    * the whole table onto ONE task (WindowExec warns exactly this);
+    * training pipelines need dense example ids over billions of rows,
+    * so that form is disqualified at 100 TB. The distributed shape:
+    * range-partition by the order key (partition i's keys all precede
+    * partition i+1's), sort within partitions, then `zipWithIndex` —
+    * which runs one tiny job to count rows per partition, prefix-sums
+    * the counts on the driver (numPartitions longs, not data), and
+    * stamps offsets map-side. Total order without any single-task
+    * stage. Output deliberately matches the ROW_NUMBER oracle
+    * bit-for-bit: determinism comes from the total key order, not
+    * from partition boundaries (wherever the sampled range bounds
+    * land, concatenating sorted ranges is the same global order).
+    */
+  def globalRowIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sorted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    sorted.rdd.zipWithIndex()
+      .map { case ((id, src), idx) => (id, src, idx + 1L) }
+      .toDF("doc_id", "source", "row_id")
+  }
+
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
@@ -628,6 +654,10 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
+    Q("global_row_ids",
+      """SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
+        |FROM documents""".stripMargin)(globalRowIds),
     Q("cdc_merge",
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS segment, c_acctbal AS bal
