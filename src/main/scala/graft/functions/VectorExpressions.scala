@@ -49,16 +49,23 @@ case class DotProductFloat(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: two vec_dot calls in one projection would otherwise
+    // redeclare the same locals and Janino rejects the whole generated
+    // class — silently demoting the projection to interpreter mode
+    val n = ctx.freshName("vdN")
+    val s = ctx.freshName("vdS")
+    val i = ctx.freshName("vdI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductFloat =

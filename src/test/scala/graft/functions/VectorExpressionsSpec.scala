@@ -33,6 +33,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("two vec_dot instances compile in ONE generated projection") {
+    // UnsafeProjection.create catches Janino errors and silently
+    // interprets — generate() rethrows, so this fails loudly if the
+    // codegen re-declares locals across instances (the bug this pins).
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val ref = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val dot = DotProductFloat(ref, ref)
+    GenerateUnsafeProjection.generate(Seq(dot, dot))
+    // and via the full query path: a projection using vec_dot twice
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("ab"),
+      VectorFunctions.vecDot(col("a"), col("a")).as("aa")).head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+
   test("GraftExtensions registers vec_dot; SQL surface works") {
     // extensions apply at session build; here exercise the injection
     // call itself plus the same registry path on a derived session
