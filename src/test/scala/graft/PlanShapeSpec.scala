@@ -45,6 +45,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q6_forecast pushes every predicate to the scan and partial-aggregates") {
+    val p = plan("q6_forecast")
+    // the plan string truncates long PushedFilters lists mid-token, so
+    // match a prefix that survives truncation
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipda"),
+      s"date range not pushed:\n${p.take(1500)}")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q8_market_share broadcasts every dimension (fact side never reshuffles for dims)") {
+    val p = plan("q8_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins (custNation, supplier, suppNation), got $broadcasts")
+  }
+
+  test("q17_small_quantity joins the decorrelated per-part aggregate without BNLJ") {
+    val p = plan("q17_small_quantity")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "correlated-subquery decorrelation produced a nested-loop join")
+    assert(p.contains("partial_"), "per-part aggregate lost its partial phase")
+  }
+
   test("only the documented brute-force queries use nested-loop/cartesian joins") {
     val allowed = Set(
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
