@@ -290,7 +290,86 @@ object WindowOps {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Deterministic per-group sample — the distributed replacement for
+    * "give me N examples per language": rank by a hash of the key
+    * (md5 so the DuckDB oracle reproduces the order bit-for-bit, as
+    * [[graft.dedup.DedupOps.simhash60]] does) and keep the first
+    * [[SamplePerGroup]] per group. The rank-≤-k filter under a
+    * partitioned window triggers Spark's WindowGroupLimit: each
+    * partition keeps a k-row heap per group BEFORE the full sort, so
+    * the shuffle carries O(groups·k), not the corpus — pinned in
+    * PlanShapeSpec. Unlike rand()-based sampling this is reproducible
+    * across runs, partitionings, and engines.
+    */
+  private val SamplePerGroup = 5
+
+  def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SamplePerGroup)
+  }
+
+  /** Step-function time-weighted average of `value` per user — the
+    * telemetry/billing aggregate (mean held value over time, not over
+    * samples). Each event's value holds until the next event; weights
+    * are exact microsecond deltas from ONE partitioned lead() pass —
+    * no self-join, no range join. Output keeps the exact-decimal
+    * numerator and integer span alongside the quotient: both division
+    * operands are exact, so the IEEE result is bit-identical across
+    * engines (same policy as [[ewmaSmooth]]).
+    *
+    * Weights are MILLIsecond deltas, not microseconds, and that is
+    * load-bearing: with µs weights the numerator's decimal mantissa
+    * passes 2^53, where decimal→double needs two roundings
+    * (int128→double, then ÷10^scale) and engines legitimately differ
+    * by 1 ulp. At ms granularity the mantissa stays integer-exact in
+    * a double, the cast is single-rounded, and both engines agree
+    * bit-for-bit.
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts) div 1000").as("t_ms"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("nt", lead(col("t_ms"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("v") * (col("nt") - col("t_ms"))).as("num"),
+        sum(col("nt") - col("t_ms")).as("span"))
+      .select(col("user_id"),
+        col("num").cast("double").as("weighted_sum"),
+        col("span").cast("long").as("span_ms"),
+        (col("num").cast("double") / col("span").cast("double")).as("twa"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sample_per_group",
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |FROM documents
+        |QUALIFY rn <= 5""".stripMargin)(samplePerGroup),
+    Q("time_weighted_avg",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t_ms,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    LEAD(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nt
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(v * (nt - t_ms)) AS DOUBLE) AS weighted_sum,
+        |  CAST(SUM(nt - t_ms) AS BIGINT) AS span_ms,
+        |  CAST(SUM(v * (nt - t_ms)) AS DOUBLE)
+        |    / CAST(SUM(nt - t_ms) AS DOUBLE) AS twa
+        |FROM e WHERE nt IS NOT NULL
+        |GROUP BY 1""".stripMargin)(timeWeightedAvg),
     Q("fill_gaps",
       """WITH e AS (
         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,

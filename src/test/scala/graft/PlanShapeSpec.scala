@@ -67,6 +67,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "per-part aggregate lost its partial phase")
   }
 
+  test("sample_per_group engages WindowGroupLimit (per-group heaps, not full sort)") {
+    val p = plan("sample_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter did not trigger group-limit pushdown:\n${p.take(1500)}")
+  }
+
   test("only the documented brute-force queries use nested-loop/cartesian joins") {
     val allowed = Set(
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
