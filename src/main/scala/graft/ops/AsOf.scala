@@ -22,7 +22,13 @@ object AsOf {
 
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
+    // two clicks in the same truncated microsecond are an ambiguous
+    // as-of antecedent (ASOF JOIN has no tiebreak to express) — keep
+    // the max-event_id click per (user, ts) on BOTH engine sides so
+    // the carried value is deterministic at any collision rate
     val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         lit(null).cast("long").as("p_event_id"),
         col("value").as("c_value"), col("ts").as("c_ts"))
@@ -57,16 +63,22 @@ object AsOf {
     */
   def asofNearest(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
+    // oid: every window op in this repo breaks same-microsecond ties
+    // on event_id; without it, which of two tied clicks is carried is
+    // partition-order luck (and can diverge from the oracle)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("oid"),
         lit(null).cast("long").as("p_event_id"),
         col("value").as("c_value"), col("ts").as("c_ts"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("oid"),
         col("event_id").as("p_event_id"),
         lit(null).cast("double").as("c_value"),
         lit(null).cast("timestamp").as("c_ts"))
-    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("oid"))
     val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val m = clicks.unionAll(purchases)
@@ -91,11 +103,12 @@ object AsOf {
     Q("asof_nearest",
       """WITH u AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS side,
+        |    event_id AS oid,
         |    CAST(NULL AS BIGINT) AS p_event_id,
         |    value AS c_value, CAST(ts AS TIMESTAMP) AS c_ts
         |  FROM events WHERE event_type = 'click'
         |  UNION ALL
-        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL, NULL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, event_id, NULL, NULL
         |  FROM events WHERE event_type = 'purchase'),
         |m AS (
         |  SELECT side, p_event_id, ts,
@@ -105,9 +118,9 @@ object AsOf {
         |    first_value(c_ts IGNORE NULLS) OVER wnext AS nt
         |  FROM u
         |  WINDOW
-        |    wprev AS (PARTITION BY user_id ORDER BY ts, side
+        |    wprev AS (PARTITION BY user_id ORDER BY ts, side, oid
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wnext AS (PARTITION BY user_id ORDER BY ts, side
+        |    wnext AS (PARTITION BY user_id ORDER BY ts, side, oid
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT p_event_id AS event_id,
         |  CASE WHEN nt IS NULL OR (pt IS NOT NULL
@@ -127,7 +140,9 @@ object AsOf {
         |  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
         |  c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(asofJoin),
   )
 }

@@ -199,7 +199,7 @@ object Relational {
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
-      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
       .filter(
         (col("supp_nation") === n1 && col("cust_nation") === n2) ||
           (col("supp_nation") === n2 && col("cust_nation") === n1))

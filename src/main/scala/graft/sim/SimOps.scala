@@ -112,13 +112,16 @@ object SimOps {
   private[sim] val NumCentroids = 16
   private val Probes = 4
 
-  /** Corpus → nearest-centroid assignment (the IVF inverted-list
-    * structure), shared by [[cosineTopkIvf]] and the RAG index
-    * composition in [[RetrievalOps]]. Centroids broadcast; the
-    * assignment argmin is a per-vector window over [[NumCentroids]]
-    * candidate rows.
+  /** The shared IVF substrate: normed corpus (zero vectors dropped),
+    * per-(vector, centroid) cosine scores from a broadcast cross of
+    * the [[NumCentroids]] centroid rows, and the argmin window. Every
+    * IVF consumer ([[ivfAssignments]], [[cosineTopkIvf]],
+    * [[RetrievalOps]]'s RAG index) derives from this one builder so
+    * centroid selection and the zero-norm guard cannot drift apart.
     */
-  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+  private[sim] def ivfSubstrate(
+      s: SparkSession, dir: String): (DataFrame, DataFrame,
+      org.apache.spark.sql.expressions.WindowSpec) = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
@@ -127,11 +130,23 @@ object SimOps {
     val cents = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("vcent"),
         col("nrm").as("nrmcent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cent_id"))
-    e.crossJoin(broadcast(cents))
+    val simToCent = e.crossJoin(broadcast(cents))
       .withColumn("cs",
         vecDot(col("embedding"), col("vcent")) / (col("nrm") * col("nrmcent")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    (e, simToCent, wAssign)
+  }
+
+  /** Corpus → nearest-centroid assignment (the IVF inverted-list
+    * structure), shared by [[cosineTopkIvf]] and the RAG index
+    * composition in [[RetrievalOps]]. Centroids broadcast; the
+    * assignment argmin is a per-vector window over [[NumCentroids]]
+    * candidate rows.
+    */
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+    val (_, simToCent, wAssign) = ivfSubstrate(s, dir)
+    simToCent
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("cent_id"))
@@ -147,16 +162,7 @@ object SimOps {
     * touches P/K of the corpus.
     */
   def cosineTopkIvf(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      .filter(col("nrm") > 0) // cosine undefined for zero vectors; ANSI-safe
-    val cents = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("vcent"), col("nrm").as("nrmcent"))
-    val simToCent = e.crossJoin(broadcast(cents))
-      .withColumn("cs", vecDot(col("embedding"), col("vcent")) / (col("nrm") * col("nrmcent")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    val (e, simToCent, wAssign) = ivfSubstrate(s, dir)
     val assign = simToCent
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)

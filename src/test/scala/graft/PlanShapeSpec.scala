@@ -54,6 +54,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
 
+  test("q7_nation_volume broadcasts both nation-role dimensions") {
+    val p = plan("q7_nation_volume")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected supNation AND custNation broadcast, got $broadcasts")
+  }
+
   test("q8_market_share broadcasts every dimension (fact side never reshuffles for dims)") {
     val p = plan("q8_market_share")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
