@@ -41,4 +41,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Injective filesystem/identifier key for a fixture dir. The
+    * readable sanitized form alone is NOT injective ("/data/a-b" and
+    * "/data/a_b" both sanitize to "_data_a_b" — two fixtures would
+    * silently share one cached tmp copy), so an md5 prefix of the
+    * original path is appended to make distinct dirs distinct.
+    */
+  def dirKey(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(dir.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$h"
+  }
 }

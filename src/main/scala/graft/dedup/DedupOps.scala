@@ -498,16 +498,6 @@ object DedupOps {
         when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
   }
 
-  /** Benchmark decontamination: find training documents sharing word
-    * 5-grams with a held-out eval set (here the doc_id < [[EvalDocs]]
-    * prefix stands in for the benchmark). Per-pair distinct-shingle
-    * overlap counts, `severe` flagging heavy contamination. The scale
-    * shape is the decisive part: eval sets are tiny relative to a
-    * 100 TB corpus, so the eval shingle side is broadcast and the
-    * training corpus is scanned once with NO shuffle before the
-    * (already candidate-only) aggregation — decontamination cost is
-    * one pass over the corpus, not a corpus×corpus join.
-    */
   /** Distinct 5-gram shingle hashes of `docs` — filter BEFORE this,
     * not after: a filter above the typed flatMap can't be pushed
     * through DeserializeToObject, so shingling a pre-filtered scan is
@@ -525,6 +515,16 @@ object DedupOps {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
   }
 
+  /** Benchmark decontamination: find training documents sharing word
+    * 5-grams with a held-out eval set (here the doc_id < [[EvalDocs]]
+    * prefix stands in for the benchmark). Per-pair distinct-shingle
+    * overlap counts, `severe` flagging heavy contamination. The scale
+    * shape is the decisive part: eval sets are tiny relative to a
+    * 100 TB corpus, so the eval shingle side is broadcast and the
+    * training corpus is scanned once with NO shuffle before the
+    * (already candidate-only) aggregation — decontamination cost is
+    * one pass over the corpus, not a corpus×corpus join.
+    */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // each side shingles its own pre-filtered scan: the eval side

@@ -42,7 +42,21 @@ object GraphOps {
     * against summation-order ulps. Dangling mass is dropped (the
     * standard simplified variant), identically on both sides.
     */
-  def pageRank(s: SparkSession, dir: String): DataFrame = {
+  /** Keyed result cache — one materialized (vocab-sized) rank frame
+    * per (session, dataset), the verifiedPairs discipline: without
+    * the key, every pageRank call pinned a fresh cached copy for the
+    * session's lifetime and repeated bench/registry sweeps grew
+    * storage memory without bound.
+    */
+  private val prCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  def pageRank(s: SparkSession, dir: String): DataFrame = synchronized {
+    prCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    prCache.getOrElseUpdate((s, dir), pageRankUncached(s, dir))
+  }
+
+  private def pageRankUncached(s: SparkSession, dir: String): DataFrame = {
     val ew = edges(s, dir).cache()
     val nodes = ew.select(col("w1").as("node"))
       .union(ew.select(col("w2").as("node"))).distinct().cache()

@@ -84,6 +84,15 @@ object ClusterOps {
     * matches the oracle's BIGINT cent_id.
     */
   def assignFrame(vectors: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    // No centroids → no assignments. Without this, array_max over an
+    // empty sims array yields null clusters for EVERY row (the oracle
+    // returns zero rows) and downstream getLong(0) on the null
+    // cluster crashes the Lloyd update.
+    if (cents.isEmpty)
+      return vectors.filter(lit(false))
+        .select(col("vec_id"), col("embedding"),
+          lit(null).cast("long").as("cluster"),
+          lit(null).cast("double").as("cs"))
     val sims = array(cents.map { case (_, v) => simTo(v) }: _*)
     val ids = typedLit(cents.map(_._1))
     vectors

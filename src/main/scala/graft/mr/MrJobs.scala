@@ -61,7 +61,7 @@ object MrJobs {
   private val rawDirs = scala.collection.mutable.Map[String, String]()
   def rawTextDir(s: SparkSession, dir: String): String = synchronized {
     rawDirs.getOrElseUpdate(dir, {
-      val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val key = graft.Tables.dirKey(dir)
       val out = s"${sys.props("java.io.tmpdir")}/graft-raw/$key"
       Tables.documents(s, dir).select("text")
         .write.mode("overwrite").text(out)

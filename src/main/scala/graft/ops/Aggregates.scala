@@ -249,9 +249,8 @@ object Aggregates {
     */
   def tableChecksum(s: SparkSession, dir: String): DataFrame = {
     val rowHash = pmod(
-      conv(substring(md5(concat_ws("|", col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_mktsegment")).cast("binary")), 1, 15),
-        16, 10).cast("long"),
+      graft.text.SplitHash.fold(concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).cast("binary")),
       lit(2147483647L))
     Tables.customer(s, dir)
       .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
@@ -357,11 +356,11 @@ object Aggregates {
   val all: Seq[Q] = Seq(
     Q("quality_constraints", constraintsOracle)(qualityConstraints),
     Q("table_checksum",
-      """SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(('0x' || substr(md5(
-        |    concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)),
-        |    1, 15)) AS BIGINT) % 2147483647) AS BIGINT) AS checksum
-        |FROM customer""".stripMargin)(tableChecksum),
+      s"""SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(${graft.text.SplitHash.foldSql(
+              "concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)")}
+         |    % 2147483647) AS BIGINT) AS checksum
+         |FROM customer""".stripMargin)(tableChecksum),
     Q("skew_report",
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
         |t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c),

@@ -72,11 +72,13 @@ object Relational {
     * engine, and that the oracle dialect is genuinely shared.
     */
   def q1SqlEntry(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    // resolution happens inside sql(); drop the view immediately so a
-    // registry query doesn't leave a session-global name behind that
-    // would silently pin this dir for later user SQL
-    try s.sql(q1Sql) finally s.catalog.dropTempView("lineitem")
+    // newSession(): same SparkContext and shared state, but an
+    // ISOLATED temp-view namespace — registering "lineitem" in the
+    // caller's session would clobber (and the cleanup drop would then
+    // delete) a user view of the same name
+    val s2 = s.newSession()
+    Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
+    try s2.sql(q1Sql) finally s2.catalog.dropTempView("lineitem")
   }
 
   // ---------------------------------------------------------------

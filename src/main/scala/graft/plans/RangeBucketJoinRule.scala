@@ -127,17 +127,33 @@ object RangeBucketJoinRule extends Rule[LogicalPlan] {
     // plan-time bucket expansion of the literal bands
     val expanded: Seq[InternalRow] = ranges.zip(bands.data).flatMap {
       case ((l, h), row) =>
+        // Band bucket range MUST be computed with the same IEEE ops as
+        // the probe's floor(v / w): division is monotonic, so l <= v
+        // (<=|<) h implies floor(l/w) <= floor(v/w) <= floor(h/w) and
+        // [b0, b1] covers every reachable probe bucket. The tempting
+        // ceil(h/w)-1 for the exclusive bound is NOT safe: when the
+        // true quotient h/w rounds DOWN to an exact integer k,
+        // ceil gives k and b1 = k-1, yet a probe v just below h can
+        // still round to floor(v/w) = k — its bucket would have no
+        // band row and the rewrite would silently drop a matching
+        // row. One occasionally-superfluous bucket row is free (the
+        // exact predicate rides along as the residual filter).
         val b0 = math.floor(l / w).toLong
-        val b1 = math.ceil(h / w).toLong - 1
-        if (b1 - b0 >= MaxBands) return None // degenerate width; keep BNLJ
+        val b1 = math.floor(h / w).toLong
+        if (b1 - b0 > MaxBands) return None // degenerate width; keep BNLJ
         (b0 to math.max(b0, b1)).map { b =>
           InternalRow.fromSeq(row.toSeq(bands.schema) :+ b)
         }
     }
     val bandBucket = AttributeReference("graft_band_bucket", LongType, nullable = false)()
     val expandedRel = LocalRelation(bands.output :+ bandBucket, expanded)
+    // TRY cast: a probe value extreme enough that floor(v/w) leaves
+    // long range cannot match any expanded band bucket anyway, so a
+    // null bucket (equi join: no match) reproduces the original
+    // no-row semantics where an ANSI cast would fail the whole query
     val probeBucket = Alias(
-      Cast(Floor(Divide(v, Literal(w, DoubleType))), LongType),
+      Cast(Floor(Divide(v, Literal(w, DoubleType))), LongType,
+        None, EvalMode.TRY),
       "graft_probe_bucket")()
     val probeProj = Project(probe.output :+ probeBucket, probe)
     val newCond = And(EqualTo(probeBucket.toAttribute, bandBucket), cond)

@@ -32,8 +32,7 @@ object Bucketed {
 
   private val Buckets = 8
 
-  private def ident(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private def ident(dir: String): String = graft.Tables.dirKey(dir)
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

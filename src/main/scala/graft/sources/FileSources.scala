@@ -28,7 +28,7 @@ object FileSources {
     * DuckDB's epoch_us(ts).
     */
   private def eventsAs(s: SparkSession, dir: String, format: String): String = synchronized {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val key = Tables.dirKey(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft-src/$format/$key"
     if (!written.contains(out)) {
       Tables.events(s, dir)
@@ -87,7 +87,7 @@ object FileSources {
     * both generations from the fixture.
     */
   private def evolvedDir(s: SparkSession, dir: String): String = synchronized {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val key = Tables.dirKey(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft-src/evolve/$key"
     if (!written.contains(out)) {
       val ev = Tables.events(s, dir)
@@ -139,7 +139,7 @@ object FileSources {
     * parse), written once per (JVM, dir) as raw text.
     */
   private def corruptCsvDir(s: SparkSession, dir: String): String = synchronized {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val key = Tables.dirKey(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft-src/corrupt/$key"
     if (!written.contains(out)) {
       Tables.events(s, dir)

@@ -22,13 +22,26 @@ import graft.{Q, Tables}
   * the corpus manifest's split labels.
   */
 object SplitHash {
+  /** The md5-prefix → long fold every hashed-bucket operator builds
+    * on (split buckets, feature hashing, table checksums). ONE Scala
+    * form and ONE oracle form — a change to the prefix length or the
+    * cast chain lands everywhere or nowhere.
+    */
+  def fold(bin: Column): Column =
+    conv(substring(md5(bin), 1, 15), 16, 10).cast("long")
+
+  /** [[fold]] in the shared oracle dialect; `expr` must already be a
+    * VARCHAR expression.
+    */
+  def foldSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
   def bucket(c: Column): Column =
-    pmod(conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long"), lit(1000L))
+    pmod(fold(c.cast("string").cast("binary")), lit(1000L))
 
   /** The identical computation in the shared oracle dialect. */
   def bucketSql(expr: String): String =
-    s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+    s"${foldSql(s"CAST($expr AS VARCHAR)")} % 1000"
 }
 
 object TextAnalysis {
@@ -739,8 +752,7 @@ object TextAnalysis {
     * [[SplitHash]]), exposed for direct spec verification.
     */
   def hashBucket(c: Column): Column =
-    pmod(conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
-      .cast("long"), lit(HashDim))
+    pmod(SplitHash.fold(c.cast("binary")), lit(HashDim))
 
   def featureHashing(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -753,7 +765,7 @@ object TextAnalysis {
     Q.noOracle("approx_top_k_words")(approxTopKWords),
     Q("feature_hashing",
       s"""SELECT doc_id,
-         |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $HashDim
+         |  ${SplitHash.foldSql("tok")} % $HashDim
          |    AS bucket,
          |  COUNT(*) AS cnt
          |FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
