@@ -26,6 +26,13 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dirKey is injective where plain sanitization collides") {
+    assert(Tables.dirKey("/data/a-b") != Tables.dirKey("/data/a_b"))
+    assert(Tables.dirKey("/data/sf0.1") != Tables.dirKey("/data/sf0_1"))
+    assert(Tables.dirKey("/x") == Tables.dirKey("/x")) // stable
+    assert(Tables.dirKey("/x").matches("[A-Za-z0-9_]+"), "filesystem/identifier-safe")
+  }
+
   SparkEntry.registry.foreach { q =>
     test(s"query ${q.name} runs at sf0.001") {
       val df = q.fn(spark, sfTiny)

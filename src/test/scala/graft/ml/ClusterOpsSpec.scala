@@ -7,6 +7,13 @@ import graft.{Tables, TestSpark}
 class ClusterOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("assignFrame with no centroids returns an empty typed frame, not null clusters") {
+    val vecs = ClusterOps.withNorm(Tables.embeddings(spark, sfTiny))
+    val out = ClusterOps.assignFrame(vecs, Nil)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "cluster", "cs"))
+    assert(out.count() == 0)
+  }
+
   test("kmeans_assign covers every nonzero vector exactly once") {
     val assign = ClusterOps.kmeansAssign(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
