@@ -38,6 +38,64 @@ class RunningTotalsProcessor
   }
 }
 
+/** Closed-session summary emitted by [[SessionTimeoutProcessor]]
+  * when a user's event-time timer expires.
+  */
+case class SessionClosed(user_id: Long, n_events: Long, total_value: Double)
+
+/** Timer-driven session close on the transformWithState API: each
+  * input batch extends the user's running (count, sum) and re-arms an
+  * EVENT-TIME timer at lastEvent + gap; when the watermark passes the
+  * timer, [[handleExpiredTimer]] emits the closed session exactly
+  * once and clears state. This is the push-based complement to
+  * [[StreamOps.sessionStream]]'s session_window aggregation — the
+  * processor shape a pipeline uses when session close must trigger an
+  * ACTION (emit to a queue, score, expire a cache), not just land in
+  * an aggregate. State is one (n, sum, timerMs) triple per live user:
+  * bounded by concurrent sessions, not corpus size.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Double, java.sql.Timestamp), SessionClosed] {
+
+  @transient private var agg: ValueState[(Long, Double, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[(Long, Double, Long)](
+      "agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[SessionClosed] = {
+    var (n, total, oldTimer) = if (agg.exists()) agg.get() else (0L, 0.0, -1L)
+    var maxTs = -1L
+    rows.foreach { case (_, v, t) =>
+      n += 1; total += v; maxTs = math.max(maxTs, t.getTime)
+    }
+    // one live timer per key: re-arm instead of accumulating
+    if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
+    val timer = maxTs + gapMs
+    getHandle.registerTimer(timer)
+    agg.update((n, total, timer))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClosed] = {
+    val out =
+      if (agg.exists()) {
+        val (n, total, _) = agg.get()
+        Iterator.single(SessionClosed(key, n, math.round(total * 100) / 100.0))
+      } else Iterator.empty
+    agg.clear()
+    out
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.4: the reference has no
   * streaming at all — this is part of the capability gap our engine
   * closes). Each window shape is ONE transform function that accepts
@@ -169,6 +227,25 @@ object StreamOps {
       .groupByKey(_._1)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[SessionTimeoutProcessor]] over a watermarked stream: sessions
+    * close (and emit) when event time advances `gap` past a user's
+    * last event. Streaming-only (timers require TimeMode.EventTime);
+    * the batch-checkable twin of the same semantics is
+    * [[eventsSession]] / sessionAgg.
+    */
+  def sessionTimeoutStream(
+      events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "0 seconds"): Dataset[SessionClosed] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "value", "ts")
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =

@@ -127,6 +127,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    // 30-min gap; zero watermark delay so event time advances directly
+    val q = StreamOps.sessionTimeoutStream(stream.toDF())
+      .writeStream.format("memory").queryName("sess_timer")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart — one session; user 2 keeps
+      // the stream (and watermark) moving
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.5, 1),
+        Ev(ts("2024-01-01 00:10:00"), "click", 2.5, 1))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is only at 00:10
+      assert(spark.table("sess_timer").count() == 0)
+      // an event >30 min later (other user) pushes the watermark past
+      // user 1's timer (00:40) → their session closes and emits once
+      stream.addData(Ev(ts("2024-01-01 01:00:00"), "view", 9.0, 2))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 02:00:00"), "view", 1.0, 2))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timer")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 4.0)),
+        s"user 1 session not closed: $rows")
+      assert(rows.count(_._1 == 1L) == 1, "session emitted more than once")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join enriches events against a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
