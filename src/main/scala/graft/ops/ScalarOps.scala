@@ -82,6 +82,22 @@ object ScalarOps {
       .select(col("event_id"), col("p.k").as("k"),
         to_json(struct(col("p.k").as("k"))).as("canon"))
 
+  /** Spark 4 VARIANT — the semi-structured path for payloads whose
+    * shape is NOT declared up front (from_json needs a schema,
+    * get_json_object re-parses the string per extraction). parse_json
+    * builds the binary variant once; variant_get navigates it typed;
+    * schema_of_variant reports the discovered shape. At 100 TB this
+    * is the ingestion-side answer to schema drift: land the payload
+    * as VARIANT, extract lazily, let the shape vary row to row
+    * without a reader schema change.
+    */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(parse_json(col("props")).as("v"))
+      .select(variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+
   /** MapType functions: construct a map, read keys/values/lookups.
     * The fixtures carry no MapType column, so the map is built from
     * order columns — the functions under test are map_keys /
@@ -184,6 +200,9 @@ object ScalarOps {
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin)(scalarJson),
+    Q("variant_extract",
+      """SELECT CAST(props->>'k' AS INT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin)(variantExtract),
     Q("json_struct",
       // COALESCE: Spark's to_json(struct(null k)) emits '{}' while a
       // NULL in the DuckDB concat would null the whole string — keep
