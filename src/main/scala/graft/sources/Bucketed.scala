@@ -112,6 +112,16 @@ object Bucketed {
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
           .as("sum_value"))
 
+  /** Test-only accessors: BucketedSpec pins dynamic partition pruning
+    * and ANALYZE statistics against the same layouts the registry
+    * queries use.
+    */
+  private[sources] def partitionedEventsDirForTest(
+      s: SparkSession, dir: String): String = partitionedEventsDir(s, dir)
+  private[sources] def bucketedTableForTest(
+      s: SparkSession, dir: String, table: String, key: String,
+      cols: Seq[String]): String = bucketedTable(s, dir, table, key, cols)
+
   val all: Seq[Q] = Seq(
     Q("join_bucketed",
       """SELECT o_orderpriority, COUNT(*) AS n,
