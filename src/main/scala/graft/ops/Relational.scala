@@ -591,6 +591,73 @@ object Relational {
         sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
   }
 
+  /** The fixture ships no partsupp table, so the part-supplier
+    * relation is DERIVED from observed lineitem trade: one row per
+    * (partkey, suppkey) pair, cost = cheapest observed extended
+    * price (exact decimal — min is order-independent), avail =
+    * total traded quantity. Both engines derive it with the same
+    * aggregation, so Q2/Q11 shapes stay under the differential gate.
+    */
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        min(dec(col("l_extendedprice"))).as("ps_supplycost"),
+        sum(dec(col("l_quantity"))).as("ps_availqty"))
+
+  private val partsuppSql =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q2 shape — min-cost supplier per part: among a region's
+    * suppliers, who supplies each large part cheapest. The correlated
+    * `= (SELECT MIN(..))` decorrelates to a per-part min aggregate
+    * joined back on (partkey, exact-decimal cost equality) — no
+    * epsilon games, min returns an exact decimal that re-matches its
+    * own source rows bit-for-bit. Supplier/nation/region are
+    * broadcast; the partsupp derivation shuffles once on its own
+    * grouping key.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val regionSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val ps = derivedPartsupp(s, dir)
+      .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+    val minCost = ps.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("mc"))
+    ps.join(minCost, col("ps_partkey") === col("mk")
+        && col("ps_supplycost") === col("mc"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") >= 30)),
+        col("ps_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("ps_supplycost").cast("double").as("supplycost"),
+        col("s_acctbal"))
+  }
+
+  /** TPC-H Q11 shape — important stock: parts whose derived inventory
+    * value exceeds a fraction of the total. The global total arrives
+    * as a broadcast 1-row aggregate and the HAVING compare is
+    * division-free (`value · 10000 > total` in exact decimal), so no
+    * float threshold can flip a boundary part.
+    */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val value = derivedPartsupp(s, dir)
+      .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
+    val perPart = value.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("part_value"))
+    val total = value.agg(sum(col("v")).as("total_value"))
+    perPart.join(broadcast(total))
+      .filter(col("part_value") * lit(10000) > col("total_value"))
+      .select(col("ps_partkey"),
+        col("part_value").cast("double").as("part_value"))
+  }
+
   /** Global contiguous row IDs — the scale-safe form of
     * `row_number() OVER (ORDER BY …)`. An un-partitioned window drags
     * the whole table onto ONE task (WindowExec warns exactly this);
@@ -656,6 +723,36 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q2_min_cost_supplier",
+      s"""WITH ps AS (
+         |  $partsuppSql),
+         |rs AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |psr AS (
+         |  SELECT ps.*, rs.s_name, rs.s_acctbal, rs.n_name
+         |  FROM ps JOIN rs ON ps_suppkey = s_suppkey),
+         |mc AS (
+         |  SELECT ps_partkey AS mk, MIN(ps_supplycost) AS mc
+         |  FROM psr GROUP BY 1)
+         |SELECT p_partkey, p_name, s_name, n_name,
+         |  CAST(ps_supplycost AS DOUBLE) AS supplycost, s_acctbal
+         |FROM psr
+         |JOIN mc ON ps_partkey = mk AND ps_supplycost = mc.mc
+         |JOIN part ON ps_partkey = p_partkey
+         |WHERE p_size >= 30""".stripMargin)(q2MinCostSupplier),
+    Q("q11_important_stock",
+      s"""WITH v AS (
+         |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v FROM (
+         |  $partsuppSql)),
+         |pp AS (SELECT ps_partkey, SUM(v) AS part_value FROM v GROUP BY 1),
+         |t AS (SELECT SUM(v) AS total_value FROM v)
+         |SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+         |FROM pp, t
+         |WHERE part_value * 10000 > total_value""".stripMargin)(q11ImportantStock),
     Q("global_row_ids",
       """SELECT doc_id, source,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id

@@ -93,7 +93,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "rrf_fusion", // 1-row dense query vector broadcast (plus bm25's stats row)
       "embedding_outliers", // 1-row outlier threshold broadcast
       "rag_index", // IVF centroid cross join (16-row broadcast, as cosine_topk_ivf)
-      "q22_global_sales") // 1-row global-average aggregate broadcast onto customer
+      "q22_global_sales", // 1-row global-average aggregate broadcast onto customer
+      "q11_important_stock") // 1-row total-value aggregate broadcast onto per-part values
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
