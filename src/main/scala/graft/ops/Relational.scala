@@ -658,6 +658,80 @@ object Relational {
         col("part_value").cast("double").as("part_value"))
   }
 
+  /** TPC-H Q12 shape — priority counts per ship class: one year of
+    * lineitem joined to orders, conditional counts of urgent vs other
+    * priorities per class. The fixture has no l_shipmode column, so
+    * l_returnflag plays the mode; the pattern under test is the
+    * post-join conditional aggregation (both counts in ONE pass —
+    * never two filtered joins).
+    */
+  def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20 shape — excess stock: suppliers (with their nation)
+    * whose derived availability of any 'small…' part exceeds half of
+    * that part-supplier's quantity traded in 1996. The official
+    * query's nested-IN chain becomes two left-SEMI joins over the
+    * derived partsupp; the half-threshold compare is division-free
+    * exact decimal (`2·avail > windowSum`).
+    */
+  def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val windowQty = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .groupBy(col("l_partkey").as("wk"), col("l_suppkey").as("ws"))
+      .agg(sum(dec(col("l_quantity"))).as("wqty"))
+    val excess = derivedPartsupp(s, dir)
+      .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(windowQty, col("ps_partkey") === col("wk")
+        && col("ps_suppkey") === col("ws"))
+      .filter(col("ps_availqty") * lit(2) > col("wqty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept finished orders waiting:
+    * for 'F' orders, the supplier shipped LATE (>60 days after the
+    * order date — the fixture's stand-in for receipt>commit), the
+    * order involved ANOTHER supplier (EXISTS → left semi), and no
+    * OTHER supplier was late on it (NOT EXISTS → left anti). The
+    * double-correlated subquery pair becomes two self-joins of the
+    * same late-lines frame — both equi on orderkey with a
+    * supplier-inequality residual.
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val lines = Tables.lineitem(s, dir)
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val l1 = lines.filter(col("late"))
+      .select(col("ok"), col("sk")).distinct()
+    val others = lines.select(col("ok").as("ok2"), col("sk").as("sk2")).distinct()
+    val lateOthers = lines.filter(col("late"))
+      .select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+    l1.join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** Global contiguous row IDs — the scale-safe form of
     * `row_number() OVER (ORDER BY …)`. An un-partitioned window drags
     * the whole table onto ONE task (WindowExec warns exactly this);
@@ -753,6 +827,53 @@ object Relational {
          |SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
          |FROM pp, t
          |WHERE part_value * 10000 > total_value""".stripMargin)(q11ImportantStock),
+    Q("q12_ship_priority",
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin)(q12ShipPriority),
+    Q("q20_excess_stock",
+      s"""WITH ps AS (
+         |  $partsuppSql),
+         |wq AS (
+         |  SELECT l_partkey AS wk, l_suppkey AS ws,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wqty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |excess AS (
+         |  SELECT DISTINCT ps_suppkey
+         |  FROM ps
+         |  JOIN wq ON ps_partkey = wk AND ps_suppkey = ws
+         |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+         |                       WHERE p_name LIKE 'small%')
+         |    AND ps_availqty * 2 > wqty)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)""".stripMargin)(
+      q20ExcessStock),
+    Q("q21_waiting_supplier",
+      """WITH lines AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |l1 AS (SELECT DISTINCT ok, sk FROM lines WHERE late)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM l1
+        |JOIN supplier ON sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lines o
+        |              WHERE o.ok = l1.ok AND o.sk <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM lines o
+        |                  WHERE o.ok = l1.ok AND o.sk <> l1.sk AND o.late)
+        |GROUP BY 1, 2""".stripMargin)(q21WaitingSupplier),
     Q("global_row_ids",
       """SELECT doc_id, source,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
