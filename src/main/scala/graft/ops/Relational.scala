@@ -732,6 +732,42 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** The region→nation→supplier containment DAG flattened to every
+    * ancestor→descendant pair — the classic recursive-CTE use
+    * (hierarchy closure), run from ONE SQL text on both engines
+    * (Spark 4 WITH RECURSIVE and DuckDB parse the identical string,
+    * the q1_sql discipline). Spark 4 restriction honored: the
+    * recursive branch is UNION ALL with an explicit depth bound (the
+    * dedup cluster fixpoint in [[graft.dedup.DedupOps]] remains the
+    * scale path for UNBOUNDED iteration — there the loop lives in
+    * driver code with checkpointing, not in the SQL).
+    */
+  private val hierarchySql =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT 'r' || r_regionkey AS src, 'n' || n_nationkey AS dst
+      |  FROM region JOIN nation ON r_regionkey = n_regionkey
+      |  UNION ALL
+      |  SELECT 'n' || n_nationkey, 's' || s_suppkey
+      |  FROM nation JOIN supplier ON n_nationkey = s_nationkey),
+      |reach(src, dst, depth) AS (
+      |  SELECT src, dst, 1 AS depth FROM edges
+      |  UNION ALL
+      |  SELECT r.src, e.dst, r.depth + 1
+      |  FROM reach r JOIN edges e ON r.dst = e.src
+      |  WHERE r.depth < 4)
+      |SELECT src, dst, CAST(MIN(depth) AS BIGINT) AS depth
+      |FROM reach GROUP BY 1, 2""".stripMargin
+
+  def hierarchyClosure(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession() // isolated temp-view namespace (as q1SqlEntry)
+    Tables.region(s2, dir).createOrReplaceTempView("region")
+    Tables.nation(s2, dir).createOrReplaceTempView("nation")
+    Tables.supplier(s2, dir).createOrReplaceTempView("supplier")
+    try s2.sql(hierarchySql)
+    finally Seq("region", "nation", "supplier").foreach(s2.catalog.dropTempView)
+  }
+
   /** Global contiguous row IDs — the scale-safe form of
     * `row_number() OVER (ORDER BY …)`. An un-partitioned window drags
     * the whole table onto ONE task (WindowExec warns exactly this);
@@ -874,6 +910,7 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM lines o
         |                  WHERE o.ok = l1.ok AND o.sk <> l1.sk AND o.late)
         |GROUP BY 1, 2""".stripMargin)(q21WaitingSupplier),
+    Q("hierarchy_closure", hierarchySql)(hierarchyClosure),
     Q("global_row_ids",
       """SELECT doc_id, source,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
