@@ -698,7 +698,8 @@ object Relational {
       .join(windowQty, col("ps_partkey") === col("wk")
         && col("ps_suppkey") === col("ws"))
       .filter(col("ps_availqty") * lit(2) > col("wqty"))
-      .select(col("ps_suppkey")).distinct()
+      // no distinct: consumed as a semi-join build side (existence only)
+      .select(col("ps_suppkey"))
     Tables.supplier(s, dir)
       .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -722,9 +723,10 @@ object Relational {
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
     val l1 = lines.filter(col("late"))
       .select(col("ok"), col("sk")).distinct()
-    val others = lines.select(col("ok").as("ok2"), col("sk").as("sk2")).distinct()
+    // no distinct on semi/anti build sides — existence checks only
+    val others = lines.select(col("ok").as("ok2"), col("sk").as("sk2"))
     val lateOthers = lines.filter(col("late"))
-      .select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+      .select(col("ok").as("ok3"), col("sk").as("sk3"))
     l1.join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
       .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
       .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))

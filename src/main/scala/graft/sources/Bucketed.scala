@@ -42,7 +42,7 @@ object Bucketed {
     * path reads would not, which is why this goes through
     * `saveAsTable` and not `.parquet(path)`.
     */
-  private def bucketedTable(
+  private[sources] def bucketedTable(
       s: SparkSession, dir: String, table: String, key: String,
       cols: Seq[String]): String = synchronized {
     val name = s"graft_b_${table}_${ident(dir)}"
@@ -85,7 +85,7 @@ object Bucketed {
     * 30 fixture days become 30 directories, the shape a 100 TB event
     * log actually has.
     */
-  private def partitionedEventsDir(s: SparkSession, dir: String): String =
+  private[sources] def partitionedEventsDir(s: SparkSession, dir: String): String =
     synchronized {
       val out = s"${sys.props("java.io.tmpdir")}/graft-src/part_events/${ident(dir)}"
       if (!written.contains(out)) {
@@ -111,16 +111,6 @@ object Bucketed {
         count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
           .as("sum_value"))
-
-  /** Test-only accessors: BucketedSpec pins dynamic partition pruning
-    * and ANALYZE statistics against the same layouts the registry
-    * queries use.
-    */
-  private[sources] def partitionedEventsDirForTest(
-      s: SparkSession, dir: String): String = partitionedEventsDir(s, dir)
-  private[sources] def bucketedTableForTest(
-      s: SparkSession, dir: String, table: String, key: String,
-      cols: Seq[String]): String = bucketedTable(s, dir, table, key, cols)
 
   val all: Seq[Q] = Seq(
     Q("join_bucketed",

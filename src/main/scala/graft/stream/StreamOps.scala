@@ -69,16 +69,20 @@ class SessionTimeoutProcessor(gapMs: Long)
       key: Long,
       rows: Iterator[(Long, Double, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[SessionClosed] = {
-    var (n, total, oldTimer) = if (agg.exists()) agg.get() else (0L, 0.0, -1L)
-    var maxTs = -1L
+    var (n, total, maxTs) = if (agg.exists()) agg.get() else (0L, 0.0, -1L)
+    val oldTimer = if (maxTs > 0) maxTs + gapMs else -1L
+    // state carries the session's MAX event time, not the timer: a
+    // late (within-watermark) batch must never move the timer
+    // EARLIER — "gap after the last event" means the max over all
+    // events seen, and out-of-order delivery makes the current
+    // batch's max smaller than the stored one
     rows.foreach { case (_, v, t) =>
       n += 1; total += v; maxTs = math.max(maxTs, t.getTime)
     }
     // one live timer per key: re-arm instead of accumulating
     if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
-    val timer = maxTs + gapMs
-    getHandle.registerTimer(timer)
-    agg.update((n, total, timer))
+    getHandle.registerTimer(maxTs + gapMs)
+    agg.update((n, total, maxTs))
     Iterator.empty
   }
 

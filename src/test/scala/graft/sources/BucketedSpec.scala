@@ -46,7 +46,7 @@ class BucketedSpec extends AnyFunSuite {
     // so only the dim's days are read. At 100 TB this is the
     // difference between scanning 2 days and scanning the table.
     import spark.implicits._
-    val factDir = Bucketed.partitionedEventsDirForTest(spark, sfTiny)
+    val factDir = Bucketed.partitionedEventsDir(spark, sfTiny)
     val fact = spark.read.parquet(factDir)
     // DPP preconditions: a SELECTIVE predicate on the dim side (the
     // planner only prunes when the dim is filtered) that SURVIVES
@@ -54,23 +54,30 @@ class BucketedSpec extends AnyFunSuite {
     // the LocalTableScan, so the dim must be file-backed — and a
     // broadcast join (reuseBroadcastOnly reuses it as the pruning
     // subquery for free)
-    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp").toString
-    Seq(("2024-01-10", "campaign_a"), ("2024-01-20", "campaign_b"),
-        ("2024-01-25", "other"))
-      .toDF("day", "campaign")
-      .write.mode("overwrite").parquet(dimPath)
-    val dim = spark.read.parquet(dimPath)
-      .filter(col("campaign").startsWith("campaign"))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp")
+    try {
+      val dimPath = dimDir.toString
+      Seq(("2024-01-10", "campaign_a"), ("2024-01-20", "campaign_b"),
+          ("2024-01-25", "other"))
+        .toDF("day", "campaign")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+        .filter(col("campaign").startsWith("campaign"))
     val joined = fact.join(dim, Seq("day"))
       .groupBy(col("campaign")).count()
     val p = joined.queryExecution.executedPlan.toString
-    assert(p.contains("dynamicpruning"),
-      s"no dynamic pruning subquery in the fact scan:\n${p.take(2000)}")
-    assert(joined.collect().map(_.getLong(1)).sum > 0)
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic pruning subquery in the fact scan:\n${p.take(2000)}")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dimDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("ANALYZE TABLE statistics reach the optimizer (CBO inputs)") {
-    val name = Bucketed.bucketedTableForTest(spark, sfTiny, "orders",
+    val name = Bucketed.bucketedTable(spark, sfTiny, "orders",
       "o_orderkey", Seq("o_orderkey", "o_orderpriority"))
     spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
     // rowCount reaches plan Statistics only under CBO

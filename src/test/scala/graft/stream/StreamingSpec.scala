@@ -167,6 +167,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("a late in-watermark batch must not pull the session timer earlier") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    // 15-min watermark delay so late events are ACCEPTED; the timer
+    // must stay at max-event-time + gap, not current-batch-max + gap
+    val q = StreamOps.sessionTimeoutStream(stream.toDF(), watermark = "15 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:20:00"), "click", 1.0, 1))
+      q.processAllAvailable()
+      // late but within watermark: would re-arm to 00:36 under the
+      // current-batch-max bug (real deadline is 00:20 + 30min = 00:50)
+      stream.addData(Ev(ts("2024-01-01 00:06:00"), "click", 2.0, 1))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:55:00"), "view", 0.0, 2)) // wm → 00:40
+      q.processAllAvailable()
+      // on time at 00:45 (< 00:50): same session under correct timing;
+      // under the bug the session already closed at wm 00:40 > 00:36
+      stream.addData(Ev(ts("2024-01-01 00:45:00"), "click", 4.0, 1))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 02:00:00"), "view", 0.0, 2)) // wm → 01:45
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 03:00:00"), "view", 0.0, 2))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late").filter("user_id = 1")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(u1 == Seq((3L, 7.0)),
+        s"expected ONE 3-event session for user 1, got $u1")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join enriches events against a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
