@@ -23,7 +23,8 @@ object SparkEntry {
       graft.functions.TypedAggregators.all ++ graft.sources.FileSources.all ++
       graft.sources.Bucketed.all ++
       graft.ml.ClusterOps.all ++ graft.graph.GraphOps.all ++
-      graft.text.CurationRules.all ++ graft.sim.RetrievalOps.all
+      graft.text.CurationRules.all ++ graft.sim.RetrievalOps.all ++
+      graft.text.Bpe.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** BPE merge training — the tokenizer-training loop itself, the step
+  * upstream of every token-counting operator here: learn the top
+  * [[Bpe.Merges]] byte-pair merges from the corpus by repeatedly
+  * merging the most frequent adjacent symbol pair.
+  *
+  * The scale structure is what matters: the corpus collapses to the
+  * DISTINCT word vocabulary with counts FIRST (one aggregation —
+  * tokenizer training is vocab-sized, never corpus-sized), then each
+  * round is (a) a map-side explode of adjacent symbol pairs weighted
+  * by word count, (b) one tiny aggregation picking the argmax pair
+  * (driver receives ONE row — the kmeansIterate discipline, a scalar
+  * not a collect), and (c) a map-side re-segmentation of the
+  * vocabulary. Lineage is truncated by caching each generation and
+  * unpersisting the previous one.
+  *
+  * Iterative, so not SQL-expressible for the DuckDB gate (the same
+  * reason the sketches are rows-only); BpeSpec recomputes the exact
+  * merge sequence locally from the same word counts and asserts
+  * equality — an exact differential check, just not through SQL.
+  */
+object Bpe {
+
+  val Merges = 8
+
+  /** One greedy left-to-right merge pass (standard BPE apply). */
+  def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The same training loop over an in-memory vocabulary — the spec's
+    * oracle, and the single definition both paths share.
+    */
+  def trainLocal(vocab: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+    var segs = vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    (1 to k).flatMap { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      segs.foreach { case (syms, c) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + c
+        }
+      }
+      if (counts.isEmpty) Nil
+      else {
+        val ((a, b), f) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        segs = segs.map { case (syms, c) => (mergeOnce(syms, a, b), c) }
+        Seq((a, b, f))
+      }
+    }
+  }
+
+  /** Distributed training: vocabulary from the corpus, then
+    * [[Merges]] rounds of argmax-pair + re-segmentation.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+    var segs = vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to Merges) {
+      val best = segs
+        .flatMap { case (syms, c) =>
+          syms.indices.dropRight(1).map(i => ((syms(i), syms(i + 1)), c))
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups(_ + _)
+        .map { case ((a, b), f) => (a, b, f) }
+        .toDF("a", "b", "f")
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect() // exactly ONE row per round — a scalar, not data
+      best.headOption.foreach { case (a, b, f) =>
+        merges += ((r, a, b, f))
+        val prev = segs
+        segs = prev.map { case (syms, c) => (mergeOnce(syms, a, b), c) }.cache()
+        segs.count() // materialize before dropping the parent generation
+        prev.unpersist()
+      }
+    }
+    segs.unpersist()
+    merges.result().toDF("rank", "left", "right", "freq")
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("freq"))
+  }
+
+  val all: Seq[Q] = Seq(Q.noOracle("bpe_merges")(bpeMerges))
+}

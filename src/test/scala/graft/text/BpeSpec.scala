@@ -1,0 +1,34 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Exact differential check for the BPE trainer: the distributed loop
+  * must produce the identical merge sequence as [[Bpe.trainLocal]]
+  * over the same word counts (the iteration is not SQL-expressible,
+  * so this local recompute plays the oracle's role).
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("distributed merge sequence equals the local recompute exactly") {
+    val vocab = Tables.documents(spark, sfTiny)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Bpe.trainLocal(vocab, Bpe.Merges)
+      .zipWithIndex.map { case ((a, b, f), i) => (i + 1L, a, b, f) }
+    val got = Bpe.bpeMerges(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"merge sequences differ:\n got=$got\n exp=$expected")
+    assert(got.size == Bpe.Merges, "fixture vocabulary exhausted early")
+  }
+
+  test("mergeOnce is greedy left-to-right and non-overlapping") {
+    assert(Bpe.mergeOnce(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
+    assert(Bpe.mergeOnce(Vector("a", "b", "a", "b"), "a", "b") == Vector("ab", "ab"))
+    assert(Bpe.mergeOnce(Vector("x"), "a", "b") == Vector("x"))
+    assert(Bpe.mergeOnce(Vector.empty, "a", "b") == Vector.empty)
+  }
+}
