@@ -141,6 +141,98 @@ object Aggregates {
         round(element_at(col("ps"), 3), 6).as("p99"),
         col("price_qty_corr"))
 
+  /** Least-squares regression aggregates (slope / intercept / R²) of
+    * extended price on quantity per return flag — the regr_* family,
+    * computed from exact decimal power sums instead of the built-in
+    * streaming co-moment accumulators: the six sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy, Σy²) are order-independent decimals (the
+    * aggStats discipline), and the closed-form finish is a fixed
+    * scalar double expression both engines evaluate identically. The
+    * built-ins merge co-moments in partition order — bitwise
+    * nondeterministic under re-partitioning, which is exactly what
+    * the driver's hash compare (and a 100k-partition re-run) would
+    * expose. One partial+final hash aggregate; the finish runs on
+    * |groups| rows.
+    */
+  def regrTrend(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary"),
+        col("sx"), col("sy"))
+      .select(col("l_returnflag"), col("n"),
+        when(col("varx") > 0, round(col("cov") / col("varx"), 6)).as("slope"),
+        when(col("varx") > 0,
+          round((col("sy") - col("cov") / col("varx") * col("sx")) / col("n"), 6))
+          .as("intercept"),
+        when(col("varx") > 0 && col("vary") > 0,
+          round(col("cov") * col("cov") / (col("varx") * col("vary")), 6))
+          .as("r2"))
+  }
+
+  private val regrTrendOracle =
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    n * sxy - sx * sy AS cov,
+      |    n * sxx - sx * sx AS varx,
+      |    n * syy - sy * sy AS vary, sx, sy
+      |  FROM g)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN varx > 0 THEN round(cov / varx, 6) END AS slope,
+      |  CASE WHEN varx > 0
+      |    THEN round((sy - cov / varx * sx) / n, 6) END AS intercept,
+      |  CASE WHEN varx > 0 AND vary > 0
+      |    THEN round(cov * cov / (varx * vary), 6) END AS r2
+      |FROM d""".stripMargin
+
+  /** Re-aggregatable partial aggregates — the algebraic-merge
+    * property hierarchical rollups rely on at 100 TB: per-split
+    * partial states (count/sum/min/max over a hash split of the fact
+    * table) merge under a second aggregation into exactly the
+    * full-table result, without rescanning the data. The oracle
+    * computes the direct full aggregate, so a pass means
+    * merge(partials) ≡ total for any partitioning of the input — the
+    * contract behind incremental daily-partition rollups (aggregate
+    * today's partition, merge with yesterday's states) and behind
+    * Catalyst's own partial+final split.
+    */
+  def aggMergePartials(s: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.lineitem(s, dir)
+      .withColumn("split", pmod(col("l_orderkey"), lit(4)))
+      .groupBy(col("l_returnflag"), col("split"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("l_quantity"))).as("psum"),
+        min(col("l_quantity")).as("pmin"),
+        max(col("l_quantity")).as("pmax"))
+    partials.groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast("double").as("sum_qty"),
+        min(col("pmin")).as("min_qty"),
+        max(col("pmax")).as("max_qty"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("n"), 6))
+  }
+
   /** Equi-width numeric histogram — the column-profiling primitive
     * behind data-quality dashboards and partition-size planning. Bin
     * assignment is a codegen'd floor-divide on the scan (map-only),
@@ -449,6 +541,14 @@ object Aggregates {
         |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
         |  FROM orders GROUP BY 1)
         |UNPIVOT (val FOR name IN (f_cnt, o_cnt, p_cnt))""".stripMargin)(aggUnpivot),
+    Q("regr_trend", regrTrendOracle)(regrTrend),
+    Q("agg_merge_partials",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1""".stripMargin)(aggMergePartials),
     Q("agg_percentiles",
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

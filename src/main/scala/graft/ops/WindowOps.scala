@@ -347,7 +347,82 @@ object WindowOps {
         (col("num").cast("double") / col("span").cast("double")).as("twa"))
   }
 
+  /** First-[[PathLen]] event-type path per user — the "user journey"
+    * string a funnel/sequence model trains on. The per-user prefix is
+    * a rank-filtered window (WindowGroupLimit keeps per-group k-heaps
+    * ahead of the sort at scale, the samplePerGroup property), and
+    * the path string is assembled from the ≤K survivors by an
+    * order-pinned in-group sort — collect_list order is partition-
+    * dependent, so the (rn, type) structs are array_sort-ed before
+    * joining — keeping both shuffle width and string length bounded
+    * by K, never by a user's event count.
+    */
+  val PathLen = 10
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+  }
+
+  /** Pareto frontier (skyline) of the part catalog — the parts no
+    * other part beats on BOTH price (lower-better) and size
+    * (higher-better). The textbook form is a quadratic NOT EXISTS
+    * self-join; over DISTINCT (price, size) pairs one price-ordered
+    * sweep finds the same frontier — after sorting by (price asc,
+    * size desc), a pair is dominated exactly when some earlier pair
+    * already reached a size ≥ its own, so the operator is sort +
+    * running max. Distributed: a bucket-local sweep prunes dominated
+    * pairs first (dominated in a subset ⇒ dominated in the full set,
+    * and every true frontier point survives its own bucket), then
+    * the global sweep orders only the survivors — the single-
+    * partition window touches frontier candidates, not the catalog.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.part(s, dir)
+      .groupBy(col("p_retailprice").as("price"),
+        col("p_size").cast("long").as("psize"))
+      .agg(count(lit(1)).as("n_parts"))
+    val prune = Window.partitionBy(col("b"))
+      .orderBy(col("price").asc, col("psize").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sweep = Window.orderBy(col("price").asc, col("psize").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("b", pmod(xxhash64(col("price"), col("psize")), lit(16)))
+      .withColumn("m", max(col("psize")).over(prune))
+      .filter(col("m").isNull || col("m") < col("psize"))
+      .withColumn("m2", max(col("psize")).over(sweep))
+      .filter(col("m2").isNull || col("m2") < col("psize"))
+      .select(col("price"), col("psize"), col("n_parts"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("event_paths",
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn
+         |  FROM events)
+         |SELECT user_id, COUNT(*) AS n_steps,
+         |  string_agg(event_type, '>' ORDER BY rn) AS path
+         |FROM r WHERE rn <= $PathLen GROUP BY 1""".stripMargin)(eventPaths),
+    Q("skyline_parts",
+      """WITH d AS (
+        |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS psize,
+        |    COUNT(*) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price, psize, n_parts FROM (
+        |  SELECT *, MAX(psize) OVER (ORDER BY price ASC, psize DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |  FROM d)
+        |WHERE m IS NULL OR m < psize""".stripMargin)(skylineParts),
     Q("sample_per_group",
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang

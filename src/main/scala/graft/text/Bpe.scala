@@ -102,5 +102,42 @@ object Bpe {
         col("right"), col("freq"))
   }
 
-  val all: Seq[Q] = Seq(Q.noOracle("bpe_merges")(bpeMerges))
+  /** Apply the trained merge table to the corpus: per document, the
+    * symbol count before (characters of its words) and after the
+    * [[Merges]] merges — the "how much does this tokenizer compress
+    * my corpus" statistic every tokenizer change is judged by. The
+    * merge table is collected ([[Merges]] rows — a model, not data)
+    * and applied to the DISTINCT word vocabulary (vocab-sized work,
+    * exactly as in training), which joins back onto per-document word
+    * counts — the corpus text itself is never re-segmented row by
+    * row. Like training, the merge loop is not SQL-expressible;
+    * BpeSpec recomputes the encoding locally and asserts exact
+    * equality.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(s, dir).select(col("left"), col("right"))
+      .as[(String, String)].collect()
+    val perDocWord = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocabSeg = perDocWord.select(col("w")).distinct()
+      .as[String]
+      .map { w =>
+        val syms = merges.foldLeft(w.map(_.toString).toVector) {
+          case (v, (a, b)) => mergeOnce(v, a, b)
+        }
+        (w, w.length.toLong, syms.length.toLong)
+      }
+      .toDF("w", "n_chars", "n_syms")
+    perDocWord.join(vocabSeg, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_chars")).as("n_char_tokens"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q.noOracle("bpe_merges")(bpeMerges),
+    Q.noOracle("bpe_encode")(bpeEncode))
 }

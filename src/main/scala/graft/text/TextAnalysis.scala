@@ -227,6 +227,31 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** Flesch-style readability score per document — the word /
+    * sentence / syllable arithmetic used as a cheap fluency gate
+    * alongside the quality metrics. Counts come from the same regexp
+    * family as [[tokenStats]] (codegen'd, map-only, zero shuffles);
+    * the syllable proxy is the vowel-group count, the standard
+    * dictionary-free approximation. All three counts are exact
+    * integers in both engines, so the single double formula at the
+    * end is bit-identical after rounding.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+    val sents = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+    val vg = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        words.cast("long").as("n_words"),
+        greatest(sents, lit(1)).cast("long").as("n_sents"),
+        vg.cast("long").as("n_syll"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sents").cast("double"))
+          - lit(84.6) * (col("n_syll") / col("n_words").cast("double")), 4))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash of
     * the token stream, fold (acc·31 + h(token)) mod (2³¹−1) with
     * h = first 8 md5 hex chars — md5-based so the oracle reproduces it
@@ -806,6 +831,21 @@ object TextAnalysis {
         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS DOUBLE), 6)
         |    AS chars_per_token
         |FROM documents""".stripMargin)(tokenStats),
+    Q("readability",
+      """SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(206.835
+        |    - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+        |    - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |      AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+        |      AS n_syll
+        |  FROM documents)
+        |WHERE n_words > 0""".stripMargin)(readability),
     Q("explode_pos",
       s"""SELECT doc_id, i - 1 AS pos, t[i] AS token
          |FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 50),

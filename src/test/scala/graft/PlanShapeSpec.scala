@@ -79,6 +79,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k filter did not trigger group-limit pushdown:\n${p.take(1500)}")
   }
 
+  test("event_paths engages WindowGroupLimit for the per-user prefix") {
+    val p = plan("event_paths")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=k filter did not trigger group-limit pushdown:\n${p.take(1500)}")
+  }
+
+  test("skyline_parts prunes in buckets before the global sweep") {
+    val p = plan("skyline_parts")
+    assert(p.contains("hashpartitioning(b#"),
+      "no bucket-partitioned local-prune window before the global sweep")
+    assert(p.contains("SinglePartition"),
+      "global frontier sweep window missing")
+  }
+
   test("only the documented brute-force queries use nested-loop/cartesian joins") {
     val allowed = Set(
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines

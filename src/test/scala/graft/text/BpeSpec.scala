@@ -25,6 +25,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got.size == Bpe.Merges, "fixture vocabulary exhausted early")
   }
 
+  test("bpe_encode equals the local recompute exactly") {
+    val docWords = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val vocab = docWords.groupBy(_._2).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val merges = Bpe.trainLocal(vocab, Bpe.Merges).map { case (a, b, _) => (a, b) }
+    val segLen = vocab.map { case (w, _) =>
+      w -> merges.foldLeft(w.map(_.toString).toVector) {
+        case (v, (a, b)) => Bpe.mergeOnce(v, a, b)
+      }.length.toLong
+    }.toMap
+    val expected = docWords.groupBy(_._1).map { case (doc, ws) =>
+      (doc, ws.size.toLong,
+        ws.map(_._2.length.toLong).sum,
+        ws.map(w => segLen(w._2)).sum)
+    }.toSet
+    val got = Bpe.bpeEncode(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("mergeOnce is greedy left-to-right and non-overlapping") {
     assert(Bpe.mergeOnce(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
     assert(Bpe.mergeOnce(Vector("a", "b", "a", "b"), "a", "b") == Vector("ab", "ab"))
