@@ -384,13 +384,32 @@ object DedupOps {
     * 60-wide zip_with) is CodegenFallback and was the slowest query
     * in the bench.
     */
-  def simhash60(text: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** Top 60 bits of the token's md5 — numerically identical to
+    * parsing its first 15 hex chars (the oracle's form), but built
+    * straight from the digest bytes: the hex format-and-reparse
+    * round-trip was the hottest allocation in the simhash pass.
+    */
+  private def tokHash60(md: java.security.MessageDigest, tok: String): Long = {
+    val d = md.digest(tok.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  private def simhashInto(md: java.security.MessageDigest,
+      memo: java.util.HashMap[String, java.lang.Long], text: String): Long = {
     val acc = new Array[Long](60)
     graft.mr.MrJobs.tokenize(text).foreach { tok =>
-      val hex = md.digest(tok.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      var hBox = if (memo == null) null else memo.get(tok)
+      if (hBox == null) {
+        hBox = java.lang.Long.valueOf(tokHash60(md, tok))
+        // Zipfian reuse makes the memo pay for itself immediately;
+        // the size cap keeps executor memory bounded on adversarial
+        // (all-distinct) vocabularies
+        if (memo != null && memo.size < (1 << 16)) memo.put(tok, hBox)
+      }
+      val h = hBox.longValue()
       var j = 0
       while (j < 60) {
         acc(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
@@ -400,11 +419,76 @@ object DedupOps {
     (0 until 60).foldLeft(0L)((s, j) => if (acc(j) > 0) s | (1L << j) else s)
   }
 
+  def simhash60(text: String): Long =
+    simhashInto(java.security.MessageDigest.getInstance("MD5"), null, text)
+
+  /** The fingerprint computation in the shared oracle dialect, ending
+    * in `fp(doc_id, simhash)` — one definition serving both the
+    * fingerprint dump and the pairing oracle.
+    */
+  private val simhashSqlCtes =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id, list_transform(t,
+      |    tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hl
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, list_transform(range(0, 60), j ->
+      |    CASE WHEN coalesce(list_sum(list_transform(hl,
+      |      h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+      |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bitvals
+      |  FROM hs),
+      |fp AS (
+      |  SELECT doc_id, CAST(coalesce(list_sum(bitvals), 0) AS BIGINT) AS simhash
+      |  FROM bits)""".stripMargin
+
+  /** 4 bands of 15 bits ⇒ by pigeonhole any pair within hamming
+    * distance ≤ [[SimhashMaxHamming]] = 3 agrees on at least one full
+    * band — the banded candidate join is COMPLETE for the threshold,
+    * not approximate.
+    */
+  val SimhashBands = 4
+  val SimhashMaxHamming = 3
+
+  /** SimHash near-dup pairing, the operator [[simhashFingerprint]]
+    * exists for: candidate pairs from a banded equi-join on 15-bit
+    * band keys (O(docs·bands) shuffle, never all-pairs — the MinHash
+    * LSH discipline), verified by one xor/popcount per candidate.
+    * Because 3 differing bits can touch at most 3 of the 4 bands,
+    * the band join provably yields every pair with hamming ≤ 3; the
+    * oracle computes the quadratic brute-force pairing, so the
+    * differential gate checks the completeness claim itself.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprint(s, dir)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))
+              .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.toDF("doc_a", "ha", "band", "key")
+    val b = banded.toDF("doc_b", "hb", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, simhash60(text)) }
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        it.map { case (id, text) => (id, simhashInto(md, memo, text)) }
+      }
       .toDF("doc_id", "simhash")
   }
 
@@ -878,21 +962,18 @@ object DedupOps {
          |JOIN documents a ON a.doc_id = p.doc_a
          |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin)(editDistancePairs),
     Q("dedup_simhash",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
-        |  FROM documents),
-        |hs AS (
-        |  SELECT doc_id, list_transform(t,
-        |    tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hl
-        |  FROM toks),
-        |bits AS (
-        |  SELECT doc_id, list_transform(range(0, 60), j ->
-        |    CASE WHEN coalesce(list_sum(list_transform(hl,
-        |      h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
-        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bitvals
-        |  FROM hs)
-        |SELECT doc_id, CAST(coalesce(list_sum(bitvals), 0) AS BIGINT) AS simhash
-        |FROM bits""".stripMargin)(simhashFingerprint),
+      s"""WITH $simhashSqlCtes
+         |SELECT doc_id, simhash FROM fp""".stripMargin)(simhashFingerprint),
+    Q("simhash_pairs",
+      // BRUTE-FORCE oracle on purpose: the Spark side generates
+      // candidates through the banded equi-join, so a hash match
+      // proves the band split loses no qualifying pair
+      s"""WITH $simhashSqlCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin)(
+      simhashPairs),
     Q("dedup_embedding",
       """WITH n AS (
         |  SELECT * FROM (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
@@ -613,12 +614,12 @@ object Relational {
 
   /** TPC-H Q2 shape — min-cost supplier per part: among a region's
     * suppliers, who supplies each large part cheapest. The correlated
-    * `= (SELECT MIN(..))` decorrelates to a per-part min aggregate
-    * joined back on (partkey, exact-decimal cost equality) — no
-    * epsilon games, min returns an exact decimal that re-matches its
-    * own source rows bit-for-bit. Supplier/nation/region are
-    * broadcast; the partsupp derivation shuffles once on its own
-    * grouping key.
+    * `= (SELECT MIN(..))` decorrelates to a per-part window min with
+    * an exact-decimal equality keep — no epsilon games (min returns a
+    * decimal that re-matches its own source rows bit-for-bit), and no
+    * groupBy + self-join re-match, which would derive the partsupp
+    * relation twice. Supplier/nation/region are broadcast; the whole
+    * query shuffles the derived partsupp once on ps_partkey.
     */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val regionSupp = Tables.supplier(s, dir)
@@ -629,10 +630,14 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val ps = derivedPartsupp(s, dir)
       .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
-    val minCost = ps.groupBy(col("ps_partkey").as("mk"))
-      .agg(min(col("ps_supplycost")).as("mc"))
-    ps.join(minCost, col("ps_partkey") === col("mk")
-        && col("ps_supplycost") === col("mc"))
+    // correlated min as a per-part window, not a groupBy + self-join
+    // re-match: one shuffle on ps_partkey and ONE derivation of the
+    // partsupp relation instead of two (the self-join form re-derived
+    // the whole lineitem aggregate for each side). The equality keep
+    // is on exact decimals, so no float boundary can flip a row.
+    val wPart = Window.partitionBy(col("ps_partkey"))
+    ps.withColumn("mc", min(col("ps_supplycost")).over(wPart))
+      .filter(col("ps_supplycost") === col("mc"))
       .join(broadcast(Tables.part(s, dir).filter(col("p_size") >= 30)),
         col("ps_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),

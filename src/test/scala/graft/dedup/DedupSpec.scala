@@ -57,6 +57,21 @@ class DedupSpec extends AnyFunSuite {
     assert(dists.sum.toDouble / dists.size > 15.0)
   }
 
+  test("simhash 4×15 band split shares a band for any pair within hamming 3") {
+    // the pigeonhole guarantee simhash_pairs' banded join relies on:
+    // ≤3 flipped bits touch ≤3 of the 4 bands, so one band survives
+    def bands(h: Long): Seq[Long] =
+      (0 until DedupOps.SimhashBands).map(b => (h >> (b * 15)) & 0x7fffL)
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 60) - 1)
+      val flips = rnd.between(0, DedupOps.SimhashMaxHamming + 1)
+      val h2 = (1 to flips).foldLeft(h)((x, _) => x ^ (1L << rnd.between(0, 60)))
+      assert(bands(h).zip(bands(h2)).exists { case (a, b) => a == b },
+        s"no shared band for ${h.toBinaryString} vs ${h2.toBinaryString}")
+    }
+  }
+
   test("JVM shingling equals the column-expression form") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfTiny)

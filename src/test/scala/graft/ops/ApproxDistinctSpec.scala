@@ -24,6 +24,26 @@ class ApproxDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch union: merged partials track the direct sketch and exact count") {
+    val rows = Aggregates.approxDistinctUnion(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sfSmall)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (k, (merged, direct)) =>
+      // union goes through DataSketches' HLL_8 gadget while the direct
+      // build estimates from HLL_4 — estimate-stable, not bit-equal
+      assert(math.abs(merged - direct).toDouble / direct <= 0.02,
+        s"group $k: merged sketch estimate $merged vs direct $direct")
+      assert(math.abs(merged - exact(k)).toDouble / exact(k) <= 0.05,
+        s"group $k: merged $merged vs exact ${exact(k)}")
+      assert(math.abs(direct - exact(k)).toDouble / exact(k) <= 0.05,
+        s"group $k: direct $direct vs exact ${exact(k)}")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per group at sf0.01") {
     val approx = Aggregates.aggApproxDistinct(spark, sfSmall).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -14,7 +14,10 @@ val picks = Seq(
   "sample_per_group" -> "rank<=k under a window engages WindowGroupLimit before the sort",
   "dedup_minhash" -> "banded LSH: candidate generation is an equi join on band keys, never all-pairs",
   "cosine_topk_ivf" -> "IVF: broadcast centroid cross, inverted-list equi join, windowed top-k",
-  "global_row_ids" -> "range partition + sortWithinPartitions; ordinals stamped map-side via zipWithIndex")
+  "global_row_ids" -> "range partition + sortWithinPartitions; ordinals stamped map-side via zipWithIndex",
+  "q2_min_cost_supplier" -> "correlated min as ONE per-part window over the derived partsupp: single shuffle, no self-join re-derivation",
+  "skyline_parts" -> "Pareto frontier: bucket-partitioned prune window first, global sweep only over the surviving candidates",
+  "simhash_pairs" -> "banded simhash near-dup: candidates from a 15-bit band-key equi join, popcount verify on candidates only")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
