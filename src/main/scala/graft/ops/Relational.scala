@@ -652,11 +652,15 @@ object Relational {
     * float threshold can flip a boundary part.
     */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
-    val value = derivedPartsupp(s, dir)
+    val perPart = derivedPartsupp(s, dir)
       .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
-    val perPart = value.groupBy(col("ps_partkey"))
+      .groupBy(col("ps_partkey"))
       .agg(sum(col("v")).as("part_value"))
-    val total = value.agg(sum(col("v")).as("total_value"))
+    // the global total is the sum of the per-part sums — exact
+    // decimals are associative, so re-aggregating the (small) per-part
+    // frame is bit-identical to a second pass over the derived
+    // partsupp and skips re-deriving the whole lineitem aggregate
+    val total = perPart.agg(sum(col("part_value")).as("total_value"))
     perPart.join(broadcast(total))
       .filter(col("part_value") * lit(10000) > col("total_value"))
       .select(col("ps_partkey"),
