@@ -471,13 +471,17 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     val a = banded.toDF("doc_a", "ha", "band", "key")
     val b = banded.toDF("doc_b", "hb", "band", "key")
+    // popcount BEFORE the distinct: a 15-bit band has only 32k keys,
+    // so unrelated docs collide at birthday rates at corpus scale —
+    // the xor/popcount is pennies map-side, and filtering first means
+    // the dedup shuffle carries true near-dup pairs only (a duplicate
+    // band match just popcounts twice, on its own partition)
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {

@@ -123,15 +123,24 @@ object Bpe {
     */
   private val mergeCache =
     scala.collection.mutable.Map[(SparkSession, String), Array[(String, String)]]()
-  private def trainedMerges(s: SparkSession, dir: String): Array[(String, String)] =
-    synchronized {
+  private def trainedMerges(s: SparkSession, dir: String): Array[(String, String)] = {
+    val key = (s, dir)
+    // lock only around map access, never around the multi-job training
+    // run — a concurrent caller for another (session, dir) must train
+    // independently, not queue behind this one's Spark jobs. The race
+    // window means two callers may train the same key once each; the
+    // result is deterministic, so last-publish-wins is harmless.
+    val hit = synchronized {
       mergeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      mergeCache.getOrElseUpdate((s, dir), {
-        import s.implicits._
-        bpeMerges(s, dir).select(col("left"), col("right"))
-          .as[(String, String)].collect()
-      })
+      mergeCache.get(key)
     }
+    hit.getOrElse {
+      import s.implicits._
+      val trained = bpeMerges(s, dir).select(col("left"), col("right"))
+        .as[(String, String)].collect()
+      synchronized { mergeCache.getOrElseUpdate(key, trained) }
+    }
+  }
 
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -495,10 +495,15 @@ object TextAnalysis {
     * reproducible across engines, partitionings, and reruns (the
     * property `df.sample` cannot give the differential gate). The
     * arrival time is rounded BEFORE ranking (the sampleTemperature
-    * boundary discipline) so both engines draw the identical cut;
-    * ties break on doc_id. The only shuffle is the per-source
-    * window, and the rank filter engages WindowGroupLimit k-heaps —
-    * shuffle width is O(sources·k) at any corpus size.
+    * boundary discipline) and ties break on doc_id. ln() is the one
+    * transcendental in the differential surface: the two engines'
+    * libms may disagree by an ulp (~2e-15), so the 6-decimal round
+    * keeps the straddle probability per row at ~4e-9 — rank TIES at
+    * this grain are harmless (the doc_id tiebreak is engine-
+    * identical); a finer round would trade harmless ties for real
+    * boundary flips. The only shuffle is the per-source window, and
+    * the rank filter engages WindowGroupLimit k-heaps — shuffle
+    * width is O(sources·k) at any corpus size.
     */
   val WeightedSampleK = 5
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
@@ -508,7 +513,7 @@ object TextAnalysis {
       .orderBy(col("key"), col("doc_id"))
     Tables.documents(s, dir)
       .select(col("source"), col("doc_id"), col("n_chars"),
-        round(-log(u) / col("n_chars"), 9).as("key"))
+        round(-log(u) / col("n_chars"), 6).as("key"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= WeightedSampleK)
   }
@@ -862,7 +867,7 @@ object TextAnalysis {
       s"""WITH k AS (
          |  SELECT source, doc_id, n_chars,
          |    round(-ln((${SplitHash.foldSql("CAST(doc_id AS VARCHAR)")}
-         |      % 1000000 + 1) / 1000001.0) / n_chars, 9) AS key
+         |      % 1000000 + 1) / 1000001.0) / n_chars, 6) AS key
          |  FROM documents)
          |SELECT source, doc_id, n_chars, key,
          |  CAST(row_number() OVER (PARTITION BY source
