@@ -518,6 +518,57 @@ object TextAnalysis {
       .filter(col("rn") <= WeightedSampleK)
   }
 
+  /** Dictionary-encode the corpus to token-id sequences — the final
+    * text → int[] step before tensorization: ids are frequency ranks
+    * from the induced vocabulary ([[vocabTop]]'s (cnt DESC, tok)
+    * total order, so the assignment is deterministic in both
+    * engines). The vocabulary ranking is a global window over the
+    * VOCABULARY (Heaps-bounded, the vocabTop argument), broadcast
+    * back onto the token stream — the corpus pass itself is
+    * map-shaped at any scale. Sequence output is restricted to the
+    * explode_pos doc subset to keep the correctness dump
+    * proportionate; the vocabulary always comes from the full corpus.
+    */
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+          .cast("long").as("token_id"))
+    toks.filter(col("doc_id") < 50)
+      .join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+  }
+
+  /** Power-of-two length buckets with padding-waste accounting — the
+    * batching-efficiency profile: if each bucket pads its documents
+    * to the bucket max, how many pad tokens does the corpus pay?
+    * (The statistic that motivates length-bucketed batching over
+    * naive global padding.) One map-side bucket assignment (floor of
+    * log2, computed on exact integer token counts) plus one hash
+    * aggregate; output is ≤ log2(max_len) rows. The waste ratio is
+    * an integer/integer division finished in double and rounded —
+    * engine-identical.
+    */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      // bucket = 2^ceil(log2(n)): the smallest power-of-two batch
+      // shape that fits the document. Integer-exact in both engines
+      // (shiftleft on the floor-log, not a float pow round-trip).
+      .withColumn("bucket",
+        expr("shiftleft(1L, cast(ceil(log2(n_tokens)) as int))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .withColumn("pad_waste",
+        round(lit(1.0) - col("sum_len") / (col("n_docs") * col("bucket")).cast("double"), 6))
+  }
+
   /** Band cutoffs for [[perplexityScore]], on the ROUNDED score so
     * both engines draw identical boundaries. Fixture-calibrated (the
     * synthetic corpus' NLL spans ≈3.38–3.68) so all three bands
@@ -888,6 +939,32 @@ object TextAnalysis {
         |      AS n_syll
         |  FROM documents)
         |WHERE n_words > 0""".stripMargin)(readability),
+    Q("token_ids",
+      s"""WITH tc AS (
+         |  SELECT tok, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+         |  AS BIGINT) AS token_id FROM tc)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, token_id
+         |FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 50),
+         |  unnest(range(1, len(t) + 1)) AS u(i)
+         |JOIN v ON t[i] = v.tok""".stripMargin)(tokenIds),
+    Q("length_buckets",
+      """WITH d AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    (CAST(1 AS BIGINT) << CAST(ceil(log2(n_tokens)) AS INTEGER))
+        |      AS bucket
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT bucket, COUNT(*) AS n_docs, MAX(n_tokens) AS max_len,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+        |  round(1.0 - CAST(SUM(n_tokens) AS BIGINT)
+        |    / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS pad_waste
+        |FROM b GROUP BY bucket""".stripMargin)(lengthBuckets),
     Q("explode_pos",
       s"""SELECT doc_id, i - 1 AS pos, t[i] AS token
          |FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 50),
