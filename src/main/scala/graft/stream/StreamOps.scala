@@ -38,6 +38,58 @@ class RunningTotalsProcessor
   }
 }
 
+/** Output row of [[TypeCountsProcessor]] (top-level for encoders). */
+case class UserTypeCounts(
+    user_id: Long, event_type: String, n_type: Long,
+    n_recent: Long, recent_sum: Double)
+
+/** Composite-state processor covering the two remaining Spark 4 state
+  * kinds: a MapState keyed by event type (per-user per-type running
+  * counts — the map key is a SECOND key level the store indexes, so a
+  * hot user's types never serialize as one blob the way a
+  * ValueState[Map] would) and a ListState holding the user's last
+  * [[TypeCountsProcessor.RecentK]] values (a bounded recency buffer,
+  * trimmed on write so state size is K, not event count). Emits one
+  * row per type TOUCHED in the batch — update-mode semantics, same as
+  * [[RunningTotalsProcessor]].
+  */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, (Long, String, Double), UserTypeCounts] {
+  import org.apache.spark.sql.streaming.{ListState, MapState}
+
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var recent: ListState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    recent = getHandle.getListState[Double](
+      "recent", Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String, Double)],
+      timerValues: TimerValues): Iterator[UserTypeCounts] = {
+    val touched = scala.collection.mutable.LinkedHashSet[String]()
+    val newVals = scala.collection.mutable.ArrayBuffer[Double]()
+    rows.foreach { case (_, et, v) =>
+      val cur = if (counts.containsKey(et)) counts.getValue(et) else 0L
+      counts.updateValue(et, cur + 1)
+      touched += et
+      newVals += v
+    }
+    val buf = (recent.get().toVector ++ newVals)
+      .takeRight(TypeCountsProcessor.RecentK)
+    recent.put(buf.toArray)
+    val rs = math.round(buf.sum * 100) / 100.0
+    touched.iterator.map(et =>
+      UserTypeCounts(key, et, counts.getValue(et), buf.size.toLong, rs))
+  }
+}
+
+object TypeCountsProcessor { val RecentK = 5 }
+
 /** Closed-session summary emitted by [[SessionTimeoutProcessor]]
   * when a user's event-time timer expires.
   */
@@ -230,6 +282,20 @@ object StreamOps {
     events.selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[TypeCountsProcessor]] runner: per-user per-type counts in
+    * MapState plus a bounded recent-values ListState. Streaming-only,
+    * like the other transformWithState paths.
+    */
+  def userTypeCountsTws(events: DataFrame): Dataset[UserTypeCounts] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "event_type", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

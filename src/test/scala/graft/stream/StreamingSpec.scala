@@ -127,6 +127,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState/ListState: per-type counts index by map key, recency buffer stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.userTypeCountsTws(stream.toDF())
+      .writeStream.format("memory").queryName("tws_types")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:01:00"), "view", 2.0, 1),
+        Ev(ts("2024-01-01 00:02:00"), "click", 3.0, 1))
+      q.processAllAvailable()
+      // batch 2: counts must extend batch-1 state per map key, and the
+      // 7 total values must trim to the last RecentK = 5
+      stream.addData(
+        Ev(ts("2024-01-01 00:03:00"), "click", 4.0, 1),
+        Ev(ts("2024-01-01 00:04:00"), "purchase", 5.0, 1),
+        Ev(ts("2024-01-01 00:05:00"), "click", 6.0, 1),
+        Ev(ts("2024-01-01 00:06:00"), "view", 7.0, 1))
+      q.processAllAvailable()
+      val latest = spark.table("tws_types")
+        .groupBy("event_type").agg(
+          max("n_type").as("n"), max("n_recent").as("nr"), max("recent_sum").as("rs"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // counts: click 4, view 2, purchase 1; recent buffer = last 5
+      // values (3,4,5,6,7) → 25.0
+      assert(latest == Set(
+        ("click", 4L, 5L, 25.0), ("view", 2L, 5L, 25.0), ("purchase", 1L, 5L, 25.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
