@@ -15,6 +15,17 @@ class ConcurrencySpec extends AnyFunSuite {
 
   test("3 queries run concurrently match their serial results") {
     val names = Seq("word_count", "q1_agg", "join_inner")
+    runConcurrent(names)
+  }
+
+  test("cache-backed queries race safely (verifiedPairs + trained-merges memos)") {
+    // dedup_edit_distance reads the session-keyed verifiedPairs cache,
+    // bpe_encode the trained-merges cache — 3 threads each hit the
+    // cold-miss path simultaneously and must agree with serial runs
+    runConcurrent(Seq("dedup_edit_distance", "bpe_encode", "dup_count"))
+  }
+
+  private def runConcurrent(names: Seq[String]): Unit = {
     val serial = names.map { n =>
       n -> SparkEntry.queries(n)(spark, sfTiny).collect().map(_.toString).sorted.toSeq
     }.toMap
