@@ -518,6 +518,27 @@ object TextAnalysis {
       .filter(col("rn") <= WeightedSampleK)
   }
 
+  /** Frequency-of-frequencies spectrum (how many vocabulary types
+    * occur exactly c times) — the Good–Turing input every smoothing
+    * estimator starts from, and the curve that diagnoses corpus
+    * duplication (a bump at high c) or fragmentation (mass piled at
+    * c = 1). Two nested aggregations, both over vocabulary-sized
+    * frames after the first; the cumulative type share is a window
+    * over the ≤|distinct counts| spectrum rows.
+    */
+  def freqOfFreqs(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val spectrum = counts.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+    val w = Window.orderBy(col("c"))
+    spectrum
+      .withColumn("cum_types", sum(col("n_types")).over(w))
+      .withColumn("type_share",
+        round(col("n_types") / sum(col("n_types")).over(Window.partitionBy())
+          .cast("double"), 6))
+  }
+
   /** Dictionary-encode the corpus to token-id sequences — the final
     * text → int[] step before tensorization: ids are frequency ranks
     * from the induced vocabulary ([[vocabTop]]'s (cnt DESC, tok)
@@ -610,6 +631,47 @@ object TextAnalysis {
         when(col("nll") < NllHeadMax, "head")
           .when(col("nll") < NllMiddleMax, "middle")
           .otherwise("tail"))
+  }
+
+  /** Interpolated bigram LM scoring — the CCNet-grade upgrade of
+    * [[perplexityScore]]: p(w | prev) = λ·p_bigram(w | prev) +
+    * (1−λ)·p_unigram_smoothed(w), falling back to the smoothed
+    * unigram alone when the context was never seen in training (and
+    * for each document's first token, whose prev is NULL). Both LM
+    * tables (unigram counts, bigram counts, context totals) come from
+    * the train split (the shared [[SplitHash]] bucket < 800) and are
+    * broadcast dimensions — vocabulary- and seen-bigram-sized, both
+    * sublinear in corpus bytes (Heaps), so scoring stays a map-side
+    * join chain over the token stream plus one per-doc aggregate.
+    * The prev token comes from a lag() window per doc, the same
+    * (doc, pos) ordering both engines share.
+    */
+  val BigramLambda = 0.7
+  def perplexityBigram(s: SparkSession, dir: String): DataFrame = {
+    val allToks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val trainToks = allToks.filter(SplitHash.bucket(col("doc_id")) < 800)
+    val uc = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val nv = uc.agg(sum(col("uc")).cast("long").as("n"), count(lit(1)).as("v"))
+    val bc = trainToks.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
+    val cc = trainToks.filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("ctx")).agg(count(lit(1)).as("cc"))
+    val pu = (coalesce(col("uc"), lit(0L)) + 1) /
+      (col("n") + col("v")).cast("double")
+    val p = when(col("cc").isNotNull,
+        lit(BigramLambda) * (coalesce(col("bc"), lit(0L)) / col("cc"))
+          + lit(1 - BigramLambda) * pu)
+      .otherwise(pu)
+    allToks
+      .join(broadcast(uc), Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .join(broadcast(bc), Seq("prev", "tok"), "left")
+      .join(broadcast(cc), col("prev") === col("ctx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), round(avg(-log(p)), 6).as("nll"))
   }
 
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
@@ -939,6 +1001,17 @@ object TextAnalysis {
         |      AS n_syll
         |  FROM documents)
         |WHERE n_words > 0""".stripMargin)(readability),
+    Q("freq_of_freqs",
+      s"""WITH tc AS (
+         |  SELECT tok, COUNT(*) AS c FROM (
+         |    SELECT unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |sp AS (SELECT c, COUNT(*) AS n_types FROM tc GROUP BY 1)
+         |SELECT c, n_types,
+         |  CAST(SUM(n_types) OVER (ORDER BY c) AS BIGINT) AS cum_types,
+         |  round(n_types / CAST(SUM(n_types) OVER () AS DOUBLE), 6)
+         |    AS type_share
+         |FROM sp""".stripMargin)(freqOfFreqs),
     Q("token_ids",
       s"""WITH tc AS (
          |  SELECT tok, COUNT(*) AS cnt FROM (
@@ -1038,6 +1111,32 @@ object TextAnalysis {
          |       WHEN nll < $NllMiddleMax THEN 'middle'
          |       ELSE 'tail' END AS band
          |FROM d""".stripMargin)(perplexityScore),
+    Q("perplexity_bigram",
+      s"""WITH toks AS (
+         |  SELECT doc_id, t[i] AS tok,
+         |    CASE WHEN i > 1 THEN t[i-1] END AS prev
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents),
+         |    unnest(range(1, len(t) + 1)) AS u(i)),
+         |tr AS (SELECT * FROM toks
+         |  WHERE ${SplitHash.bucketSql("doc_id")} < 800),
+         |uc AS (SELECT tok, COUNT(*) AS uc FROM tr GROUP BY 1),
+         |nv AS (SELECT CAST(SUM(uc) AS BIGINT) AS n, COUNT(*) AS v FROM uc),
+         |bc AS (SELECT prev, tok, COUNT(*) AS bc FROM tr
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |cc AS (SELECT prev AS ctx, COUNT(*) AS cc FROM tr
+         |  WHERE prev IS NOT NULL GROUP BY 1),
+         |sc AS (
+         |  SELECT toks.doc_id,
+         |    CASE WHEN cc.cc IS NOT NULL
+         |      THEN 0.7 * (COALESCE(bc.bc, 0) / cc.cc)
+         |        + 0.3 * ((COALESCE(uc.uc, 0) + 1) / CAST(n + v AS DOUBLE))
+         |      ELSE (COALESCE(uc.uc, 0) + 1) / CAST(n + v AS DOUBLE) END AS p
+         |  FROM toks
+         |  LEFT JOIN uc ON toks.tok = uc.tok
+         |  LEFT JOIN bc ON toks.prev = bc.prev AND toks.tok = bc.tok
+         |  LEFT JOIN cc ON toks.prev = cc.ctx, nv)
+         |SELECT doc_id, COUNT(*) AS n_tok, round(AVG(-ln(p)), 6) AS nll
+         |FROM sc GROUP BY 1""".stripMargin)(perplexityBigram),
     Q("vocab_top",
       s"""WITH tc AS (
          |  SELECT tok, COUNT(*) AS cnt FROM (
