@@ -646,7 +646,11 @@ object TextAnalysis {
     * The prev token comes from a lag() window per doc, the same
     * (doc, pos) ordering both engines share.
     */
+  // both weights are spelled as literals: `1 - 0.7` evaluates to
+  // 0.30000000000000004 in IEEE arithmetic, which would multiply by a
+  // DIFFERENT double than the oracle's literal 0.3
   val BigramLambda = 0.7
+  val BigramLambdaComp = 0.3
   def perplexityBigram(s: SparkSession, dir: String): DataFrame = {
     val allToks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -663,7 +667,7 @@ object TextAnalysis {
       (col("n") + col("v")).cast("double")
     val p = when(col("cc").isNotNull,
         lit(BigramLambda) * (coalesce(col("bc"), lit(0L)) / col("cc"))
-          + lit(1 - BigramLambda) * pu)
+          + lit(BigramLambdaComp) * pu)
       .otherwise(pu)
     allToks
       .join(broadcast(uc), Seq("tok"), "left")

@@ -99,6 +99,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "join_theta", // genuine non-equi residual on equi key — hash join with filter
       "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report",
       "vocab_top", "perplexity_score", "fill_gaps",
+      "perplexity_bigram", // 1-row LM-stats broadcast, as perplexity_score
       "customer_rfm", // scalar-N / centroid cross joins (broadcast, tiny side)
       "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
       "ann_recall", // embeds cosine_topk, the exact baseline it measures recall against
