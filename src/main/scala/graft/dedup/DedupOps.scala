@@ -251,6 +251,14 @@ object DedupOps {
     */
   private val pairCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  /** Test hook: drop cached pair frames so a spec can race the
+    * cold-miss path deliberately.
+    */
+  private[graft] def clearPairCache(): Unit = synchronized {
+    pairCache.values.foreach(_.unpersist())
+    pairCache.clear()
+  }
+
   def verifiedPairs(s: SparkSession, dir: String): DataFrame = synchronized {
     // evict entries of stopped sessions: in a JVM that cycles
     // sessions (services, test harnesses) the map would otherwise pin

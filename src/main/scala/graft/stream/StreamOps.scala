@@ -49,12 +49,15 @@ case class UserTypeCounts(
   * hot user's types never serialize as one blob the way a
   * ValueState[Map] would) and a ListState holding the user's last
   * [[TypeCountsProcessor.RecentK]] values (a bounded recency buffer,
-  * trimmed on write so state size is K, not event count). Emits one
-  * row per type TOUCHED in the batch — update-mode semantics, same as
-  * [[RunningTotalsProcessor]].
+  * trimmed on write so state size is K, not event count). "Last"
+  * means EVENT TIME: a grouped iterator's row order after the shuffle
+  * is partition-dependent, so the batch is sorted by (ts, type,
+  * value) before appending — otherwise the kept suffix would change
+  * with source partitioning. Emits one row per type TOUCHED in the
+  * batch — update-mode semantics, same as [[RunningTotalsProcessor]].
   */
 class TypeCountsProcessor
-    extends StatefulProcessor[Long, (Long, String, Double), UserTypeCounts] {
+    extends StatefulProcessor[Long, (Long, String, Double, java.sql.Timestamp), UserTypeCounts] {
   import org.apache.spark.sql.streaming.{ListState, MapState}
 
   @transient private var counts: MapState[String, Long] = _
@@ -69,17 +72,16 @@ class TypeCountsProcessor
 
   override def handleInputRows(
       key: Long,
-      rows: Iterator[(Long, String, Double)],
+      rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[UserTypeCounts] = {
+    val batch = rows.toVector.sortBy { case (_, et, v, t) => (t.getTime, et, v) }
     val touched = scala.collection.mutable.LinkedHashSet[String]()
-    val newVals = scala.collection.mutable.ArrayBuffer[Double]()
-    rows.foreach { case (_, et, v) =>
+    batch.foreach { case (_, et, _, _) =>
       val cur = if (counts.containsKey(et)) counts.getValue(et) else 0L
       counts.updateValue(et, cur + 1)
       touched += et
-      newVals += v
     }
-    val buf = (recent.get().toVector ++ newVals)
+    val buf = (recent.get().toVector ++ batch.map(_._3))
       .takeRight(TypeCountsProcessor.RecentK)
     recent.put(buf.toArray)
     val rs = math.round(buf.sum * 100) / 100.0
@@ -292,8 +294,8 @@ object StreamOps {
   def userTypeCountsTws(events: DataFrame): Dataset[UserTypeCounts] = {
     val s = events.sparkSession
     import s.implicits._
-    events.selectExpr("user_id", "event_type", "value")
-      .as[(Long, String, Double)]
+    events.selectExpr("user_id", "event_type", "value", "ts")
+      .as[(Long, String, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .transformWithState(new TypeCountsProcessor,
         TimeMode.None(), OutputMode.Update())

@@ -123,6 +123,10 @@ object Bpe {
     */
   private val mergeCache =
     scala.collection.mutable.Map[(SparkSession, String), Array[(String, String)]]()
+
+  /** Test hook: drop the memo so a spec can race the cold-miss path. */
+  private[graft] def clearMergeCache(): Unit =
+    synchronized { mergeCache.clear() }
   private def trainedMerges(s: SparkSession, dir: String): Array[(String, String)] = {
     val key = (s, dir)
     // lock only around map access, never around the multi-job training

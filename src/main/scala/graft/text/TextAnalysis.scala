@@ -566,8 +566,9 @@ object TextAnalysis {
     * batching-efficiency profile: if each bucket pads its documents
     * to the bucket max, how many pad tokens does the corpus pay?
     * (The statistic that motivates length-bucketed batching over
-    * naive global padding.) One map-side bucket assignment (floor of
-    * log2, computed on exact integer token counts) plus one hash
+    * naive global padding.) One map-side bucket assignment (the
+    * smallest power of two that FITS the document, from the bit
+    * length of n−1 — pure integer arithmetic) plus one hash
     * aggregate; output is ≤ log2(max_len) rows. The waste ratio is
     * an integer/integer division finished in double and rounded —
     * engine-identical.
@@ -577,11 +578,15 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"), n.as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      // bucket = 2^ceil(log2(n)): the smallest power-of-two batch
-      // shape that fits the document. Integer-exact in both engines
-      // (shiftleft on the floor-log, not a float pow round-trip).
+      // bucket = 2^bitlength(n−1) (n>1): integer-exact in both
+      // engines via the binary-string length. The float route —
+      // ceil(log2(n)) — is NOT: Spark's log2 is StrictMath.log(n)/
+      // log(2), which overshoots the exact integer at n = 2^29, 2^31,
+      // 2^39 (…29.000000000000004 → ceil 30) while DuckDB's libm
+      // log2 is exact there — a latent differential mismatch.
       .withColumn("bucket",
-        expr("shiftleft(1L, cast(ceil(log2(n_tokens)) as int))"))
+        expr("case when n_tokens = 1 then 1L " +
+          "else shiftleft(1L, length(bin(n_tokens - 1))) end"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_tokens")).as("max_len"),
@@ -661,8 +666,11 @@ object TextAnalysis {
     val nv = uc.agg(sum(col("uc")).cast("long").as("n"), count(lit(1)).as("v"))
     val bc = trainToks.filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
-    val cc = trainToks.filter(col("prev").isNotNull)
-      .groupBy(col("prev").as("ctx")).agg(count(lit(1)).as("cc"))
+    // context totals re-aggregate the bigram table (sum of per-(prev,
+    // tok) counts per prev ≡ count per prev — bit-identical), instead
+    // of shuffling the corpus-wide token stream a second time
+    val cc = bc.groupBy(col("prev").as("ctx"))
+      .agg(sum(col("bc")).cast("long").as("cc"))
     val pu = (coalesce(col("uc"), lit(0L)) + 1) /
       (col("n") + col("v")).cast("double")
     val p = when(col("cc").isNotNull,
@@ -1034,8 +1042,9 @@ object TextAnalysis {
         |  FROM documents),
         |b AS (
         |  SELECT n_tokens,
-        |    (CAST(1 AS BIGINT) << CAST(ceil(log2(n_tokens)) AS INTEGER))
-        |      AS bucket
+        |    CASE WHEN n_tokens = 1 THEN CAST(1 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1)))
+        |    END AS bucket
         |  FROM d WHERE n_tokens > 0)
         |SELECT bucket, COUNT(*) AS n_docs, MAX(n_tokens) AS max_len,
         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
@@ -1127,8 +1136,8 @@ object TextAnalysis {
          |nv AS (SELECT CAST(SUM(uc) AS BIGINT) AS n, COUNT(*) AS v FROM uc),
          |bc AS (SELECT prev, tok, COUNT(*) AS bc FROM tr
          |  WHERE prev IS NOT NULL GROUP BY 1, 2),
-         |cc AS (SELECT prev AS ctx, COUNT(*) AS cc FROM tr
-         |  WHERE prev IS NOT NULL GROUP BY 1),
+         |cc AS (SELECT prev AS ctx, CAST(SUM(bc) AS BIGINT) AS cc
+         |  FROM bc GROUP BY 1),
          |sc AS (
          |  SELECT toks.doc_id,
          |    CASE WHEN cc.cc IS NOT NULL

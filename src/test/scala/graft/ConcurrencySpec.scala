@@ -18,28 +18,42 @@ class ConcurrencySpec extends AnyFunSuite {
     runConcurrent(names)
   }
 
-  test("cache-backed queries race safely (verifiedPairs + trained-merges memos)") {
+  test("cache-backed queries race COLD (verifiedPairs + trained-merges memos)") {
     // dedup_edit_distance reads the session-keyed verifiedPairs cache,
-    // bpe_encode the trained-merges cache — 3 threads each hit the
-    // cold-miss path simultaneously and must agree with serial runs
-    runConcurrent(Seq("dedup_edit_distance", "bpe_encode", "dup_count"))
+    // bpe_encode the trained-merges cache. The caches are cleared
+    // first and the CONCURRENT phase runs before any serial warm-up,
+    // so all 9 futures genuinely race the cold-miss path; the serial
+    // reference results are computed afterwards (warm — the cached
+    // result is deterministic either way).
+    graft.dedup.DedupOps.clearPairCache()
+    graft.text.Bpe.clearMergeCache()
+    runConcurrent(Seq("dedup_edit_distance", "bpe_encode", "dup_count"),
+      concurrentFirst = true)
   }
 
-  private def runConcurrent(names: Seq[String]): Unit = {
-    val serial = names.map { n =>
+  private def runConcurrent(
+      names: Seq[String], concurrentFirst: Boolean = false): Unit = {
+    def serialRun(): Map[String, Seq[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, sfTiny).collect().map(_.toString).sorted.toSeq
     }.toMap
-    val pool = Executors.newFixedThreadPool(3)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = (1 to 3).flatMap(_ => names.map { n =>
-        Future(n -> SparkEntry.queries(n)(spark, sfTiny)
-          .collect().map(_.toString).sorted.toSeq)
-      })
-      val results = Await.result(Future.sequence(futures), 120.seconds)
-      results.foreach { case (n, rows) =>
-        assert(rows == serial(n), s"concurrent run of $n diverged")
-      }
-    } finally pool.shutdown()
+    def concurrentRun(): Seq[(String, Seq[String])] = {
+      val pool = Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futures = (1 to 3).flatMap(_ => names.map { n =>
+          Future(n -> SparkEntry.queries(n)(spark, sfTiny)
+            .collect().map(_.toString).sorted.toSeq)
+        })
+        Await.result(Future.sequence(futures), 240.seconds)
+      } finally pool.shutdown()
+    }
+    // concurrentFirst: the racing threads must see the cold path —
+    // running the serial reference first would warm every cache
+    val (results, serial) =
+      if (concurrentFirst) { val r = concurrentRun(); (r, serialRun()) }
+      else { val s = serialRun(); (concurrentRun(), s) }
+    results.foreach { case (n, rows) =>
+      assert(rows == serial(n), s"concurrent run of $n diverged")
+    }
   }
 }
