@@ -79,6 +79,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k filter did not trigger group-limit pushdown:\n${p.take(1500)}")
   }
 
+  test("q11 derives the partsupp relation once (total reuses the per-part exchange)") {
+    val df = SparkEntry.queries("q11_important_stock")(spark, sfTiny)
+    df.collect() // AQE inserts the reuse during runtime re-planning
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "global total re-derived the partsupp relation instead of reusing the per-part exchange")
+  }
+
   test("event_paths engages WindowGroupLimit for the per-user prefix") {
     val p = plan("event_paths")
     assert(p.contains("WindowGroupLimit"),
