@@ -380,25 +380,22 @@ object TextAnalysis {
     * the induction step before BPE merges: every corpus token with its
     * count, rank, and the fraction of all token OCCURRENCES covered by
     * the vocabulary up to that rank (the curve that picks a vocab
-    * size). One (token) aggregate; the rank/coverage window is global
-    * but runs over the VOCABULARY, not the corpus — Heaps' law keeps
-    * distinct tokens sublinear in corpus size (≪10⁷ rows even at
-    * 100 TB), so the single-partition window is bounded and cheap.
-    * The (cnt DESC, tok) ordering is total, so rank and the running
-    * sum are deterministic in both engines.
+    * size). One (token) aggregate; rank and the running coverage sum
+    * come from [[graft.ops.Ranks.freqRanked]] — range-partitioned
+    * prefix sums, NOT a global window, because at 100 TB the distinct
+    * "vocabulary" of raw web text is itself 10⁸–10⁹ rows and a
+    * single-partition WindowExec over it is the one task that never
+    * finishes. The (cnt DESC, tok) ordering is total, so rank and the
+    * running sum are deterministic in both engines.
     */
   def vocabTop(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
-    val total = counts.agg(sum(col("cnt")).as("n"))
-    counts.crossJoin(broadcast(total))
-      .select(col("tok"), col("cnt"),
-        row_number().over(w).cast("long").as("rank"),
-        round(sum(col("cnt")).over(w) / col("n").cast("double"), 6)
-          .as("coverage"))
+    graft.ops.Ranks.freqRanked(s, counts)
+      .select(col("tok"), col("cnt"), col("rank"),
+        round(col("cum") / col("total").cast("double"), 6).as("coverage"))
   }
 
   /** Top-[[OovVocabSize]] vocabulary actually used by [[oovRate]] —
@@ -543,20 +540,21 @@ object TextAnalysis {
     * text → int[] step before tensorization: ids are frequency ranks
     * from the induced vocabulary ([[vocabTop]]'s (cnt DESC, tok)
     * total order, so the assignment is deterministic in both
-    * engines). The vocabulary ranking is a global window over the
-    * VOCABULARY (Heaps-bounded, the vocabTop argument), broadcast
-    * back onto the token stream — the corpus pass itself is
-    * map-shaped at any scale. Sequence output is restricted to the
-    * explode_pos doc subset to keep the correctness dump
-    * proportionate; the vocabulary always comes from the full corpus.
+    * engines). The vocabulary ranking rides
+    * [[graft.ops.Ranks.freqRanked]] (range-partitioned prefix sums —
+    * no single-partition window even when the raw-text vocabulary is
+    * 10⁹ rows), broadcast back onto the token stream — the corpus
+    * pass itself is map-shaped at any scale. Sequence output is
+    * restricted to the explode_pos doc subset to keep the correctness
+    * dump proportionate; the vocabulary always comes from the full
+    * corpus.
     */
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(col("tok"),
-        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
-          .cast("long").as("token_id"))
+    val vocab = graft.ops.Ranks
+      .freqRanked(s, toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+      .select(col("tok"), col("rank").as("token_id"))
     toks.filter(col("doc_id") < 50)
       .join(broadcast(vocab), Seq("tok"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))

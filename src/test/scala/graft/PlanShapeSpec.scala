@@ -106,7 +106,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
       "join_theta", // genuine non-equi residual on equi key — hash join with filter
       "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report",
-      "vocab_top", "perplexity_score", "fill_gaps",
+      "perplexity_score", "fill_gaps",
       "perplexity_bigram", // 1-row LM-stats broadcast, as perplexity_score
       "customer_rfm", // scalar-N / centroid cross joins (broadcast, tiny side)
       "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
@@ -219,6 +219,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val filterAt = p.indexOf("UDF(knownnotnull(o_custkey")
     assert(joinAt >= 0 && filterAt > joinAt,
       s"bloom pre-filter not below the join:\n${p.take(2000)}")
+  }
+
+  test("vocab_top and token_ids rank the vocabulary without any window at all") {
+    // the rank/coverage prefix sums ride Ranks.freqRanked (range
+    // partition + per-partition offsets); a revert to
+    // row_number().over(Window.orderBy(...)) would reintroduce the
+    // single-task WindowExec this pin exists to forbid
+    for (name <- Seq("vocab_top", "token_ids")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name funnels the vocabulary through a window:\n${p.take(2000)}")
+    }
   }
 
   test("decontaminate broadcasts the eval shingle side") {
