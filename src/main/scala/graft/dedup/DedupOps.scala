@@ -89,19 +89,49 @@ object DedupOps {
       .toDF("doc_id", "n_sh", "shingle")
   }
 
+  /** Document-frequency cap shared by the exact pair joins: every
+    * shingle key with df > [[MaxShingleDf]] is dropped BEFORE the
+    * self-join. A single viral shingle (a boilerplate sentence, a
+    * license header) appearing in d documents contributes d·(d−1)/2
+    * candidate pairs — quadratic in ONE partition of the equi-join —
+    * so an uncapped exact join melts at corpus scale no matter how
+    * the keys hash. Capping bounds every shingle's fan-out at
+    * cap²/2, and drops only keys that carry no near-dup signal
+    * (a shingle shared by thousands of documents identifies none of
+    * them). df comes from one partial+final count on the SAME key the
+    * join shuffles on (the exchange is reusable), and the hot list is
+    * heavy-hitters-small by construction — it rides a broadcast
+    * anti-join, so the shingle bag never reshuffles for the gate.
+    * The cap is 40× the sf0.1 fixture's max df (25), so fixture
+    * results — and the DuckDB oracles — are unchanged.
+    */
+  val MaxShingleDf = 1000L
+
+  private[dedup] def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
+    val hot = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh_h"))
+    sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
+  }
+
   /** Exact pairwise n-gram Jaccard ≥ 0.8 via an inverted shingle join:
     * explode distinct shingles, equi-join on shingle (doc_a < doc_b),
     * count shared shingles, J = |∩| / (|A|+|B|−|∩|). Shuffles on the
-    * shingle key; hot shingles would need a document-frequency cap at
-    * 100 TB (or the MinHash variant below, which subsumes this).
+    * shingle key, with hot shingles dropped by [[dfCapped]] so no
+    * single key can go quadratic (the MinHash variant below remains
+    * the preferred 100 TB path; this is the bounded exact baseline).
+    * The per-doc sizes na/nb count the FULL shingle set (capping
+    * prunes candidate keys, not the denominator), so J is exact
+    * whenever no shared shingle was hot — always true on the fixture.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     // join key is the 8-byte shingle hash, not the ~20-char string:
     // the (doc, shingle) bag is the largest shuffle in the query and
     // shrinks ~3× hashed. Collisions (~n²/2⁶⁵) would be deterministic
     // but are vanishingly improbable at any realistic shingle count.
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val sh = dfCapped(shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h")),
+      MaxShingleDf)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh_h"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh_h"))
     a.join(b, Seq("sh_h"))
@@ -120,11 +150,14 @@ object DedupOps {
     * shingle equi-join as [[ngramJaccard]] (one shuffle on 8-byte
     * shingle hashes, never all-pairs); the output is directional, so a
     * planted copy appears as both (A→B) and (B→A) only when the two
-    * docs are near-identical in BOTH directions.
+    * docs are near-identical in BOTH directions. Hot shingles are
+    * dropped by [[dfCapped]] before the join (same rationale as
+    * [[ngramJaccard]]: bounded fan-out per key, no signal lost).
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val sh = dfCapped(shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h")),
+      MaxShingleDf)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh_h"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh_h"))
     a.join(b, Seq("sh_h"))

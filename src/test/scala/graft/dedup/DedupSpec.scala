@@ -201,6 +201,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._2 == "unique"), "everything flagged duplicate")
   }
 
+  test("df cap drops a planted viral shingle and bounds the candidate join") {
+    import spark.implicits._
+    // 40 docs: each carries ONE shared (viral) shingle plus 5 unique
+    // shingles. Uncapped, the viral key alone contributes
+    // 40·39/2 = 780 candidate pairs; capped at df ≤ 10 it contributes
+    // zero and the unique keys contribute zero — the quadratic
+    // blow-up a single boilerplate sentence causes at corpus scale.
+    val n = 40
+    val bag = (0 until n).flatMap { d =>
+      (0L +: (1L to 5L).map(u => 1000L + d * 10L + u))
+        .map(h => (d.toLong, 6L, h)) // (doc_id, n_sh, sh_h); 0 = viral
+    }.toDF("doc_id", "n_sh", "sh_h")
+    def candidates(sh: org.apache.spark.sql.DataFrame): Long = {
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh_h"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh_h"))
+      a.join(b, Seq("sh_h")).filter(col("doc_a") < col("doc_b")).count()
+    }
+    assert(candidates(bag) == n.toLong * (n - 1) / 2)
+    val capped = DedupOps.dfCapped(bag, 10)
+    assert(candidates(capped) == 0L, "df cap must break the viral-key quadratic")
+    // only viral rows were dropped: every doc keeps its 5 unique keys
+    assert(capped.count() == n * 5L)
+    assert(capped.filter(col("sh_h") === 0L).count() == 0L)
+    // and the production cap sits far above the fixture's max df, so
+    // the oracled queries are unchanged by construction
+    val maxDf = DedupOps.dfCapped(bag, DedupOps.MaxShingleDf).count()
+    assert(maxDf == bag.count(), "fixture-scale dfs must pass the production cap")
+  }
+
   test("exact-substring dedup keeps each tile's first occurrence and rebuilds docs") {
     import graft.Tables
     import org.apache.spark.sql.functions.col
