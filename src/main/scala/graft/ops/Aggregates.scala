@@ -94,11 +94,12 @@ object Aggregates {
         Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "name", "val")
 
   /** t-digest/Greenwald-Khanna sketch percentile — the 100 TB
-    * replacement for aggPercentiles' exact sort; algorithm differs
-    * from DuckDB's approx so no SQL oracle. ApproxDistinctSpec bounds
-    * it against the exact percentile (≤5% relative at sf0.01).
+    * replacement for aggPercentiles' exact sort. This is the
+    * production form (sketch only); the registered query is
+    * [[aggApproxPercentiles]], which audits it against the exact
+    * percentile so the DuckDB gate can machine-check the error bound.
     */
-  def aggApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+  def aggApproxPercentilesSketch(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       // one sketch serves both quantiles (array form), not two
@@ -108,16 +109,55 @@ object Aggregates {
         element_at(col("aps"), 1).as("ap50"),
         element_at(col("aps"), 2).as("ap90"))
 
-  /** HLL++ sketch — algorithm differs from DuckDB's approx so no SQL
-    * oracle; ApproxDistinctSpec bounds it against the exact count
-    * (≤5% at sf0.01) instead. Sketch-only on purpose: pairing it with
-    * an exact countDistinct in one query would make the exact side the
-    * bottleneck at 100 TB and defeat the sketch.
+  /** Gate-audited sketch percentile: the sketch estimates join the
+    * exact per-group percentiles, and the output carries the exact
+    * values plus `within 5%` verdict booleans. The raw estimate is
+    * deliberately NOT a column — sketch algorithms differ across
+    * engines, so it can never hash-match an oracle; the booleans can,
+    * and turn the spec's error bound into a driver-checkable oracle
+    * row (estimate out of bound → FALSE → hash mismatch → red gate).
+    * The exact side exists only to audit the sketch at fixture scale;
+    * production callers use [[aggApproxPercentilesSketch]].
     */
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  def aggApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"))
+    exact.join(aggApproxPercentilesSketch(s, dir), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p90"),
+        (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("ap50_ok"),
+        (abs(col("ap90") - col("p90")) / col("p90") <= 0.05).as("ap90_ok"))
+  }
+
+  /** HLL++ sketch — the production form (sketch only, no exact
+    * counterpart in the same plan: pairing it with countDistinct at
+    * 100 TB would make the exact side the bottleneck and defeat the
+    * sketch). The registered query is [[aggApproxDistinct]], the
+    * fixture-scale audit.
+    */
+  def aggApproxDistinctSketch(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  /** Gate-audited HLL++: exact per-group distinct count plus a
+    * `within 5%` verdict for the sketch estimate (Spark's default rsd
+    * is 5%). Same contract as [[aggApproxPercentiles]]: the estimate
+    * itself can't hash-match a cross-engine oracle, its error bound
+    * can.
+    */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    exact.join(aggApproxDistinctSketch(s, dir), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          / col("exact_parts").cast("double") <= 0.05).as("est_ok"))
+  }
 
   /** Mergeable approx-distinct sketches (HLL, Apache DataSketches) —
     * the sketch counterpart of [[aggMergePartials]]: per-(flag,
@@ -130,10 +170,11 @@ object Aggregates {
     * while a direct build estimates from HLL_4, so the two estimates
     * differ by ≈1% — ApproxDistinctSpec pins merged-vs-direct ≤2%
     * and both ≤5% from exact. DuckDB's approx_distinct is a
-    * different algorithm, so this is rows-only for the driver, like
-    * the other sketches.
+    * different algorithm, so the ESTIMATES can't cross an engine
+    * boundary — the registered [[approxDistinctUnion]] audits them
+    * instead.
     */
-  def approxDistinctUnion(s: SparkSession, dir: String): DataFrame = {
+  def approxDistinctUnionSketch(s: SparkSession, dir: String): DataFrame = {
     val merged = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
@@ -144,6 +185,25 @@ object Aggregates {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
         .as("direct_distinct"))
     merged.join(direct, Seq("l_returnflag"))
+  }
+
+  /** Gate-audited sketch union: exact distinct count per flag plus
+    * three verdicts — merged sketch ≤5% from exact, direct sketch
+    * ≤5% from exact, merged-vs-direct ≤2% (the HLL_8-gadget drift the
+    * union path introduces). Any estimate outside its bound flips a
+    * boolean and fails the hash compare.
+    */
+  def approxDistinctUnion(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val err = (a: Column, b: Column) => abs(a - b) / b.cast("double")
+    exact.join(approxDistinctUnionSketch(s, dir), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (err(col("merged_distinct"), col("exact_parts")) <= 0.05).as("merged_ok"),
+        (err(col("direct_distinct"), col("exact_parts")) <= 0.05).as("direct_ok"),
+        (err(col("merged_distinct"), col("direct_distinct")) <= 0.02)
+          .as("merge_consistent"))
   }
 
   /** Exact percentiles (sort-based, linear interpolation — same
@@ -583,8 +643,21 @@ object Aggregates {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
         |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggPercentiles),
-    Q.noOracle("agg_approx_distinct")(aggApproxDistinct),
-    Q.noOracle("approx_distinct_union")(approxDistinctUnion),
-    Q.noOracle("agg_approx_percentiles")(aggApproxPercentiles),
+    Q("agg_approx_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS est_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggApproxDistinct),
+    Q("approx_distinct_union",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS merged_ok, TRUE AS direct_ok, TRUE AS merge_consistent
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(approxDistinctUnion),
+    Q("agg_approx_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  TRUE AS ap50_ok, TRUE AS ap90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggApproxPercentiles),
   )
 }

@@ -19,10 +19,15 @@ import graft.{Q, Tables}
   * vocabulary. Lineage is truncated by caching each generation and
   * unpersisting the previous one.
   *
-  * Iterative, so not SQL-expressible for the DuckDB gate (the same
-  * reason the sketches are rows-only); BpeSpec recomputes the exact
-  * merge sequence locally from the same word counts and asserts
-  * equality — an exact differential check, just not through SQL.
+  * Iterative — but with a FIXED round count, so the loop unrolls into
+  * [[Merges]] chained SQL CTEs and the DuckDB gate can replay
+  * training exactly (see [[replayCtes]]): each round recomputes pair
+  * counts, picks the same (freq DESC, left, right) argmax, and
+  * applies the merge via string `replace` over a delimited symbol
+  * string, whose leftmost-nonoverlapping semantics equal
+  * [[mergeOnce]]'s greedy scan. BpeSpec additionally recomputes the
+  * merge sequence locally and asserts equality — the same check,
+  * without SQL in the loop.
   */
 object Bpe {
 
@@ -168,7 +173,74 @@ object Bpe {
         sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
   }
 
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** DuckDB replay of the training loop, unrolled to [[Merges]] CTE
+    * rounds. Word segmentations travel as delimited strings
+    * (`|a||b||c|`): the pair (a,b) matches only as `|a||b|` — the
+    * doubled inner delimiter means a symbol boundary can never be
+    * consumed by one match and still start the next, and the outer
+    * sentinels anchor whole symbols (`xa|b` can't match `a|b`) — so
+    * SQL `replace`'s leftmost-nonoverlapping scan IS [[mergeOnce]]'s
+    * greedy merge. Each round: recount adjacent pairs weighted by
+    * word count, pick the (f DESC, a, b) argmax (the Spark side's
+    * exact ordering), apply it. The `~` coalesce makes an empty round
+    * (no pairs left) replay as a no-op, matching the Scala loop's
+    * empty-guard. The whole replay is vocabulary-sized, like training
+    * itself. Every CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default, and each round references its predecessor from several
+    * places, so an inlined chain re-expands exponentially in the
+    * round count — materialization makes the replay linear, one
+    * vocab-sized table per round.
+    */
+  private def replayCtes: String = {
+    val steps = (1 to Merges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT t[i] AS a, t[i+1] AS b, CAST(SUM(c) AS BIGINT) AS f
+         |  FROM (SELECT string_split(trim(s, '|'), '||') AS t, c FROM seg${k - 1}),
+         |    unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, f FROM p$k ORDER BY f DESC, a, b LIMIT 1),
+         |seg$k AS MATERIALIZED (
+         |  SELECT w,
+         |    replace(s,
+         |      COALESCE((SELECT '|' || a || '||' || b || '|' FROM m$k), '~'),
+         |      COALESCE((SELECT '|' || a || b || '|' FROM m$k), '~')) AS s,
+         |    c
+         |  FROM seg${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest($tokensSql) AS w FROM documents) GROUP BY 1),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, '|' || array_to_string(string_split(w, ''), '||') || '|' AS s, c
+       |  FROM words),
+       |$steps""".stripMargin
+  }
+
+  private def mergesOracle: String = {
+    val rows = (1 to Merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a AS \"left\", b AS \"right\", f AS freq FROM m$k"
+    }.mkString("\nUNION ALL ")
+    s"WITH $replayCtes\n$rows"
+  }
+
+  private def encodeOracle: String =
+    s"""WITH $replayCtes,
+       |enc AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_syms
+       |  FROM seg$Merges),
+       |pdw AS (
+       |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * n_chars) AS BIGINT) AS n_char_tokens,
+       |  CAST(SUM(cnt * n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM pdw JOIN enc USING (w) GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q.noOracle("bpe_merges")(bpeMerges),
-    Q.noOracle("bpe_encode")(bpeEncode))
+    Q("bpe_merges", mergesOracle)(bpeMerges),
+    Q("bpe_encode", encodeOracle)(bpeEncode))
 }

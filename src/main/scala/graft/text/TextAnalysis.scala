@@ -903,17 +903,24 @@ object TextAnalysis {
     * approx_top_k aggregate) — the streaming-friendly frequent-items
     * summary whose state is a fixed-size sketch instead of the full
     * vocabulary (the exact top-k needs a |vocab|-sized aggregate;
-    * this needs O(k·capacity)). Registered rows-only like the other
-    * sketches (HLL++, approx percentiles); the spec pins it exactly
-    * equal to the exact top-10 on the fixture, where capacity far
-    * exceeds the vocabulary.
+    * this needs O(capacity)). The sketch returns every tracked item
+    * and the final top-10 cut is a deterministic (cnt DESC, word)
+    * re-rank of that capacity-bounded set — the fixture corpus has
+    * count TIES at the top-10 boundary (sf0.01: merge/slow both 918),
+    * so cutting inside the sketch (whose tie order is unspecified)
+    * would be nondeterministic, while re-ranking ≤capacity rows is
+    * free. With capacity (100) ≥ the fixture vocabulary (31) the
+    * tracked counts are exact, so the exact-top-10 DuckDB oracle
+    * hash-matches; at production scale the same plan is the standard
+    * approximate heavy-hitters query.
     */
   def approxTopKWords(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
-      .selectExpr("approx_top_k(tok, 10, 100) AS tk")
+      .selectExpr("approx_top_k(tok, 100, 100) AS tk")
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("word"), col("e.count").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(10)
   }
 
   /** Feature hashing (the "hashing trick") — fixed-width sparse
@@ -942,7 +949,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
 
   val all: Seq[Q] = Seq(
-    Q.noOracle("approx_top_k_words")(approxTopKWords),
+    Q("approx_top_k_words",
+      s"""SELECT tok AS word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($tokensSql) AS tok FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 10""".stripMargin)(approxTopKWords),
     Q("feature_hashing",
       s"""SELECT doc_id,
          |  ${SplitHash.foldSql("tok")} % $HashDim

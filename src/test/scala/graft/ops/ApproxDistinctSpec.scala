@@ -12,7 +12,7 @@ class ApproxDistinctSpec extends AnyFunSuite {
   import TestSpark._
 
   test("approx_percentile within 5% of exact per group at sf0.01") {
-    val approx = Aggregates.aggApproxPercentiles(spark, sfSmall).collect()
+    val approx = Aggregates.aggApproxPercentilesSketch(spark, sfSmall).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Aggregates.aggPercentiles(spark, sfSmall).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
@@ -25,7 +25,7 @@ class ApproxDistinctSpec extends AnyFunSuite {
   }
 
   test("HLL sketch union: merged partials track the direct sketch and exact count") {
-    val rows = Aggregates.approxDistinctUnion(spark, sfSmall).collect()
+    val rows = Aggregates.approxDistinctUnionSketch(spark, sfSmall).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Tables.lineitem(spark, sfSmall)
       .groupBy(col("l_returnflag"))
@@ -45,7 +45,7 @@ class ApproxDistinctSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within 5% of exact per group at sf0.01") {
-    val approx = Aggregates.aggApproxDistinct(spark, sfSmall).collect()
+    val approx = Aggregates.aggApproxDistinctSketch(spark, sfSmall).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.lineitem(spark, sfSmall)
       .groupBy(col("l_returnflag"))
