@@ -155,37 +155,65 @@ object Joins {
     * the plain join; only shuffle volume changes. This is the manual
     * form of Spark's runtime row-level bloom pushdown
     * (spark.sql.optimizer.runtime.bloomFilter.*), which only triggers
-    * on statistics; here it is explicit and deterministic. The
-    * mightContain call is a UDF by necessity: Spark's
-    * BloomFilterMightContain expression is not in the public function
-    * registry.
+    * on statistics; here it is explicit and deterministic. The sketch
+    * build and probe are Spark's own catalyst expressions
+    * (BloomFilterAggregate / BloomFilterMightContain — the exact pair
+    * the runtime-filter rule injects, probe codegen'd, bloom
+    * deserialized once per task), registered by hand because neither
+    * is in the public function registry; the build rides a scalar
+    * subquery, so the whole thing stays in-plan — no driver-side
+    * sketch, no row-at-a-time ScalaUDF, no serialized filter shipped
+    * per task closure.
     */
   def joinBloom(s: SparkSession, dir: String): DataFrame =
     joinBloomThreshold(s, dir, 9000d)
 
+  /** Items/fpp sizing for the bloom build, mirroring the previous
+    * driver-side `stat.bloomFilter(_, 100000, 0.01)` sketch: the
+    * standard m = −n·ln(p)/ln²2 optimal-bits formula.
+    */
+  private val BloomItems = 100000L
+  private val BloomNumBits =
+    (-(BloomItems * math.log(0.01)) / (math.log(2) * math.log(2))).toLong
+
+  private def registerBloomFns(s: SparkSession): Unit = {
+    val r = s.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("bloom_filter_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)), "built-in")
+    r.createOrReplaceTempFunction("might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+  }
+
   /** [[joinBloom]] with the dim selectivity cut exposed, so specs can
-    * drive the empty-build-side path. `stat.bloomFilter` NPEs on zero
-    * input rows (the underlying bloom aggregate returns null), so an
-    * empty dim short-circuits to a constant-false pre-filter — the
-    * result (empty) is what the exact join would produce anyway.
+    * drive the empty-build-side path: bloom_filter_agg over zero rows
+    * yields NULL, might_contain(NULL, k) yields NULL, the filter
+    * drops every fact row, and the (empty) result is exactly what the
+    * exact join would produce — no special case needed. Keys enter
+    * the bloom through xxhash64 on both sides, the same construction
+    * Spark's InjectRuntimeFilter uses.
     */
   private[graft] def joinBloomThreshold(
       s: SparkSession, dir: String, minAcctbal: Double): DataFrame = {
-    val dim = Tables.customer(s, dir).filter(col("c_acctbal") > minAcctbal)
-      .select(col("c_custkey"), col("c_mktsegment"))
-    val orders = Tables.orders(s, dir)
-    val prefiltered =
-      if (dim.isEmpty) orders.filter(lit(false))
-      else {
-        val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
-        val mightContain = udf((k: Long) => bf.mightContain(k))
-        orders.filter(mightContain(col("o_custkey")))
-      }
-    prefiltered
-      .join(dim, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    val s2 = s.newSession() // isolated temp views + function registry
+    registerBloomFns(s2)
+    Tables.customer(s2, dir).createOrReplaceTempView("customer")
+    Tables.orders(s2, dir).createOrReplaceTempView("orders")
+    try s2.sql(
+      s"""WITH dim AS (
+         |  SELECT c_custkey, c_mktsegment FROM customer
+         |  WHERE c_acctbal > $minAcctbal)
+         |SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders JOIN dim ON o_custkey = c_custkey
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(c_custkey),
+         |     CAST($BloomItems AS BIGINT), CAST($BloomNumBits AS BIGINT))
+         |   FROM dim),
+         |  xxhash64(o_custkey))
+         |GROUP BY c_mktsegment""".stripMargin)
+    finally Seq("customer", "orders").foreach(s2.catalog.dropTempView)
   }
 
   private val rangeBandsValues = RangeBands

@@ -212,13 +212,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side shuffle in a map-only sample:\n${p.take(2000)}")
   }
 
-  test("join_bloom filters the fact side before the join") {
+  test("join_bloom filters the fact side natively below the join (no ScalaUDF)") {
     val p = plan("join_bloom")
-    // the UDF pre-filter must sit on the orders scan side, below the join
+    // the native might_contain probe must sit on the orders scan side,
+    // below the join, and nothing in the plan may be a row-at-a-time
+    // Scala UDF (the codegen-blocking form this query used to have)
     val joinAt = p.indexOf("Join")
-    val filterAt = p.indexOf("UDF(knownnotnull(o_custkey")
+    val filterAt = p.indexOf("might_contain")
     assert(joinAt >= 0 && filterAt > joinAt,
       s"bloom pre-filter not below the join:\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"bloom probe still a Scala UDF:\n${p.take(2000)}")
   }
 
   test("vocab_top and token_ids rank the vocabulary without any window at all") {
