@@ -51,9 +51,26 @@ object GraphOps {
   private val prCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
-  def pageRank(s: SparkSession, dir: String): DataFrame = synchronized {
-    prCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    prCache.getOrElseUpdate((s, dir), pageRankUncached(s, dir))
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    // Bpe.trainedMerges discipline: lock only around map access, never
+    // around the multi-job iterative run — a concurrent caller for a
+    // DIFFERENT (session, dir) must compute independently, not queue
+    // behind this one's Spark jobs. Two racing callers for the SAME
+    // key may each compute once; the loser's cached frame is
+    // unpersisted so only the winner's copy stays pinned.
+    val key = (s, dir)
+    val hit = synchronized {
+      prCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      prCache.get(key)
+    }
+    hit.getOrElse {
+      val computed = pageRankUncached(s, dir)
+      synchronized {
+        val winner = prCache.getOrElseUpdate(key, computed)
+        if (!(winner eq computed)) computed.unpersist()
+        winner
+      }
+    }
   }
 
   private def pageRankUncached(s: SparkSession, dir: String): DataFrame = {

@@ -328,12 +328,17 @@ object WindowOps {
     * by 1 ulp. At ms granularity the mantissa stays integer-exact in
     * a double, the cast is single-rounded, and both engines agree
     * bit-for-bit.
+    *
+    * The µs→ms step is a pmod-based FLOOR, not `div`: Spark's `div`
+    * truncates toward zero while the DuckDB oracle's `//` floors, so
+    * for pre-1970 timestamps the two would differ by 1 ms — a latent
+    * differential break outside the fixture's 2024 range.
     */
   def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
-        expr("unix_micros(ts) div 1000").as("t_ms"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 1000)) div 1000").as("t_ms"),
         col("value").cast("decimal(18,2)").as("v"))
       .withColumn("nt", lead(col("t_ms"), 1).over(w))
       .filter(col("nt").isNotNull)

@@ -83,15 +83,25 @@ object Bucketed {
   /** Events re-laid-out as day-partitioned parquet, once per
     * (JVM, dir). `day` is a directory key, not a data column — the
     * 30 fixture days become 30 directories, the shape a 100 TB event
-    * log actually has.
+    * log actually has. The key is the UTC-calendar day computed from
+    * the raw epoch micros (floor division, so pre-1970 instants also
+    * land on their calendar day) — NOT date_format, which renders in
+    * the session timezone: a non-UTC session writing this layout
+    * first would shift every partition boundary, and the per-JVM
+    * `written` memo would then pin the shifted copy for every later
+    * gated run. The oracle's timezone-naive CAST(ts AS DATE) sees the
+    * same UTC day by construction.
     */
   private[sources] def partitionedEventsDir(s: SparkSession, dir: String): String =
     synchronized {
       val out = s"${sys.props("java.io.tmpdir")}/graft-src/part_events/${ident(dir)}"
       if (!written.contains(out)) {
+        val utcDay = expr("date_add(DATE'1970-01-01', " +
+          "CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) " +
+          "div 86400000000 AS INT))")
         Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
-            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+            utcDay.cast("string").as("day"))
           .write.mode("overwrite").partitionBy("day").parquet(out)
         written += out
       }

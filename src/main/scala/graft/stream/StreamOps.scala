@@ -50,24 +50,28 @@ case class UserTypeCounts(
   * ValueState[Map] would) and a ListState holding the user's last
   * [[TypeCountsProcessor.RecentK]] values (a bounded recency buffer,
   * trimmed on write so state size is K, not event count). "Last"
-  * means EVENT TIME: a grouped iterator's row order after the shuffle
-  * is partition-dependent, so the batch is sorted by (ts, type,
-  * value) before appending — otherwise the kept suffix would change
-  * with source partitioning. Emits one row per type TOUCHED in the
-  * batch — update-mode semantics, same as [[RunningTotalsProcessor]].
+  * means EVENT TIME across the whole stream, not arrival order: the
+  * buffer stores (ts, value) pairs and every write merges state with
+  * the batch and re-sorts by (ts, value) before trimming, so the kept
+  * suffix is identical under any source partitioning AND any split of
+  * the same events into micro-batches — replay-deterministic, with
+  * (ts, value) ties interchangeable by construction. Emits one row
+  * per type TOUCHED in the batch — update-mode semantics, same as
+  * [[RunningTotalsProcessor]].
   */
 class TypeCountsProcessor
     extends StatefulProcessor[Long, (Long, String, Double, java.sql.Timestamp), UserTypeCounts] {
   import org.apache.spark.sql.streaming.{ListState, MapState}
 
   @transient private var counts: MapState[String, Long] = _
-  @transient private var recent: ListState[Double] = _
+  @transient private var recent: ListState[(Long, Double)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     counts = getHandle.getMapState[String, Long](
       "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
-    recent = getHandle.getListState[Double](
-      "recent", Encoders.scalaDouble, TTLConfig.NONE)
+    recent = getHandle.getListState[(Long, Double)](
+      "recent", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig.NONE)
   }
 
   override def handleInputRows(
@@ -81,12 +85,16 @@ class TypeCountsProcessor
       counts.updateValue(et, cur + 1)
       touched += et
     }
-    val buf = (recent.get().toVector ++ batch.map(_._3))
+    // merge-and-resort: state holds ≤K pairs, so this is O(K + batch)
+    val buf = (recent.get().toVector ++
+      batch.map { case (_, _, v, t) => (t.getTime, v) })
+      .sorted
       .takeRight(TypeCountsProcessor.RecentK)
     recent.put(buf.toArray)
-    val rs = math.round(buf.sum * 100) / 100.0
+    val vals = buf.map(_._2)
+    val rs = math.round(vals.sum * 100) / 100.0
     touched.iterator.map(et =>
-      UserTypeCounts(key, et, counts.getValue(et), buf.size.toLong, rs))
+      UserTypeCounts(key, et, counts.getValue(et), vals.size.toLong, rs))
   }
 }
 
@@ -123,8 +131,15 @@ class SessionTimeoutProcessor(gapMs: Long)
       key: Long,
       rows: Iterator[(Long, Double, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[SessionClosed] = {
-    var (n, total, maxTs) = if (agg.exists()) agg.get() else (0L, 0.0, -1L)
-    val oldTimer = if (maxTs > 0) maxTs + gapMs else -1L
+    // timer existence = state existence (a live session always has
+    // exactly one armed timer), never a sign test on the stored max —
+    // epoch-0 or pre-epoch event times are legal timestamps, and
+    // overloading them as the no-state sentinel would leak a stale
+    // timer that fires early and double-emits the session
+    val hadState = agg.exists()
+    var (n, total, maxTs) =
+      if (hadState) agg.get() else (0L, 0.0, Long.MinValue)
+    val oldTimer = if (hadState) maxTs + gapMs else Long.MinValue
     // state carries the session's MAX event time, not the timer: a
     // late (within-watermark) batch must never move the timer
     // EARLIER — "gap after the last event" means the max over all
@@ -134,7 +149,7 @@ class SessionTimeoutProcessor(gapMs: Long)
       n += 1; total += v; maxTs = math.max(maxTs, t.getTime)
     }
     // one live timer per key: re-arm instead of accumulating
-    if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
+    if (hadState) getHandle.deleteTimer(oldTimer)
     getHandle.registerTimer(maxTs + gapMs)
     agg.update((n, total, maxTs))
     Iterator.empty

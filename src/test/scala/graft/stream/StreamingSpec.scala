@@ -168,6 +168,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("recency buffer keeps the last K by EVENT time across out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.userTypeCountsTws(stream.toDF())
+      .writeStream.format("memory").queryName("tws_ooo")
+      .outputMode("update").start()
+    try {
+      // the event-time-LATEST value arrives in the FIRST batch; five
+      // event-time-earlier values arrive in the second. Arrival-order
+      // state would evict the ts-00:05 value (sum 15); event-time
+      // ordering must keep it and evict the ts-00:00 one (sum 24).
+      stream.addData(Ev(ts("2024-01-01 00:05:00"), "click", 10.0, 1))
+      q.processAllAvailable()
+      stream.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:01:00"), "click", 2.0, 1),
+        Ev(ts("2024-01-01 00:02:00"), "click", 3.0, 1),
+        Ev(ts("2024-01-01 00:03:00"), "click", 4.0, 1),
+        Ev(ts("2024-01-01 00:04:00"), "click", 5.0, 1))
+      q.processAllAvailable()
+      val last = spark.table("tws_ooo")
+        .orderBy(col("n_type").desc).limit(1)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).head
+      assert(last == ((6L, 5L, 24.0)),
+        s"buffer not event-time ordered across batches: $last")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
