@@ -183,6 +183,53 @@ object FileSources {
       |    AS sum_value_good
       |FROM events""".stripMargin
 
+  /** JDBC source through embedded Derby (on the classpath as Spark's
+    * metastore backend — no network endpoint needed): events are
+    * written once per (JVM, dir) into a Derby database under tmpdir
+    * via the JDBC sink, then read back with a PARTITIONED
+    * `spark.read.jdbc` — partitionColumn/bounds/numPartitions, the
+    * shape that turns a single-cursor JDBC pull into parallel range
+    * scans (the only way a relational source feeds a large cluster
+    * without the one-connection bottleneck; bounds only split ranges,
+    * they never clip rows). The same rollup + oracle as the file
+    * formats, so the full write→read round-trip sits under the
+    * differential gate. `createTableColumnTypes` pins event_type to
+    * VARCHAR — Derby's default mapping for StringType is CLOB, which
+    * cannot be grouped on.
+    */
+  private def derbyUrl(dir: String): String =
+    s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft-src/derby/${Tables.dirKey(dir)}"
+
+  private[sources] val JdbcReadPartitions = 8
+
+  def jdbcEvents(s: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl(dir)
+    synchronized {
+      if (!written.contains(url)) {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+          .write.mode("overwrite")
+          .option("createTableColumnTypes", "event_type VARCHAR(64)")
+          .format("jdbc")
+          .option("url", s"$url;create=true")
+          .option("dbtable", "events_jdbc")
+          .save()
+        written += url
+      }
+    }
+    val maxId = Tables.events(s, dir) // range bound: a scalar, not data
+      .agg(max(col("event_id"))).head.getLong(0)
+    rollup(s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "events_jdbc")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", "0")
+      .option("upperBound", (maxId + 1).toString)
+      .option("numPartitions", JdbcReadPartitions.toString)
+      .load())
+  }
+
   private val rollupOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -197,5 +244,6 @@ object FileSources {
     Q("source_xml", rollupOracle)(xmlEvents),
     Q("source_evolved_schema", evolvedOracle)(evolvedEvents),
     Q("source_csv_corrupt", corruptOracle)(corruptCsv),
+    Q("source_jdbc", rollupOracle)(jdbcEvents),
   )
 }

@@ -79,6 +79,15 @@ class SinksSpec extends AnyFunSuite {
     assert(both.count() == 2 * wc.count())
   }
 
+  test("jdbc source reads as a partitioned parallel range scan") {
+    // the single-cursor JDBC pull is the classic relational-source
+    // bottleneck; the plan must show the partitioned relation
+    val p = FileSources.jdbcEvents(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(s"numPartitions=${FileSources.JdbcReadPartitions}"),
+      s"jdbc read not range-partitioned:\n${p.take(1500)}")
+  }
+
   test("permissive csv quarantines exactly the planted malformed rows") {
     val total = Tables.events(spark, sfTiny).count()
     val planted = Tables.events(spark, sfTiny)
