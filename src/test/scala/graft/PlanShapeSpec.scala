@@ -162,6 +162,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(tops >= 2, s"expected 2 TakeOrderedAndProject heads, found $tops")
   }
 
+  test("only documented bounded frames use unpartitioned windows") {
+    // Complement of the vocab_top/token_ids pin: a global (
+    // unpartitioned) window funnels its whole input through ONE task,
+    // so every query that plans one must be on this list with a
+    // boundedness argument — a new global sort over a data-derived
+    // frame fails here instead of scrolling by as one more WindowExec
+    // warning in the bench log.
+    val allowed = Map(
+      // ≤ |price histogram buckets| rows: window over an aggregated spectrum
+      "histogram_prices" -> "bucket spectrum (≤ fixed bucket count)",
+      // global frontier sweep runs AFTER the bucket-local prune
+      "skyline_parts" -> "bucket-pruned frontier candidates",
+      // spectrum of distinct counts (≈√corpus tokens) + 1-row total
+      "freq_of_freqs" -> "count-of-counts spectrum",
+      // 5-source mixture table: windows over |sources| rows
+      "source_mix_weights" -> "per-source mixture weights (model-sized)",
+      "sample_temperature" -> "per-source mixture weights (model-sized)",
+      // rankings are TakeOrdered top-Ks; the fusion window sees ≤2K rows
+      "rrf_fusion" -> "fused candidates ≤ 2·K after TakeOrdered",
+      // top-20 heavy-hitter report: window above a LocalLimit
+      "skew_report" -> "top-20 heavy hitters (limited frame)")
+    SparkEntry.registry.foreach { q =>
+      val wins = q.fn(spark, sfTiny).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty && !allowed.contains(q.name))
+        fail(s"${q.name} plans ${wins.size} unpartitioned window(s) without a " +
+          "documented bound — partition it, rank via Ranks.freqRanked, or " +
+          "justify it on the allowlist")
+    }
+  }
+
   test("shuffling queries run under adaptive execution (runtime re-planning)") {
     // AQE is the runtime half of the 100 TB posture: skew-join splits,
     // shuffle-partition coalescing, and join-strategy switches all hang

@@ -44,6 +44,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream ingests files dropped into the directory mid-stream") {
+    // the poll-a-directory ingestion pattern: a readStream over a
+    // directory of json files, with a second file landing only after
+    // the first micro-batch has been processed. Files are staged
+    // outside the watched directory and moved in atomically (the
+    // FileStreamSource contract; it also skips dot/underscore names).
+    val dir = java.nio.file.Files.createTempDirectory("graft-fstream").toFile
+    val stage = java.nio.file.Files.createTempDirectory("graft-fstage")
+    def drop(name: String, lines: Seq[String]): Unit = {
+      val tmp = stage.resolve(name)
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE, user_id BIGINT")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(dir.getAbsolutePath)
+    val q = StreamOps.tumblingStream(src)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("update").start()
+    def ev(t: String, et: String, v: Double, u: Long): String =
+      s"""{"ts":"$t","event_type":"$et","value":$v,"user_id":$u}"""
+    try {
+      drop("b1.json", Seq(
+        ev("2024-01-01 00:10:00", "click", 1.0, 1),
+        ev("2024-01-01 00:40:00", "click", 2.0, 1)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("file_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(afterB1 == Set((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)),
+        s"first file not aggregated: $afterB1")
+      // second file arrives mid-stream: same window extends, new one opens
+      drop("b2.json", Seq(
+        ev("2024-01-01 00:50:00", "click", 4.0, 2),
+        ev("2024-01-01 01:10:00", "view", 8.0, 2)))
+      q.processAllAvailable()
+      val latest = spark.table("file_stream")
+        .groupBy("ws", "event_type").agg(max("n").as("n"), max("total").as("t"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(latest == Set(
+        (ts("2024-01-01 00:00:00"), "click", 3L, 7.0),
+        (ts("2024-01-01 01:00:00"), "view", 1L, 8.0)),
+        s"mid-stream file not picked up: $latest")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
