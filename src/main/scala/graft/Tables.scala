@@ -25,19 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must
-    * set `spark.sql.legacy.parquet.nanosAsLong=true` at build time
-    * (GraftSession / Verify / Bench / TestSpark all do) so the column
-    * reads as a raw nanos long; we truncate to microseconds — matching
-    * DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle
-    * comparisons agree. Not set here: mutating session conf inside a
-    * table loader would be a surprise for library users.
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations, so the loader adapts to what the file actually
+    * holds (one schema probe, no data read):
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the session sets
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` at build time
+    *    (GraftSession / Verify / Bench / TestSpark all do), which
+    *    reads the column as a raw nanos long — truncated here to
+    *    microseconds, matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+    *    TIMESTAMP_NTZ — cast to TIMESTAMP, which under the session's
+    *    pinned UTC timezone keeps the same wall-clock instant DuckDB
+    *    sees as a naive timestamp, so `unix_micros(ts)` ==
+    *    `epoch_us(ts)` in every downstream comparison.
+    * Either way downstream code sees one canonical shape: `ts` as
+    * TIMESTAMP at microsecond precision. Session conf is never
+    * mutated here — that would be a surprise for library users.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long fixture
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
