@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): times every registry query on
   * SPARK_GRAFT_SF_DIR and emits ONE JSON line, also written to a file
-  * so the result survives sbt log noise.
+  * so the result survives sbt log noise. (SPARK_GRAFT_SF_DIRS /
+  * SPARK_GRAFT_ONLY are local slope-run extensions — multiple scale
+  * points in one boot, name-filtered subset; unset by the driver.)
   *
   * Methodology (each point a round-1 bench defect):
   *  - registry order, not hash-map order — deterministic across rounds;
@@ -20,7 +22,6 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,49 +32,69 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] =
-      try {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
-
-    val qs = SparkEntry.registry
-    qs.foreach(q => runOne(q.name, q.fn)) // warm-up, untimed
-    val timed = qs.map { q =>
-      val r1 = runOne(q.name, q.fn)
-      val r2 = runOne(q.name, q.fn)
-      val best = (r1, r2) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (Right(a), _) => Right(a)
-        case (_, Right(b)) => Right(b)
-        case (Left(e), _) => Left(e)
-      }
-      q.name -> best
+    // Optional subset filter (comma-separated names) for targeted
+    // slope runs — e.g. timing four queries at three scale points
+    // without paying 3× full-registry sweeps.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
+      case None => SparkEntry.registry
     }
+
+    // Cross-scale slope runs need every scale point inside ONE boot
+    // (per-boot JIT floor varies ~2× for overhead-dominated queries —
+    // see BASELINE.md's explode_pos A/B — which would contaminate a
+    // cross-boot slope). SPARK_GRAFT_SF_DIRS (comma list) times the
+    // registry at each dir in sequence, same JVM; the driver never
+    // sets it, so the single-dir contract is untouched.
+    val sfDirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val errors = timed.collect { case (n, Left(e)) => s"""\"$n\":\"$e\"""" }
-    val qJson = timed.map {
-      case (n, Right(t)) => s"""\"$n\":${f3(t)}"""
-      case (n, Left(_)) => s"""\"$n\":-1"""
-    }.mkString("{", ",", "}")
-    val total = timed.collect { case (_, Right(t)) => t }.sum
-    val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qJson,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    Files.writeString(Paths.get(out), fullLine + "\n")
-    // The driver captures only the tail of sbt's stdout; with the full
-    // registry the per-query map overflows that buffer and the driver
-    // records parsed:null (round 3). Print a bounded line — total, error
-    // map, and the 20 slowest queries — and keep the complete per-query
-    // map in bench_out.json (committed) for BASELINE.md comparisons.
-    val slowest = timed.collect { case (n, Right(t)) => (n, t) }
-      .sortBy(-_._2).take(20)
-      .map { case (n, t) => s"""\"$n\":${f3(t)}""" }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${timed.size},"queries":$slowest,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    println(line)
+    val fullLines = sfDirs.map { sfDir =>
+      def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+
+      qs.foreach(q => runOne(q.name, q.fn)) // warm-up, untimed
+      val timed = qs.map { q =>
+        val r1 = runOne(q.name, q.fn)
+        val r2 = runOne(q.name, q.fn)
+        val best = (r1, r2) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Right(a), _) => Right(a)
+          case (_, Right(b)) => Right(b)
+          case (Left(e), _) => Left(e)
+        }
+        q.name -> best
+      }
+      val errors = timed.collect { case (n, Left(e)) => s"""\"$n\":\"$e\"""" }
+      val qJson = timed.map {
+        case (n, Right(t)) => s"""\"$n\":${f3(t)}"""
+        case (n, Left(_)) => s"""\"$n\":-1"""
+      }.mkString("{", ",", "}")
+      val total = timed.collect { case (_, Right(t)) => t }.sum
+      // The driver captures only the tail of sbt's stdout; with the full
+      // registry the per-query map overflows that buffer and the driver
+      // records parsed:null (round 3). Print a bounded line — total, error
+      // map, and the 20 slowest queries — and keep the complete per-query
+      // map in bench_out.json (committed) for BASELINE.md comparisons.
+      val slowest = timed.collect { case (n, Right(t)) => (n, t) }
+        .sortBy(-_._2).take(20)
+        .map { case (n, t) => s"""\"$n\":${f3(t)}""" }.mkString("{", ",", "}")
+      println(
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${timed.size},"queries":$slowest,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qJson,"errors":${errors.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    }
+    Files.writeString(Paths.get(out), fullLines.mkString("", "\n", "\n"))
     spark.stop()
   }
 }
