@@ -324,10 +324,122 @@ object CurationRules {
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
   }
 
+  // ---- Blocklist filtering (C4 §2.2-style bad-word gate) -----------
+
+  /** Term blocklist, a plan literal. Real pipelines carry thousands of
+    * terms (C4's "List of Dirty, Naughty …" list); the mechanism is
+    * identical — the list broadcasts with the plan and the membership
+    * probe is a scan-side set intersection, so the gate costs one
+    * codegen'd map pass at any corpus size. Fixture terms: one common
+    * ("slow"), one rare ("dup"), one absent ("spill") — so the query
+    * exercises hit-many / hit-few / hit-none paths.
+    */
+  private val Blocklist: Seq[String] = Seq("slow", "dup", "spill")
+
+  /** Per-document blocklist verdict: how many DISTINCT blocklisted
+    * terms appear (`array_intersect` de-duplicates — a document
+    * repeating "slow" fifty times still counts 1), and the keep bit.
+    * Zero shuffles, no UDF; `arrays_overlap`-class expressions stay
+    * inside whole-stage codegen. At 100 TB this is the cheapest gate
+    * in the curation chain and therefore runs FIRST (same
+    * cheap-gates-first ordering as [[graft.dedup.DedupOps.curateCorpus]]).
+    */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val hits = array_intersect(tokens(col("text")),
+      array(Blocklist.map(lit): _*))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(hits).cast("long").as("n_blocked"),
+      (size(hits) === 0).as("keep"))
+  }
+
+  private val blocklistOracle = {
+    val list = Blocklist.mkString("['", "','", "']")
+    s"""SELECT doc_id,
+       |  len(list_intersect($tokensSql, $list)) AS n_blocked,
+       |  len(list_intersect($tokensSql, $list)) = 0 AS keep
+       |FROM documents""".stripMargin
+  }
+
+  // ---- Adaptive per-source quality threshold -----------------------
+
+  /** Keep fraction for [[qualityThresholdPerSource]]: top 20 % per
+    * source, k = ceil(n/5) computed in INTEGER arithmetic ((n+4) div
+    * 5) so both engines derive the identical cut count.
+    */
+  private val KeepNum = 4L // (n + KeepNum) div KeepDen == ceil(n/5)
+  private val KeepDen = 5L
+
+  /** Adaptive per-source quality cut — "keep the best 20 % of every
+    * source" (the normalization step that stops one verbose source
+    * from dominating a mixed corpus; per-source quality floors differ,
+    * so a single global threshold over- or under-prunes). The score is
+    * the rounded type-token ratio; the threshold is the k-th largest
+    * score per source — a DISCRETE order statistic (an actual data
+    * value, ties kept), not an interpolated quantile, so no
+    * floating-point interpolation can disagree across engines.
+    *
+    * Scale shape: one partial+final aggregate collapses the corpus to
+    * its per-(source, score) SPECTRUM — bounded by sources × distinct
+    * rounded scores (≤10⁶ per source by construction), never by rows —
+    * and the cumulative window runs over that aggregated frame,
+    * partitioned by source. The corpus itself is scanned once,
+    * map-only; no per-document window anywhere. (The same
+    * aggregate-then-window pattern as [[graft.text.TextAnalysis]]'s
+    * Good–Turing spectrum; at 100 TB the spectrum stays
+    * executor-sized.) Output is the 20-row per-source summary —
+    * threshold, doc counts — the artifact a pipeline broadcasts into
+    * its filter stage.
+    */
+  def qualityThresholdPerSource(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+      col("source"),
+      round(size(array_distinct(t))
+        / greatest(size(t), lit(1)).cast("double"), 6).as("score"))
+    val perSource = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("k", expr(s"(n_docs + $KeepNum) div $KeepDen"))
+    val spectrum = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc)
+    val cum = spectrum.withColumn("cum", sum(col("c")).over(w))
+    val thr = cum.join(broadcast(perSource), Seq("source"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("source"), col("n_docs"), col("k"))
+      .agg(max(col("score")).as("threshold"))
+    cum.join(broadcast(thr), Seq("source"))
+      .filter(col("score") === col("threshold"))
+      .select(col("source"), col("n_docs"), col("k"), col("threshold"),
+        col("cum").as("kept"))
+  }
+
+  private val qualityThresholdOracle =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    round(len(list_distinct(t))
+       |      / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS score
+       |  FROM (SELECT source, $tokensSql AS t FROM documents)),
+       |n AS (SELECT source, COUNT(*) AS n_docs,
+       |  (COUNT(*) + $KeepNum) // $KeepDen AS k FROM d GROUP BY 1),
+       |c AS (SELECT source, score, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |cum AS (SELECT source, score,
+       |  SUM(c) OVER (PARTITION BY source ORDER BY score DESC) AS cum
+       |  FROM c),
+       |t AS (SELECT cum.source, n_docs, k, MAX(score) AS threshold
+       |  FROM cum JOIN n ON cum.source = n.source
+       |  WHERE cum >= k GROUP BY 1, 2, 3)
+       |SELECT t.source, n_docs, k, threshold, CAST(cum AS BIGINT) AS kept
+       |FROM t JOIN cum ON t.source = cum.source
+       |  AND cum.score = t.threshold""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("gopher_rules", gopherOracle)(gopherRules),
     Q("dsir_weights", dsirOracle)(dsirWeights),
     Q("bm25_score", bm25Oracle)(bm25),
     Q("span_dup_fraction", spanOracle)(spanDupFraction),
+    Q("blocklist_filter", blocklistOracle)(blocklistFilter),
+    Q("quality_threshold_per_source", qualityThresholdOracle)(qualityThresholdPerSource),
   )
 }

@@ -132,4 +132,44 @@ class CurationRulesSpec extends AnyFunSuite {
       assert(math.abs(w - expected.getOrElse(id, 0.0)) < 1e-6, s"doc $id weight")
     }
   }
+
+  test("blocklist_filter counts distinct blocked terms, repeats count once") {
+    import spark.implicits._
+    val blocklist = Set("slow", "dup", "spill")
+    val got = CurationRules.blocklistFilter(spark, sfTiny)
+      .select("doc_id", "n_blocked", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == docs.size)
+    got.foreach { case (id, n, keep) =>
+      val hitTypes = tokenize(docs(id)).toSet.intersect(blocklist)
+      assert(n == hitTypes.size, s"doc $id n_blocked (distinct types, not occurrences)")
+      assert(keep == hitTypes.isEmpty, s"doc $id keep")
+    }
+    assert(got.exists(!_._3), "fixture should contain blocked docs")
+    // "spill" never occurs: nothing can reach the full list size of 3
+    assert(got.forall(_._2 < 3), "absent term must never count")
+  }
+
+  test("quality_threshold_per_source: k-th-largest threshold, ties kept") {
+    import spark.implicits._
+    val bySource = Tables.documents(spark, sfTiny)
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val score = docs.map { case (id, t) =>
+      val toks = tokenize(t)
+      id -> round6(toks.distinct.size.toDouble / math.max(toks.size, 1))
+    }
+    val got = CurationRules.qualityThresholdPerSource(spark, sfTiny)
+      .select("source", "n_docs", "k", "threshold", "kept")
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(got.length == bySource.size)
+    got.foreach { case (src, nDocs, k, thr, kept) =>
+      val scores = bySource(src).map(score).sorted(Ordering[Double].reverse)
+      assert(nDocs == scores.size, s"$src n_docs")
+      assert(k == (scores.size + 4) / 5, s"$src k = ceil(n/5)")
+      assert(thr == scores(k.toInt - 1), s"$src threshold is the k-th largest score")
+      assert(kept == scores.count(_ >= thr), s"$src kept includes ties")
+      assert(kept >= k, s"$src kept >= k (ties only ever widen the cut)")
+    }
+  }
 }
