@@ -304,7 +304,156 @@ object SimOps {
         round(col("n_hit") / col("n_exact").cast("double"), 6))
   }
 
+  // ---- Product quantization (PQ / ADC) -----------------------------
+
+  /** PQ geometry: 64 dims → [[PqM]] subspaces of [[PqSub]] dims, each
+    * quantized to one of [[PqK]] codewords → an 8-byte code per
+    * vector, a 32× shrink of a float32 corpus (the FAISS IVF+PQ
+    * memory model; Jégou et al. 2011). Codewords are the
+    * deterministic sample vec_id < [[PqK]] — the same
+    * oracle-replicable "training" device as [[cosineTopkIvf]]'s
+    * centroids; a per-subspace k-means refinement
+    * ([[graft.ml.ClusterOps]] has the loop) would drop in without
+    * changing any plan shape.
+    */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+
+  /** Codebook = model state: PqK × 64 floats collected to the driver
+    * (the k-means-centroid precedent — data never moves, the model
+    * does) and re-entering every plan as LITERALS, so encoding is
+    * map-only with zero joins and zero shuffles.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** Squared L2 between subspace `m` of float-vector column `v` and
+    * the same subspace of codeword `cw` — eight (elem − lit)² terms
+    * summed left-to-right, the same index-ascending order the
+    * oracle's list_sum uses.
+    */
+  private def pqD2(v: Column, cw: Array[Double], m: Int): Column =
+    (0 until PqSub).map { i =>
+      val d = element_at(v, m * PqSub + i + 1).cast("double") -
+        lit(cw(m * PqSub + i))
+      d * d
+    }.reduce(_ + _)
+
+  /** Encode the corpus to PQ codes: per (vector, subspace), the
+    * argmin-distance codeword (first index on ties —
+    * `array_position` finds the first match, mirroring the oracle's
+    * `ORDER BY d2, j`). With the codebook inlined as literals this is
+    * a single map pass over the corpus — the plan has no join, no
+    * shuffle, no window; at 100 TB it is embarrassingly parallel and
+    * emits 8 small ints per vector where the input had 64 floats.
+    */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val codeCols = (0 until PqM).map { m =>
+      val dists = array((0 until PqK).map(j => pqD2(col("embedding"), cb(j), m)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(array(codeCols: _*)).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: queries stay
+    * full-precision; per query a distance TABLE (PqM × PqK = 128
+    * rounded-decimal cells) is computed against the literal codebook,
+    * broadcast, and joined to the corpus CODES on (m, code) — the
+    * approximate distance is the sum of 8 table lookups, never a
+    * 64-dim arithmetic pass over corpus floats. Per-cell distances
+    * round to 6 decimals and sum as DECIMAL(18,6) (exact,
+    * order-independent — the repo-wide policy), so the ranking is
+    * bit-deterministic in both engines; ranks break ties by
+    * neighbor_id. Scale shape: one broadcast join + one (query,
+    * neighbor) aggregate; ADC scores the whole corpus by design —
+    * composition with [[cosineTopkIvf]]'s inverted lists (probe-then-
+    * ADC) is the standard 100 TB pruning, and the per-query top-k
+    * window here ranks only scored candidates, exactly as the brute
+    * baseline does.
+    */
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cb = pqCodebook(s, dir)
+    val codes = pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+    val cells = for { m <- 0 until PqM; j <- 0 until PqK } yield
+      struct(lit(m).cast("long").as("m"), lit(j).cast("long").as("code"),
+        round(pqD2(col("vq"), cb(j), m), 6).cast(DecimalType(18, 6)).as("d2"))
+    val dt = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vq"))
+      .select(col("query_id"), explode(array(cells: _*)).as("kv"))
+      .select(col("query_id"), col("kv.m"), col("kv.code"), col("kv.d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("double").as("adc_dist"))
+  }
+
+  /** Oracle building block: squared L2 between subspace `m` (0-based
+    * SQL expr) of `vecExpr` and codeword list `cb.cw`, index-ascending.
+    */
+  private def pqD2Sql(vecExpr: String): String =
+    s"""list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> (CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)
+       |          - CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE))
+       |        * (CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)
+       |          - CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE))))""".stripMargin
+
+  private val pqCodesCtes =
+    s"""cb AS (
+       |  SELECT vec_id AS j, embedding AS cw FROM embeddings
+       |  WHERE vec_id < $PqK),
+       |sub AS (
+       |  SELECT e.vec_id, mm.m, cb.j,
+       |    ${pqD2Sql("e.embedding")} AS d2
+       |  FROM embeddings e, cb, unnest(range(0, $PqM)) AS mm(m)),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d2, j) AS rn FROM sub)
+       |  WHERE rn = 1)""".stripMargin
+
+  private val pqCodesSql =
+    s"""WITH $pqCodesCtes
+       |SELECT vec_id, m, code FROM codes""".stripMargin
+
+  private val pqTopkSql =
+    s"""WITH $pqCodesCtes,
+       |qdt AS (
+       |  SELECT q.vec_id AS query_id, mm.m, cb.j AS code,
+       |    CAST(round(${pqD2Sql("q.embedding")}, 6) AS DECIMAL(18,6)) AS d2
+       |  FROM embeddings q, cb, unnest(range(0, $PqM)) AS mm(m)
+       |  WHERE q.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, SUM(qdt.d2) AS adc
+       |  FROM codes c JOIN qdt ON c.m = qdt.m AND c.code = qdt.code
+       |  WHERE c.vec_id != qdt.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank,
+       |  CAST(adc AS DOUBLE) AS adc_dist
+       |FROM adc QUALIFY rank <= $TopK""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("pq_codes", pqCodesSql)(pqCodes),
+    Q("pq_topk", pqTopkSql)(pqTopk),
     Q("quantize_embeddings",
       """WITH e AS (
         |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v

@@ -74,4 +74,61 @@ class SimSpec extends AnyFunSuite {
     assert(got.filter(_._1._2 == 0L).values.min == 0.0)
     assert(got.filter(_._1._2 == 0L).values.max == 1.0)
   }
+
+  test("pq_codes matches a local argmin recompute; codewords self-encode") {
+    import org.apache.spark.sql.functions.col
+    val raw = graft.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    val cb = raw.filter(_._1 < 16).toSeq.sortBy(_._1).map(_._2)
+    def d2(v: Array[Double], cw: Array[Double], m: Int): Double =
+      (0 until 8).map { i => val d = v(m * 8 + i) - cw(m * 8 + i); d * d }.sum
+    val got = SimOps.pqCodes(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == raw.size * 8)
+    got.foreach { case ((id, m), code) =>
+      assert(code >= 0 && code < 16, s"vec $id subspace $m code range")
+      val dists = cb.map(cw => d2(raw(id), cw, m.toInt))
+      assert(dists(code.toInt) == dists.min, s"vec $id subspace $m not argmin")
+    }
+    // each sampled codeword vector is its own nearest codeword (d2 = 0)
+    (0L until 16L).foreach { j =>
+      (0L until 8L).foreach { m =>
+        assert(d2(raw(j), cb(j.toInt), m.toInt) == 0.0)
+        assert(got((j, m)) == j, s"codeword $j should self-encode in subspace $m")
+      }
+    }
+  }
+
+  test("pq_topk ADC distances match the code-table recompute and rank ascending") {
+    import org.apache.spark.sql.functions.col
+    val raw = graft.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    val cb = raw.filter(_._1 < 16).toSeq.sortBy(_._1).map(_._2)
+    def d2(v: Array[Double], cw: Array[Double], m: Int): Double =
+      (0 until 8).map { i => val d = v(m * 8 + i) - cw(m * 8 + i); d * d }.sum
+    def round6(d: Double): BigDecimal =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val codes = SimOps.pqCodes(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = SimOps.pqTopk(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to 5))
+      val asc = g.sortBy(_._3).map(_._4)
+      assert(asc.zip(asc.tail).forall { case (a, b) => a <= b },
+        s"query $q ADC not ascending")
+      assert(g.forall(_._2 != q), s"query $q includes itself")
+      g.foreach { case (_, nb, _, adc) =>
+        val want = (0 until 8).map(m =>
+          round6(d2(raw(q), cb(codes((nb, m.toLong)).toInt), m))).sum
+        assert(BigDecimal(adc) == want, s"($q,$nb) adc $adc != $want")
+      }
+    }
+  }
 }
