@@ -381,18 +381,27 @@ object SimOps {
     * window here ranks only scored candidates, exactly as the brute
     * baseline does.
     */
-  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Per-query ADC distance table: PqM × PqK rounded-decimal cells
+    * against the literal codebook — NQueries × 128 rows, always
+    * broadcast-sized regardless of corpus scale.
+    */
+  private def pqDistTable(s: SparkSession, dir: String,
+      cb: Array[Array[Double]]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cb = pqCodebook(s, dir)
-    val codes = pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
     val cells = for { m <- 0 until PqM; j <- 0 until PqK } yield
       struct(lit(m).cast("long").as("m"), lit(j).cast("long").as("code"),
         round(pqD2(col("vq"), cb(j), m), 6).cast(DecimalType(18, 6)).as("d2"))
-    val dt = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("vq"))
       .select(col("query_id"), explode(array(cells: _*)).as("kv"))
       .select(col("query_id"), col("kv.m"), col("kv.code"), col("kv.d2"))
+  }
+
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val codes = pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+    val dt = pqDistTable(s, dir, cb)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id"))
     codes.join(broadcast(dt), Seq("m", "code"))
@@ -401,6 +410,44 @@ object SimOps {
       .agg(sum(col("d2")).as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("double").as("adc_dist"))
+  }
+
+  /** IVF-pruned ADC — the actual 100 TB search path, composing the
+    * two structures: the IVF probe bounds WHICH vectors are scored
+    * (P/K of the corpus instead of all of it) and PQ bounds WHAT a
+    * score costs (8 table lookups on an 8-byte code instead of 64-dim
+    * float arithmetic). Same candidate generation as
+    * [[cosineTopkIvf]], same broadcast distance tables as [[pqTopk]];
+    * the only corpus-sized operations left are the map-only encode
+    * and the candidate equi-join on centroid id.
+    */
+  def pqTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val (_, simToCent, wAssign) = ivfSubstrate(s, dir)
+    val assign = simToCent
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val probes = simToCent
+      .filter(col("vec_id") < NQueries)
+      .withColumn("prn", row_number().over(wAssign))
+      .filter(col("prn") <= Probes)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cand = probes.join(assign, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val cb = pqCodebook(s, dir)
+    val codes = pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+    val dt = pqDistTable(s, dir, cb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    cand.join(codes, Seq("neighbor_id"))
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adc").cast("double").as("adc_dist"))
   }
@@ -433,13 +480,16 @@ object SimOps {
     s"""WITH $pqCodesCtes
        |SELECT vec_id, m, code FROM codes""".stripMargin
 
-  private val pqTopkSql =
-    s"""WITH $pqCodesCtes,
-       |qdt AS (
+  private val pqQdtCte =
+    s"""qdt AS (
        |  SELECT q.vec_id AS query_id, mm.m, cb.j AS code,
        |    CAST(round(${pqD2Sql("q.embedding")}, 6) AS DECIMAL(18,6)) AS d2
        |  FROM embeddings q, cb, unnest(range(0, $PqM)) AS mm(m)
-       |  WHERE q.vec_id < $NQueries),
+       |  WHERE q.vec_id < $NQueries)""".stripMargin
+
+  private val pqTopkSql =
+    s"""WITH $pqCodesCtes,
+       |$pqQdtCte,
        |adc AS (
        |  SELECT query_id, c.vec_id AS neighbor_id, SUM(qdt.d2) AS adc
        |  FROM codes c JOIN qdt ON c.m = qdt.m AND c.code = qdt.code
@@ -450,6 +500,53 @@ object SimOps {
        |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank,
        |  CAST(adc AS DOUBLE) AS adc_dist
        |FROM adc QUALIFY rank <= $TopK""".stripMargin
+
+  /** IVF candidate-generation CTE chain (cents → simc → assign →
+    * probes → cand), shared verbatim by the cosine-IVF and PQ-IVF
+    * oracles; expects [[normsCte]]'s `n` in scope.
+    */
+  private val ivfCandCtes =
+    s"""cents AS (
+       |  SELECT vec_id AS cent_id, v AS vcent, nrm AS nrmcent
+       |  FROM n WHERE vec_id < $NumCentroids),
+       |simc AS (
+       |  SELECT n.vec_id, cents.cent_id,
+       |    list_sum(list_transform(range(1, len(n.v) + 1),
+       |      i -> CAST(n.v[i] AS DOUBLE) * CAST(cents.vcent[i] AS DOUBLE)))
+       |      / (n.nrm * cents.nrmcent) AS cs
+       |  FROM n, cents),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS prn FROM simc)
+       |  WHERE prn <= $Probes AND vec_id < $NQueries),
+       |cand AS (
+       |  SELECT DISTINCT probes.query_id, assign.neighbor_id
+       |  FROM probes JOIN assign ON probes.cent_id = assign.cent_id
+       |  WHERE assign.neighbor_id <> probes.query_id)""".stripMargin
+
+  private val pqTopkIvfSql =
+    s"""WITH $normsCte,
+       |$ivfCandCtes,
+       |$pqCodesCtes,
+       |$pqQdtCte,
+       |adc AS (
+       |  SELECT cand.query_id, cand.neighbor_id, SUM(qdt.d2) AS adc
+       |  FROM cand
+       |  JOIN codes c ON c.vec_id = cand.neighbor_id
+       |  JOIN qdt ON qdt.query_id = cand.query_id
+       |    AND qdt.m = c.m AND qdt.code = c.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS BIGINT) AS rank,
+       |  CAST(adc AS DOUBLE) AS adc_dist
+       |FROM adc QUALIFY rank <= 3""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("pq_codes", pqCodesSql)(pqCodes),
@@ -488,29 +585,7 @@ object SimOps {
          |GROUP BY ex.query_id""".stripMargin)(annRecall),
     Q("cosine_topk_ivf",
       s"""WITH $normsCte,
-         |cents AS (
-         |  SELECT vec_id AS cent_id, v AS vcent, nrm AS nrmcent
-         |  FROM n WHERE vec_id < $NumCentroids),
-         |simc AS (
-         |  SELECT n.vec_id, cents.cent_id,
-         |    list_sum(list_transform(range(1, len(n.v) + 1),
-         |      i -> CAST(n.v[i] AS DOUBLE) * CAST(cents.vcent[i] AS DOUBLE)))
-         |      / (n.nrm * cents.nrmcent) AS cs
-         |  FROM n, cents),
-         |assign AS (
-         |  SELECT vec_id AS neighbor_id, cent_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
-         |  WHERE arn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cent_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cs DESC, cent_id) AS prn FROM simc)
-         |  WHERE prn <= $Probes AND vec_id < $NQueries),
-         |cand AS (
-         |  SELECT DISTINCT probes.query_id, assign.neighbor_id
-         |  FROM probes JOIN assign ON probes.cent_id = assign.cent_id
-         |  WHERE assign.neighbor_id <> probes.query_id),
+         |$ivfCandCtes,
          |s AS (
          |  SELECT cand.query_id, cand.neighbor_id,
          |    $dotSql / (q.nrm * c.nrm) AS c
@@ -521,5 +596,6 @@ object SimOps {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin)(cosineTopkIvf),
+    Q("pq_topk_ivf", pqTopkIvfSql)(pqTopkIvf),
   )
 }

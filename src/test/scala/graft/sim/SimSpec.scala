@@ -131,4 +131,25 @@ class SimSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pq_topk_ivf scores agree with full ADC and keep ascending rank") {
+    val full = SimOps.pqTopk(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val got = SimOps.pqTopkIvf(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to 3))
+      val asc = g.sortBy(_._3).map(_._4)
+      assert(asc.zip(asc.tail).forall { case (a, b) => a <= b })
+      assert(g.forall(_._2 != q))
+      // a pruned pair that ALSO ranks in the full top-5 must carry the
+      // identical ADC value — same code tables, same decimal sums
+      g.foreach { case (_, nb, _, adc) =>
+        full.get((q, nb)).foreach(fullAdc => assert(adc == fullAdc,
+          s"($q,$nb) IVF-pruned ADC $adc != full ADC $fullAdc"))
+      }
+    }
+  }
 }
