@@ -116,6 +116,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "rrf_fusion", // 1-row dense query vector broadcast (plus bm25's stats row)
       "embedding_outliers", // 1-row outlier threshold broadcast
       "rag_index", // IVF centroid cross join (16-row broadcast, as cosine_topk_ivf)
+      "pq_topk_ivf", // IVF centroid cross join (16-row broadcast, as cosine_topk_ivf)
       "q22_global_sales", // 1-row global-average aggregate broadcast onto customer
       "q11_important_stock") // 1-row total-value aggregate broadcast onto per-part values
     SparkEntry.registry.foreach { q =>
@@ -234,6 +235,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("kmeans_assign")
     assert(!p.contains("Exchange"), s"assignment shuffles:\n${p.take(2000)}")
     assert(p.contains("vec_dot"), "assignment must use the codegen'd dot product")
+  }
+
+  test("pq_codes is map-only: the codebook rides as literals, zero shuffles") {
+    val p = plan("pq_codes")
+    assert(!p.contains("Exchange"), s"PQ encode shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"PQ encode joins:\n${p.take(2000)}")
+  }
+
+  test("pq_topk broadcasts the distance tables (codes never shuffle for the lookup)") {
+    val p = plan("pq_topk")
+    assert(p.contains("BroadcastHashJoin"), s"ADC lookup not broadcast:\n${p.take(2000)}")
   }
 
   test("sample_stratified broadcasts the rate table (corpus never shuffles)") {
