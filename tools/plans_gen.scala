@@ -17,7 +17,9 @@ val picks = Seq(
   "global_row_ids" -> "range partition + sortWithinPartitions; ordinals stamped map-side via zipWithIndex",
   "q2_min_cost_supplier" -> "correlated min as ONE per-part window over the derived partsupp: single shuffle, no self-join re-derivation",
   "skyline_parts" -> "Pareto frontier: bucket-partitioned prune window first, global sweep only over the surviving candidates",
-  "simhash_pairs" -> "banded simhash near-dup: candidates from a 15-bit band-key equi join, popcount verify on candidates only")
+  "simhash_pairs" -> "banded simhash near-dup: candidates from a 15-bit band-key equi join, popcount verify on candidates only",
+  "pq_codes" -> "PQ encode: codebook as plan literals, map-only argmin — no join, no exchange anywhere",
+  "pq_topk_ivf" -> "IVF+PQ: probe-bounded candidates, ADC scoring via broadcast distance tables")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
