@@ -805,6 +805,45 @@ object Relational {
       .toDF("doc_id", "source", "row_id")
   }
 
+  /** Incremental materialized-view maintenance for a join-aggregate —
+    * the ΔV identity every warehouse's streaming MV engine rests on:
+    * for V = γ(R ⋈ S) with additive aggregates, V(R ∪ ΔR) is the
+    * partial-state merge of V(R) and γ(ΔR ⋈ S), so an update touches
+    * only |Δ| rows of the fact side. Here R is orders (base = keys
+    * ≢0 mod 10, delta = the rest), S the customer dimension, V the
+    * per-market-segment order count and revenue. Both states come
+    * from the same join-aggregate shape; the maintenance step is a
+    * union of two agg-sized (≤ |segments|) frames re-aggregated —
+    * never a recompute of the base fact table. At 100 TB the delta
+    * side is the small one, so AQE broadcasts Δ against the dim, and
+    * the merge cost is O(|Δ| + |V|). The oracle recomputes V from the
+    * full fact table — proving the identity, not just the plumbing.
+    * Revenue sums ride DECIMAL(18,2) (exact, order-free) and only the
+    * merged total is cast to double.
+    */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def stateOf(orders: DataFrame): DataFrame =
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val orders = Tables.orders(s, dir)
+    val base = stateOf(orders.filter(pmod(col("o_orderkey"), lit(10L)) =!= 0))
+    val delta = stateOf(orders.filter(pmod(col("o_orderkey"), lit(10L)) === 0))
+    base.unionByName(delta)
+      .groupBy(col("segment"))
+      .agg(sum(col("cnt")).cast("long").as("order_cnt"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  private val mvIncrementalOracle =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS order_cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** CDC merge — MERGE INTO semantics (upsert + delete) applied as a
     * batch: a deterministic change feed derived from the base table
     * (keys ≡0 mod 10 delete, ≤3 update the balance, ≡4 insert under a
@@ -926,6 +965,7 @@ object Relational {
       """SELECT doc_id, source,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
         |FROM documents""".stripMargin)(globalRowIds),
+    Q("mv_incremental", mvIncrementalOracle)(mvIncremental),
     Q("cdc_merge",
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS segment, c_acctbal AS bal

@@ -182,6 +182,102 @@ object RetrievalOps {
        |  FROM d)
        |SELECT vec_id, dist, dist > thr AS is_outlier FROM d, t""".stripMargin
 
+  // ---- sparse tf-idf cosine pairs ----------------------------------
+
+  private val SparseDfCap = 60L // drop grams present in > cap docs
+  private val SparsePairsK = 20 // pairs returned
+
+  /** Sparse tf-idf cosine similarity — the lexical complement of the
+    * dense-embedding pair search (DedupOps.embeddingNeardup): documents
+    * are tf-idf vectors over their bigram terms, candidate pairs come
+    * from a posting-list equi-join on the term, and the dot product is
+    * the per-pair sum of weight products. The join is df-capped
+    * ([[SparseDfCap]]) BEFORE the self-join — the same discipline as
+    * DedupOps.dfCapped for shingles: a term appearing in d documents
+    * contributes d·(d-1)/2 candidate pairs, so capping df bounds the
+    * candidate set by Σ df² over kept terms and removes exactly the
+    * terms whose idf≈0 carries no discrimination anyway (the standard
+    * sparse-similarity pruning; Elasticsearch/Lucene's max_doc_freq).
+    * At 100 TB the term key becomes an 8-byte hash (as the shingle
+    * joins document); the final top-K is TakeOrderedAndProject.
+    *
+    * Cross-engine determinism: weights are rounded to 6 decimals;
+    * norm² and dot products are DECIMAL(18,6) sums of rounded terms
+    * (exact, order-free); the cosine divides identical doubles.
+    */
+  def sparseCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.mr.MrJobs.tokenize(t)
+        if (toks.lengthCompare(2) < 0) Nil
+        else toks.sliding(2).map(w => (id, w.mkString(" ")))
+      }
+      .toDF("doc_id", "gram")
+    val tf = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val capped = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df") <= SparseDfCap)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = capped.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("gram"),
+        round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1), 6)
+          .as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(18,6)"))
+        .cast("double")).as("nrm"))
+    val a = w.select(col("doc_id").as("doc_a"), col("gram"), col("w").as("wa"))
+    val b = w.select(col("doc_id").as("doc_b"), col("gram"), col("w").as("wb"))
+    a.join(b, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(round(col("wa") * col("wb"), 6).cast("decimal(18,6)"))
+        .cast("double").as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(SparsePairsK)
+  }
+
+  private val sparseCosineOracle =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+       |    i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM t0),
+       |tf AS (
+       |  SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM tf)
+       |  WHERE df <= $SparseDfCap),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, gram,
+       |    round(tf * (ln((1.0 + n.n) / (1.0 + df)) + 1), 6) AS w
+       |  FROM capped, n),
+       |nrm AS (
+       |  SELECT doc_id, sqrt(CAST(
+       |    SUM(CAST(round(w * w, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+       |  FROM w GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(SUM(CAST(round(a.w * b.w, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      AS dot
+       |  FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots
+       |JOIN nrm na ON dots.doc_a = na.doc_id
+       |JOIN nrm nb ON dots.doc_b = nb.doc_id
+       |ORDER BY cosine DESC, doc_a, doc_b LIMIT $SparsePairsK""".stripMargin
+
   // ---- RAG index build ---------------------------------------------
 
   /** End-to-end retrieval-index build — the composition a RAG corpus
@@ -251,5 +347,6 @@ object RetrievalOps {
     Q("rrf_fusion", rrfOracle)(rrfFusion),
     Q("embedding_outliers", outlierOracle)(embeddingOutliers),
     Q("rag_index", ragOracle)(ragIndex),
+    Q("sparse_cosine_pairs", sparseCosineOracle)(sparseCosinePairs),
   )
 }

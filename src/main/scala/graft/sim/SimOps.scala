@@ -578,7 +578,51 @@ object SimOps {
        |  CAST(adc AS DOUBLE) AS adc_dist
        |FROM adc QUALIFY rank <= 3""".stripMargin
 
+  // ---- Gram matrix -------------------------------------------------
+
+  /** Distributed Gram matrix G = Σ_v v·vᵀ over the embedding corpus —
+    * the d×d statistic behind PCA whitening, covariance outlier
+    * models, and linear-probe fitting. The key scale property: each
+    * vector emits its d(d+1)/2 upper-triangle products in a typed
+    * flatMap (map-only, no join — a self-join of the exploded frame
+    * would shuffle |corpus|·d rows), and the partial aggregate
+    * collapses every partition to ≤ d(d+1)/2 groups BEFORE the one
+    * shuffle, so the exchanged data is O(cells × partitions) no
+    * matter the corpus size. The result frame is model-sized (2,080
+    * rows at d = 64): the eigen step on top (power iteration — see
+    * SimilaritySpec) is driver-side on the collected Gram, the
+    * kmeansUpdate trade. Products are rounded to 6 dp and summed
+    * through DECIMAL(18,6) — exact, order-free, engine-identical.
+    */
+  def embeddingGram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(col("embedding")).as[Seq[Float]]
+      .flatMap { v =>
+        val a = v.toArray
+        for {
+          i <- a.indices.iterator
+          j <- (i until a.length).iterator
+        } yield (i, j, a(i).toDouble * a(j).toDouble)
+      }
+      .toDF("d1", "d2", "p")
+      .groupBy(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"))
+      .agg(sum(round(col("p"), 6).cast("decimal(18,6)")).cast("double").as("g"))
+  }
+
+  private val embeddingGramSql =
+    """SELECT i - 1 AS d1, j - 1 AS d2,
+      |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+      |    * CAST(embedding[j] AS DOUBLE), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS g
+      |FROM embeddings,
+      |  unnest(range(1, len(embedding) + 1)) AS u(i),
+      |  unnest(range(1, len(embedding) + 1)) AS w(j)
+      |WHERE j >= i
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("embedding_gram", embeddingGramSql)(embeddingGram),
     Q("pq_codes", pqCodesSql)(pqCodes),
     Q("pq_topk", pqTopkSql)(pqTopk),
     Q("quantize_embeddings",

@@ -398,6 +398,39 @@ object TextAnalysis {
         round(col("cum") / col("total").cast("double"), 6).as("coverage"))
   }
 
+  /** Zipf-law fit over the frequency-ranked vocabulary — the corpus
+    * health statistic (natural text: slope ≈ −1; template/spam-heavy
+    * corpora flatten or steepen it): an OLS regression of ln(cnt) on
+    * ln(rank). The rank rides [[graft.ops.Ranks.freqRanked]] — range
+    * partition + per-partition offsets, never a single-partition
+    * window over the (web-scale: 10⁸–10⁹ row) vocabulary — and the
+    * regression reduces to one partial+final aggregate of five sums.
+    * Log terms are rounded to 6 dp and summed through DECIMAL(18,6)
+    * (exact, order-free); the slope/intercept formulas then divide
+    * identical doubles, and the intercept reuses the ROUNDED slope so
+    * both engines compose the same values.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val xy = graft.ops.Ranks.freqRanked(s, counts)
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("cnt").cast("double")), 6).as("y"))
+    xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).cast("double").as("sxx"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).cast("double").as("sxy"))
+      .withColumn("zipf_slope",
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+      .select(col("n").as("n_vocab"), col("zipf_slope"),
+        round((col("sy") - col("zipf_slope") * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
   /** Top-[[OovVocabSize]] vocabulary actually used by [[oovRate]] —
     * small enough that the fixture corpus (≈31 distinct tokens) has
     * real out-of-vocabulary mass.
@@ -682,6 +715,58 @@ object TextAnalysis {
       .join(broadcast(cc), col("prev") === col("ctx"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), round(avg(-log(p)), 6).as("nll"))
+  }
+
+  /** Absolute discount for [[kneserNey]] — the standard 0.75 of Chen &
+    * Goodman (1998); a literal so both engines multiply the same
+    * double.
+    */
+  val KnDiscount = 0.75
+
+  /** Kneser-Ney-smoothed bigram negative log likelihood per document —
+    * the stronger LM-quality score next to [[perplexityBigram]]'s
+    * interpolated model. KN replaces the unigram backoff with
+    * CONTINUATION counts (in how many distinct contexts does a word
+    * appear?), which is what makes it the standard n-gram smoother:
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *            + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/B
+    *
+    * with D = [[KnDiscount]], N1+(w1,·) the distinct successors of w1,
+    * N1+(·,w2) the distinct predecessors of w2, and B the total count
+    * of distinct bigram types. Trained on the full corpus and scored
+    * over each document's own bigrams, every scored bigram is observed
+    * (c ≥ 1), so no unigram floor is needed and P > 0 always.
+    *
+    * Scale shape: one corpus shuffle for the bigram counts; successor/
+    * predecessor/type tables re-aggregate that vocab²-bounded frame
+    * (never the corpus) and broadcast back onto the token stream —
+    * the same model-sized-broadcast discipline as [[perplexityBigram]].
+    * Per-doc sums are DECIMAL(18,6) of 6-decimal-rounded logs.
+    */
+  def kneserNey(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val big = toks.filter(col("prev").isNotNull)
+    val bc = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
+    val cc = bc.groupBy(col("prev").as("w1"))
+      .agg(sum(col("bc")).cast("long").as("cc"), count(lit(1)).as("n1p_fwd"))
+    val rev = bc.groupBy(col("tok").as("w2")).agg(count(lit(1)).as("n1p_rev"))
+    val btot = bc.agg(count(lit(1)).as("b"))
+    val p = (col("bc") - lit(KnDiscount)) / col("cc") +
+      lit(KnDiscount) * col("n1p_fwd") / col("cc") * (col("n1p_rev") / col("b"))
+    big
+      .join(broadcast(bc), Seq("prev", "tok"))
+      .join(broadcast(cc), col("prev") === col("w1"))
+      .join(broadcast(rev), col("tok") === col("w2"))
+      .crossJoin(broadcast(btot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        round(sum(round(-log(p), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("kn_nll"))
+      .withColumn("kn_ppl", round(exp(col("kn_nll")), 6))
   }
 
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
@@ -1158,6 +1243,52 @@ object TextAnalysis {
          |  LEFT JOIN cc ON toks.prev = cc.ctx, nv)
          |SELECT doc_id, COUNT(*) AS n_tok, round(AVG(-ln(p)), 6) AS nll
          |FROM sc GROUP BY 1""".stripMargin)(perplexityBigram),
+    Q("zipf_slope",
+      s"""WITH c AS (
+         |  SELECT tok, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($tokensSql) AS tok FROM documents) GROUP BY 1),
+         |r AS (SELECT cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c),
+         |xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         |  round(ln(CAST(cnt AS DOUBLE)), 6) AS y FROM r),
+         |s AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |  CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+         |  FROM xy)
+         |SELECT n AS n_vocab,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+         |  round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         |    * sx) / n, 6) AS intercept
+         |FROM s""".stripMargin)(zipfSlope),
+    Q("kneser_ney",
+      s"""WITH toks AS (
+         |  SELECT doc_id, t[i] AS tok,
+         |    CASE WHEN i > 1 THEN t[i-1] END AS prev
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents),
+         |    unnest(range(1, len(t) + 1)) AS u(i)),
+         |big AS (SELECT * FROM toks WHERE prev IS NOT NULL),
+         |bc AS (SELECT prev, tok, COUNT(*) AS bc FROM big GROUP BY 1, 2),
+         |cc AS (SELECT prev AS w1, CAST(SUM(bc) AS BIGINT) AS cc,
+         |  COUNT(*) AS n1p_fwd FROM bc GROUP BY 1),
+         |rev AS (SELECT tok AS w2, COUNT(*) AS n1p_rev FROM bc GROUP BY 1),
+         |btot AS (SELECT COUNT(*) AS b FROM bc),
+         |sc AS (
+         |  SELECT big.doc_id,
+         |    (bc.bc - $KnDiscount) / cc.cc
+         |      + $KnDiscount * cc.n1p_fwd / cc.cc * (rev.n1p_rev / btot.b)
+         |      AS p
+         |  FROM big
+         |  JOIN bc ON big.prev = bc.prev AND big.tok = bc.tok
+         |  JOIN cc ON big.prev = cc.w1
+         |  JOIN rev ON big.tok = rev.w2, btot)
+         |SELECT doc_id, COUNT(*) AS n_big,
+         |  round(CAST(SUM(CAST(round(-ln(p), 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / COUNT(*), 6) AS kn_nll,
+         |  round(exp(round(CAST(SUM(CAST(round(-ln(p), 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / COUNT(*), 6)), 6) AS kn_ppl
+         |FROM sc GROUP BY doc_id""".stripMargin)(kneserNey),
     Q("vocab_top",
       s"""WITH tc AS (
          |  SELECT tok, COUNT(*) AS cnt FROM (

@@ -118,7 +118,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "rag_index", // IVF centroid cross join (16-row broadcast, as cosine_topk_ivf)
       "pq_topk_ivf", // IVF centroid cross join (16-row broadcast, as cosine_topk_ivf)
       "q22_global_sales", // 1-row global-average aggregate broadcast onto customer
-      "q11_important_stock") // 1-row total-value aggregate broadcast onto per-part values
+      "q11_important_stock", // 1-row total-value aggregate broadcast onto per-part values
+      "sparse_cosine_pairs", // 1-row corpus-count broadcast onto the capped postings
+      "kneser_ney") // 1-row bigram-type-total broadcast onto the bigram stream
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -283,6 +285,34 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("decontaminate broadcasts the eval shingle side") {
     assert(plan("decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("embedding_gram is one map-side-combined aggregate, no join") {
+    val p = plan("embedding_gram")
+    assert(!p.contains("Join"), s"Gram must not self-join the corpus:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"),
+      s"Gram cells must partial-aggregate before the one shuffle:\n${p.take(2000)}")
+  }
+
+  test("sparse_cosine_pairs caps df below the posting join and takes top-K as TakeOrdered") {
+    val p = plan("sparse_cosine_pairs")
+    // the df <= cap gate must sit below the pair join — without it a
+    // viral term turns the candidate set quadratic
+    val joinAt = p.indexOf("Join")
+    val capAt = p.indexOf("(df")
+    assert(joinAt >= 0, s"no pair join found:\n${p.take(2000)}")
+    assert(capAt > joinAt, s"df cap not below the join:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair top-K is not a TakeOrdered:\n${p.take(2000)}")
+  }
+
+  test("kneser_ney broadcasts every model table onto the bigram stream") {
+    val p = plan("kneser_ney")
+    // bc/cc/rev/btot are vocab²-bounded model frames; the corpus-side
+    // bigram stream must join them broadcast, never reshuffle
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus reshuffled for a model-sized table:\n${p.take(2000)}")
   }
 
   test("q18 aggregates lineitem before joining orders (aggregate-then-enrich)") {

@@ -874,4 +874,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     val total = Tables.events(spark, sfSmall).count()
     assert(rows.map(_._2).sum == total, "schema merge dropped rows")
   }
+
+  test("mv_incremental: merged delta state equals the full recompute") {
+    val got = Relational.mvIncremental(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // full recompute straight from the fixture — the identity the
+    // incremental maintenance must preserve
+    val full = Tables.orders(spark, sfSmall)
+      .join(Tables.customer(spark, sfSmall),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == full, s"incremental view diverged: $got vs $full")
+    // the delta actually carries mass — keys ≡ 0 (mod 10) exist, so
+    // the merge is exercised, not vacuous
+    val deltaCnt = Tables.orders(spark, sfSmall)
+      .filter(pmod(col("o_orderkey"), lit(10L)) === 0).count()
+    assert(deltaCnt > 0, "delta partition empty — identity untested")
+  }
 }

@@ -99,4 +99,41 @@ class RetrievalOpsSpec extends AnyFunSuite {
       assert(math.abs(d - want(id)) <= 1e-6 + 1e-9, s"vec $id: $d vs ${want(id)}")
     }
   }
+
+  test("sparse_cosine_pairs matches a local df-capped tf-idf recompute") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val grams = docs.flatMap { case (id, t) =>
+      val toks = graft.mr.MrJobs.tokenize(t)
+      if (toks.length < 2) Nil
+      else toks.sliding(2).map(w => (id, w.mkString(" "))).toList
+    }
+    val tf = grams.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val dfMap = tf.keys.groupBy(_._2).map { case (g, ks) => g -> ks.size.toLong }
+    val n = docs.length
+    val w = tf.collect { case ((id, g), f) if dfMap(g) <= 60L =>
+      (id, g) -> round6(f * (math.log((1.0 + n) / (1.0 + dfMap(g))) + 1))
+    }
+    val norms = w.groupBy(_._1._1).map { case (id, m) =>
+      id -> math.sqrt(m.values.map(x => BigDecimal(round6(x * x))).sum.toDouble)
+    }
+    val byDoc = w.groupBy(_._1._1).map { case (id, m) =>
+      id -> m.map { case ((_, g), x) => g -> x }
+    }
+    val ids = byDoc.keys.toSeq.sorted
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      shared = byDoc(a).keySet.intersect(byDoc(b).keySet) if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq
+        .map(g => BigDecimal(round6(byDoc(a)(g) * byDoc(b)(g)))).sum.toDouble
+      (a, b, round6(dot / (norms(a) * norms(b))))
+    }
+    val want = pairs.sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    val got = RetrievalOps.sparseCosinePairs(spark, sfTiny)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, s"got ${got.take(5)}… want ${want.take(5)}…")
+    got.foreach { case (_, _, c) => assert(c > 0 && c <= 1.0 + 1e-9) }
+  }
 }

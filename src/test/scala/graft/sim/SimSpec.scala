@@ -152,4 +152,54 @@ class SimSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("embedding_gram matches a local recompute and power iteration extracts the top eigenpair") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.Tables.embeddings(spark, sfTiny)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val d = vecs.head.length
+    val expected = scala.collection.mutable.Map[(Long, Long), BigDecimal]()
+    vecs.foreach { v =>
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val k = (i.toLong, j.toLong)
+          expected(k) = expected.getOrElse(k, BigDecimal(0)) +
+            BigDecimal(r6(v(i).toDouble * v(j).toDouble))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val got = SimOps.embeddingGram(spark, sfTiny)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == d * (d + 1) / 2)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v.toDouble, s"cell $k: ${got(k)} vs $v")
+    }
+    // the driver-side eigen step the Gram frame exists for: mirror the
+    // upper triangle, power-iterate, and check the Rayleigh-quotient
+    // residual — G v ≈ λ v for the dominant eigenpair
+    val g = Array.ofDim[Double](d, d)
+    got.foreach { case ((i, j), x) =>
+      g(i.toInt)(j.toInt) = x; g(j.toInt)(i.toInt) = x
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 500) {
+      val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(gv.map(x => x * x).sum)
+      v = gv.map(_ / nrm)
+    }
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => v(i) * gv(i)).sum
+    assert(lambda > 0, "Gram matrix must be positive semidefinite")
+    val residual = math.sqrt((0 until d).map(i => {
+      val r = gv(i) - lambda * v(i); r * r
+    }).sum) / lambda
+    assert(residual < 1e-6, s"power iteration residual $residual")
+  }
 }

@@ -62,6 +62,79 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(v - expected(k)) < 1e-6, s"$k: $v vs ${expected(k)}")
     }
   }
+
+  test("kneser_ney: model is a proper distribution and doc scores match a local recompute") {
+    import spark.implicits._
+    val D = TextAnalysis.KnDiscount
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (id, text) =>
+      val t = MrJobsTokens.tokenize(text)
+      if (t.length < 2) Nil else t.sliding(2).map(w => (id, w.head, w(1))).toList
+    }
+    val bc = bigrams.groupBy(b => (b._2, b._3)).map { case (k, g) => k -> g.size.toLong }
+    val cc = bc.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val fwd = bc.groupBy(_._1._1).map { case (w1, g) => w1 -> g.size.toLong }
+    val rev = bc.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val b = bc.size.toLong
+    def p(w1: String, w2: String): Double =
+      (bc((w1, w2)) - D) / cc(w1) + D * fwd(w1) / cc(w1) * (rev(w2).toDouble / b)
+    // KN is a PROPER conditional distribution: over the full vocab,
+    // the discounted mass plus the redistributed continuation mass
+    // sums to Σ_{w2∈V} P(w2|w1) = 1 − D·N1+(w1,·)/c(w1·)·(1 − 1) = 1
+    // exactly (continuation probs sum to 1 across V). Verify per
+    // context, including the zero-count backoff terms.
+    val vocab = (bc.keysIterator.map(_._1) ++ bc.keysIterator.map(_._2)).toSet
+    cc.keys.foreach { w1 =>
+      val total = vocab.iterator.map { w2 =>
+        val cObs = bc.getOrElse((w1, w2), 0L)
+        math.max(cObs - D, 0) / cc(w1) + D * fwd(w1) / cc(w1) * (rev.getOrElse(w2, 0L).toDouble / b)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$w1' sums to $total")
+    }
+    // per-doc NLL equals the operator's output under identical rounding
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bigrams.groupBy(_._1).map { case (id, g) =>
+      val logs = g.map { case (_, w1, w2) => BigDecimal(r6(-math.log(p(w1, w2)))) }
+      id -> (g.size.toLong, r6((logs.sum / g.size).toDouble))
+    }
+    val got = TextAnalysis.kneserNey(spark, sfTiny)
+      .select("doc_id", "n_big", "kn_nll").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, nll)) =>
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - nll) < 1e-6, s"doc $id: ${got(id)._2} vs $nll")
+    }
+  }
+
+  test("zipf_slope matches a local OLS fit and slopes downward") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Tables.documents(spark, sfTiny)
+      .select("text").as[String].collect()
+      .flatMap(MrJobsTokens.tokenize)
+    val counts = toks.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+    val xy = ranked.map { case ((_, c), i) =>
+      (r6(math.log(i + 1.0)), r6(math.log(c.toDouble))) }
+    val n = xy.size.toDouble
+    val sx = xy.map(p => BigDecimal(p._1)).sum.toDouble
+    val sy = xy.map(p => BigDecimal(p._2)).sum.toDouble
+    val sxx = xy.map(p => BigDecimal(r6(p._1 * p._1))).sum.toDouble
+    val sxy = xy.map(p => BigDecimal(r6(p._1 * p._2))).sum.toDouble
+    val slope = r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    val intercept = r6((sy - slope * sx) / n)
+    val got = TextAnalysis.zipfSlope(spark, sfTiny)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 1)
+    assert(got(0)._1 == xy.size.toLong)
+    assert(math.abs(got(0)._2 - slope) < 1e-6, s"slope ${got(0)._2} vs $slope")
+    assert(math.abs(got(0)._3 - intercept) < 1e-6)
+    assert(got(0)._2 < 0, "frequency must decay with rank on any real corpus")
+  }
 }
 
 /** Local alias so the spec reads clearly. */
