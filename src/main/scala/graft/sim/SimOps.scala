@@ -596,18 +596,55 @@ object SimOps {
     */
   def embeddingGram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    // Per-partition accumulation instead of emitting |corpus|·d(d+1)/2
+    // rows into a hash aggregate: each task folds its vectors into ONE
+    // local d(d+1)/2 cell array and emits only that, so the aggregate
+    // input is O(cells × partitions) regardless of corpus size (the
+    // row-at-a-time form spent ~3 µs/row on tuple + decimal plumbing —
+    // 200 s of task time at sf0.1's 66M cell terms). Terms are held in
+    // exact micro-units (the 6-dp rounding grid): round-HALF_UP via
+    // BigDecimal.valueOf — bit-identical to Spark's round() and the
+    // oracle's — then summed as longs (|Σ| < 2^53, exact), so the
+    // final division by 10⁶ reproduces the DECIMAL(18,6) sum to the
+    // last bit.
+    val cells = Tables.embeddings(s, dir)
       .select(col("embedding")).as[Seq[Float]]
-      .flatMap { v =>
-        val a = v.toArray
-        for {
-          i <- a.indices.iterator
-          j <- (i until a.length).iterator
-        } yield (i, j, a(i).toDouble * a(j).toDouble)
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        it.foreach { v =>
+          val a = v.toArray
+          if (acc == null) { d = a.length; acc = new Array[Long](d * (d + 1) / 2) }
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val ai = a(i).toDouble
+            var j = i
+            while (j < d) {
+              acc(k) += java.math.BigDecimal.valueOf(ai * a(j).toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+              k += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          val out = new Array[(Long, Long, Long)](acc.length)
+          var i = 0
+          var k = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { out(k) = (i.toLong, j.toLong, acc(k)); k += 1; j += 1 }
+            i += 1
+          }
+          out.iterator
+        }
       }
-      .toDF("d1", "d2", "p")
-      .groupBy(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"))
-      .agg(sum(round(col("p"), 6).cast("decimal(18,6)")).cast("double").as("g"))
+      .toDF("d1", "d2", "micros")
+    cells.groupBy(col("d1"), col("d2"))
+      .agg((sum(col("micros")).cast("double") / 1e6).as("g"))
   }
 
   private val embeddingGramSql =
