@@ -339,6 +339,55 @@ object DedupOps {
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
   }
 
+  /** Leakage-safe train/val/test split — the dedup-aware version of
+    * TextAnalysis.hashSplit: membership is hashed on the near-dup
+    * CLUSTER representative, not the document id, so two near-
+    * duplicate documents can never land on opposite sides of the
+    * train/eval boundary (the contamination path a plain per-doc hash
+    * split leaves open — an eval doc whose twin trained is a leaked
+    * answer). Composition: [[dedupClusters]] labels (components over
+    * the LSH-verified pair graph) left-joined onto the corpus —
+    * singletons fall back to their own id — then the shared
+    * SplitHash bucket of the group id decides the split for every
+    * member at once. At 100 TB this inherits the cluster pass's
+    * bucketed-join scale shape plus one broadcast-able label join;
+    * the split itself is map-only.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SplitHash
+    val labels = dedupClusters(s, dir)
+    val lab = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("canonical", "cl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("group_id"))
+    val bucket = SplitHash.bucket(col("group_id"))
+    lab.select(col("doc_id"), col("group_id"),
+      when(bucket < 800, "train").when(bucket < 900, "val")
+        .otherwise("test").as("split"))
+  }
+
+  private def leakageSafeSplitOracle =
+    s"""WITH RECURSIVE pairs AS (
+       |$jaccardOracle),
+       |bi AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM bi
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u),
+       |cl AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS canonical
+       |  FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(cl.canonical, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT *, ${graft.text.SplitHash.bucketSql("group_id")} AS b
+       |      FROM lab)""".stripMargin
+
   /** Near-dup cluster resolution — the final dedup step: connected
     * components over the verified pair graph, each doc labeled with
     * its component's minimum doc_id (the canonical representative to
@@ -976,6 +1025,7 @@ object DedupOps {
          |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canonical
          |FROM reach GROUP BY u""".stripMargin)(dedupClusters),
+    Q("leakage_safe_split", leakageSafeSplitOracle)(leakageSafeSplit),
     Q("curate_corpus",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),

@@ -578,6 +578,49 @@ object SimOps {
        |  CAST(adc AS DOUBLE) AS adc_dist
        |FROM adc QUALIFY rank <= 3""".stripMargin
 
+  // ---- random projection -------------------------------------------
+
+  /** Johnson–Lindenstrauss target dimension. 16 keeps the scale factor
+    * exact: 1/√16 = 0.25, so both engines divide by the same 4.0.
+    */
+  private val ProjDim = 16
+
+  /** Deterministic ±1 projection planes (Achlioptas'01 database-
+    * friendly JL), seeded apart from the LSH planes and shared
+    * verbatim with the oracle SQL.
+    */
+  private val projPlanes: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(ProjDim, Dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** Random-projection dimensionality reduction y = Pv/√K with ±1
+    * planes — the JL compression step run before clustering or ANN
+    * indexing when the full embedding width is too expensive to
+    * shuffle. The planes ride as literals (like [[cosineTopkLsh]]'s
+    * and kmeans' centroids), so the operator is a map-only scan —
+    * zero shuffle, zero collect, codegen'd [[vecDot]] per output
+    * dimension — and distances are preserved in expectation
+    * (E‖y‖² = ‖v‖²; the spec bounds the realized distortion).
+    */
+  def projectEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val comps = (0 until ProjDim).map { k =>
+      round(planeDot(col("embedding"), projPlanes(k)) / lit(4.0), 6).as(s"p$k")
+    }
+    Tables.embeddings(s, dir).select(col("vec_id") +: comps: _*)
+  }
+
+  private val projectSql = {
+    val comps = (0 until ProjDim).map { k =>
+      val plane = projPlanes(k).mkString("[", ",", "]")
+      s"""round(list_sum(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) * ($plane[i]))) / 4.0, 6)
+         |    AS p$k""".stripMargin
+    }
+    s"SELECT vec_id,\n${comps.mkString(",\n")}\nFROM embeddings"
+  }
+
   // ---- Gram matrix -------------------------------------------------
 
   /** Distributed Gram matrix G = Σ_v v·vᵀ over the embedding corpus —
@@ -660,6 +703,7 @@ object SimOps {
 
   val all: Seq[Q] = Seq(
     Q("embedding_gram", embeddingGramSql)(embeddingGram),
+    Q("project_embeddings", projectSql)(projectEmbeddings),
     Q("pq_codes", pqCodesSql)(pqCodes),
     Q("pq_topk", pqTopkSql)(pqTopk),
     Q("quantize_embeddings",

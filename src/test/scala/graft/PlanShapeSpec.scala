@@ -287,6 +287,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("decontaminate").contains("BroadcastHashJoin"))
   }
 
+  test("project_embeddings is map-only: planes ride as literals, zero shuffles") {
+    val p = plan("project_embeddings")
+    assert(!p.contains("Exchange"), s"JL projection shuffles:\n${p.take(2000)}")
+    assert(p.contains("vec_dot"), "projection must use the codegen'd dot product")
+  }
+
   test("embedding_gram is one map-side-combined aggregate, no join") {
     val p = plan("embedding_gram")
     assert(!p.contains("Join"), s"Gram must not self-join the corpus:\n${p.take(2000)}")

@@ -263,4 +263,28 @@ class DedupSpec extends AnyFunSuite {
         s"doc $id cleaned text diverges from source tokens")
     }
   }
+
+  test("leakage_safe_split keeps every near-dup pair on one side; plain hash split would not") {
+    val split = DedupOps.leakageSafeSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size == graft.Tables.documents(spark, sfSmall).count())
+    assert(split.values.map(_._2).toSet == Set("train", "val", "test"),
+      "all three splits must be populated at sf0.01")
+    // cluster integrity: same group id ⇒ same split (by construction),
+    // and every VERIFIED near-dup pair shares a group — so no pair
+    // can straddle the train/eval boundary
+    val pairs = DedupOps.ngramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) in different groups")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // the motivation is real on this fixture: the per-doc hash split
+    // DOES separate at least one near-dup pair
+    val perDoc = graft.text.TextAnalysis.hashSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pairs.exists { case (a, b) => perDoc(a) != perDoc(b) },
+      "fixture has no pair the naive split separates — spec loses its teeth")
+  }
 }

@@ -202,4 +202,37 @@ class SimSpec extends AnyFunSuite {
     }).sum) / lambda
     assert(residual < 1e-6, s"power iteration residual $residual")
   }
+
+  test("project_embeddings matches a local JL recompute and preserves norms in aggregate") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val planes = {
+      val rnd = new scala.util.Random(13)
+      Array.fill(16, 64)(if (rnd.nextBoolean()) 1 else -1)
+    }
+    val vecs = graft.Tables.embeddings(spark, sfTiny)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val want = vecs.map { case (id, v) =>
+      id -> planes.map(p =>
+        r6(v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * p(i)) / 4.0))
+    }.toMap
+    val got = SimOps.projectEmbeddings(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, ys) =>
+      ys.zip(want(id)).zipWithIndex.foreach { case ((g, w), k) =>
+        assert(math.abs(g - w) < 1e-9, s"vec $id dim $k: $g vs $w")
+      }
+    }
+    // JL property: E‖Pv/√K‖² = ‖v‖² — the corpus-mean ratio of
+    // projected to original squared norm concentrates near 1
+    val ratios = vecs.map { case (id, v) =>
+      val orig = v.map(x => x.toDouble * x.toDouble).sum
+      val proj = got(id).map(y => y * y).sum
+      proj / orig
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"norm-preservation ratio drifted: $mean")
+  }
 }
