@@ -19,7 +19,9 @@ val picks = Seq(
   "skyline_parts" -> "Pareto frontier: bucket-partitioned prune window first, global sweep only over the surviving candidates",
   "simhash_pairs" -> "banded simhash near-dup: candidates from a 15-bit band-key equi join, popcount verify on candidates only",
   "pq_codes" -> "PQ encode: codebook as plan literals, map-only argmin — no join, no exchange anywhere",
-  "pq_topk_ivf" -> "IVF+PQ: probe-bounded candidates, ADC scoring via broadcast distance tables")
+  "pq_topk_ivf" -> "IVF+PQ: probe-bounded candidates, ADC scoring via broadcast distance tables",
+  "embedding_gram" -> "Gram matrix: per-partition cell folds, ONE aggregate over O(cells x partitions) rows — no self-join of the corpus",
+  "sparse_cosine_pairs" -> "sparse tf-idf cosine: df cap below the posting self-join bounds candidates; global top-K is TakeOrdered")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
