@@ -368,20 +368,48 @@ object SimOps {
     * factored formula so float arithmetic matches term for term.
     */
   def pqCodes(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s) // vecDot resolves via the session registry
+    import s.implicits._
     val cb = pqCodebook(s, dir)
-    val codeCols = (0 until PqM).map { m =>
-      val sub = slice(col("embedding"), m * PqSub + 1, PqSub)
-      val scores = array((0 until PqK).map { j =>
-        val cw = cb(j).slice(m * PqSub, m * PqSub + PqSub)
-        val cc = cw.map(x => x * x).sum // ascending fold == list_sum order
-        lit(cc) - lit(2.0) * vecDot(sub, typedlit(cw.map(_.toFloat).toSeq))
-      }: _*)
-      (array_position(scores, array_min(scores)) - 1).cast("long")
-    }
+    // The argmin runs as a tight JVM loop in a typed flatMap, not as
+    // a 128-dot Column expression feeding posexplode: that form put
+    // ONE >64 KB method into Generate's consume path — past Janino's
+    // limit — so the whole corpus-sized encode stage silently fell
+    // back to interpreted execution (and CollapseProject re-inlines
+    // any attempt to stage the trees in a Project below the explode,
+    // since each alias is referenced once). The loop keeps the
+    // oracle's arithmetic exactly: score = cc − 2·⟨sub,cw⟩ with both
+    // sums ascending-index folds (== list_sum order), float×float
+    // products widened to double, and the FIRST minimal codeword on
+    // ties (strict < keeps the earliest, mirroring array_position of
+    // array_min). Map-only, zero shuffle, 8 small rows out per
+    // vector — the same plan shape, now without a codegen cliff.
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(array(codeCols: _*)).as(Seq("m", "code")))
-      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        (0 until PqM).iterator.map { m =>
+          val off = m * PqSub
+          var best = 0
+          var bestScore = Double.MaxValue
+          var j = 0
+          while (j < PqK) {
+            var sc = 0.0
+            var cc = 0.0
+            var i = 0
+            while (i < PqSub) {
+              val cw = cb(j)(off + i) // float-origin double: exact
+              sc += v(off + i).toDouble * cw
+              cc += cw * cw
+              i += 1
+            }
+            val score = cc - 2.0 * sc
+            if (score < bestScore) { bestScore = score; best = j }
+            j += 1
+          }
+          (id, m.toLong, best.toLong)
+        }
+      }
+      .toDF("vec_id", "m", "code")
   }
 
   /** ADC (asymmetric distance computation) top-k: queries stay
@@ -406,15 +434,50 @@ object SimOps {
     */
   private def pqDistTable(s: SparkSession, dir: String,
       cb: Array[Array[Double]]): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val cells = for { m <- 0 until PqM; j <- 0 until PqK } yield
-      struct(lit(m).cast("long").as("m"), lit(j).cast("long").as("code"),
-        round(pqD2(col("vq"), cb(j), m), 6).cast(DecimalType(18, 6)).as("d2"))
-    Tables.embeddings(s, dir)
+    import org.apache.spark.sql.types._
+    // The query set is a fixed NQueries-row frame — model state, the
+    // same trade as the codebook itself (collected once, broadcast
+    // back). Computing its 128 cells per query driver-side replaces
+    // the giant 384-dot explode expression whose single generated
+    // method crossed Janino's 64 KB limit (harmless at 10 rows, but
+    // the fallback WARN would mask a real corpus-sized one). The
+    // arithmetic replicates pqD2 term for term: (ss − 2·sc) + cc,
+    // every sum an ascending-index fold, rounded HALF_UP to 6 dp into
+    // DECIMAL(18,6) — bit-identical to the oracle.
+    val qs = Tables.embeddings(s, dir)
       .filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("vq"))
-      .select(col("query_id"), explode(array(cells: _*)).as("kv"))
-      .select(col("query_id"), col("kv.m"), col("kv.code"), col("kv.d2"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = for {
+      (q, v) <- qs.toSeq
+      m <- 0 until PqM
+      j <- 0 until PqK
+    } yield {
+      val off = m * PqSub
+      var ss = 0.0
+      var sc = 0.0
+      var cc = 0.0
+      var i = 0
+      while (i < PqSub) {
+        val x = v(off + i).toDouble
+        val cw = cb(j)(off + i)
+        ss += x * x
+        sc += x * cw
+        cc += cw * cw
+        i += 1
+      }
+      val d2 = (ss - 2.0 * sc) + cc
+      org.apache.spark.sql.Row(q, m.toLong, j.toLong,
+        java.math.BigDecimal.valueOf(d2)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("m", LongType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("d2", DecimalType(18, 6), nullable = false)))
+    s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   def pqTopk(s: SparkSession, dir: String): DataFrame = {

@@ -203,6 +203,20 @@ class SimSpec extends AnyFunSuite {
     assert(residual < 1e-6, s"power iteration residual $residual")
   }
 
+  test("PQ stages compile under whole-stage codegen (no silent interpreted fallback)") {
+    // the 128 inlined dot trees used to overflow Janino's 64 KB
+    // method limit inside Generate's consume path, dropping the
+    // corpus-sized encode stage to interpreted execution with only a
+    // WARN; with fallback disabled a regression throws here instead
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(SimOps.pqCodes(spark, sfTiny).count() > 0)
+      assert(SimOps.pqTopk(spark, sfTiny).count() > 0)
+      assert(SimOps.pqTopkIvf(spark, sfTiny).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("project_embeddings matches a local JL recompute and preserves norms in aggregate") {
     import spark.implicits._
     def r6(x: Double): Double =
