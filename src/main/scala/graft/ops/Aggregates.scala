@@ -293,6 +293,129 @@ object Aggregates {
       |    THEN round(cov * cov / (varx * vary), 6) END AS r2
       |FROM d""".stripMargin
 
+  /** Pairwise Pearson correlation matrix over three fact-table
+    * measures (quantity, extended price, discount) per return flag —
+    * the feature-correlation profile a modeling pipeline computes
+    * before pruning redundant columns. Single pass, single
+    * partial+final aggregate: the 9 sufficient statistics (n, three
+    * sums, three sums of squares folded into products, three cross
+    * products) are exact DECIMAL power sums (the [[regrTrend]] /
+    * [[aggStats]] discipline — order-independent under any
+    * partitioning, unlike the built-in co-moment `corr` whose merge
+    * order varies run to run), and each correlation finishes as a
+    * fixed closed-form double expression both engines evaluate
+    * identically. O(cols²) statistics per group but one scan,
+    * regardless of table size.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    val d = dec(col("l_discount"))
+    val fin = (sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column, n: Column) =>
+      round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("sq"),
+        sum(p).cast("double").as("sp"),
+        sum(d).cast("double").as("sd"),
+        sum(q * q).cast("double").as("sqq"),
+        sum(p * p).cast("double").as("spp"),
+        sum(d * d).cast("double").as("sdd"),
+        sum(q * p).cast("double").as("sqp"),
+        sum(q * d).cast("double").as("sqd"),
+        sum(p * d).cast("double").as("spd"))
+      .select(col("l_returnflag"), col("n"),
+        fin(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp"), col("n"))
+          .as("corr_qty_price"),
+        fin(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd"), col("n"))
+          .as("corr_qty_disc"),
+        fin(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd"), col("n"))
+          .as("corr_price_disc"))
+  }
+
+  private val corrMatrixOracle = {
+    def s(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    def s2(a: String, b: String) =
+      s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+    def fin(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+      s"round((n * $sxy - $sx * $sy) / sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy)), 6)"
+    s"""WITH g AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${s("l_quantity")} AS sq, ${s("l_extendedprice")} AS sp,
+       |    ${s("l_discount")} AS sd,
+       |    ${s2("l_quantity", "l_quantity")} AS sqq,
+       |    ${s2("l_extendedprice", "l_extendedprice")} AS spp,
+       |    ${s2("l_discount", "l_discount")} AS sdd,
+       |    ${s2("l_quantity", "l_extendedprice")} AS sqp,
+       |    ${s2("l_quantity", "l_discount")} AS sqd,
+       |    ${s2("l_extendedprice", "l_discount")} AS spd
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  ${fin("sqp", "sq", "sp", "sqq", "spp")} AS corr_qty_price,
+       |  ${fin("sqd", "sq", "sd", "sqq", "sdd")} AS corr_qty_disc,
+       |  ${fin("spd", "sp", "sd", "spp", "sdd")} AS corr_price_disc
+       |FROM g""".stripMargin
+  }
+
+  /** Mutual information between two categorical columns (return flag ×
+    * line status) — the dependence screen for categorical feature
+    * selection, reported per joint cell: observed count, joint
+    * probability, pointwise MI in bits, and the total MI replicated
+    * on every row. One partial+final aggregate builds the joint
+    * spectrum (≤|X|·|Y| rows); the marginals and total are windows
+    * over that already-aggregated frame, so the unpartitioned window
+    * touches cells, never data rows. PMI's log2 argument is a ratio
+    * of exact integer products (< 2^63) through one double division —
+    * bit-identical across engines; log2 itself is the one libm call,
+    * absorbed by the 6-dp round (the weightedSample ln() policy). The
+    * MI total sums the 6-dp-ROUNDED per-cell terms through
+    * DECIMAL(18,6) so accumulation order can't perturb it.
+    */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_xy"))
+    val wAll = Window.partitionBy()
+    val ratio = (col("n_xy") * col("n")) / (col("n_x") * col("n_y"))
+    joint
+      .withColumn("n", sum(col("n_xy")).over(wAll))
+      .withColumn("n_x",
+        sum(col("n_xy")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("n_y",
+        sum(col("n_xy")).over(Window.partitionBy(col("l_linestatus"))))
+      .withColumn("term",
+        round((col("n_xy") / col("n").cast("double")) * log2(ratio), 6)
+          .cast(DecimalType(18, 6)))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_xy"),
+        round(col("n_xy") / col("n").cast("double"), 6).as("p_xy"),
+        round(log2(ratio), 6).as("pmi"),
+        sum(col("term")).over(wAll).cast("double").as("mi_bits"))
+  }
+
+  private val mutualInfoOracle =
+    """WITH joint AS (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_xy
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus, n_xy,
+      |    CAST(SUM(n_xy) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(n_xy) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_x,
+      |    CAST(SUM(n_xy) OVER (PARTITION BY l_linestatus) AS BIGINT) AS n_y
+      |  FROM joint),
+      |t AS (
+      |  SELECT *,
+      |    CAST(round((n_xy / CAST(n AS DOUBLE))
+      |      * log2((n_xy * n) / (n_x * n_y)), 6) AS DECIMAL(18,6)) AS term
+      |  FROM m)
+      |SELECT l_returnflag, l_linestatus, n_xy,
+      |  round(n_xy / CAST(n AS DOUBLE), 6) AS p_xy,
+      |  round(log2((n_xy * n) / (n_x * n_y)), 6) AS pmi,
+      |  CAST(SUM(term) OVER () AS DOUBLE) AS mi_bits
+      |FROM t""".stripMargin
+
   /** Re-aggregatable partial aggregates — the algebraic-merge
     * property hierarchical rollups rely on at 100 TB: per-split
     * partial states (count/sum/min/max over a hash split of the fact
@@ -629,6 +752,8 @@ object Aggregates {
         |  FROM orders GROUP BY 1)
         |UNPIVOT (val FOR name IN (f_cnt, o_cnt, p_cnt))""".stripMargin)(aggUnpivot),
     Q("regr_trend", regrTrendOracle)(regrTrend),
+    Q("corr_matrix", corrMatrixOracle)(corrMatrix),
+    Q("mutual_info", mutualInfoOracle)(mutualInfo),
     Q("agg_merge_partials",
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -216,6 +216,90 @@ object Joins {
     finally Seq("customer", "orders").foreach(s2.catalog.dropTempView)
   }
 
+  /** Chunk width for the interval-overlap join, in MICROSECONDS (6 h).
+    * Time math stays in epoch micros end-to-end: `unix_micros` /
+    * `epoch_us` are exact integers in both engines, so there is no
+    * millisecond-truncation ambiguity to straddle a comparison.
+    */
+  private val IntervalChunkUs = 21600000000L
+
+  /** Interval-overlap join, bucketized to an equi join — the temporal
+    * counterpart of [[joinRangeBucketed]] for the case where BOTH
+    * sides are intervals (`a.start <= b.end AND b.start <= a.end`):
+    * per-user daily activity spans against per-event-type daily burst
+    * windows. Planned naively, an interval-overlap predicate is a
+    * nested-loop join (every pair compared); here each interval
+    * explodes into the fixed-width time chunks it covers
+    * (`sequence(start div W, end div W)`), the join is a hash equi
+    * join on chunk, the exact overlap predicate survives as a cheap
+    * residual, and a pair that shares several chunks is collapsed by
+    * a distinct BEFORE the aggregate — so the rewrite is semantically
+    * invisible (the oracle is the plain overlap join) while the work
+    * per interval is O(span/W), not O(|intervals|). Day keys and
+    * chunk ids derive from epoch micros by floor division —
+    * timezone-free (the Bucketed partitionedEventsDir lesson) and
+    * floor (not truncate) so pre-1970 epochs would bucket identically
+    * in both engines.
+    */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val user = e.groupBy(col("user_id"),
+        floor(col("us") / lit(dayUs.toDouble)).as("u_day"))
+      .agg(min(col("us")).as("u_start"), max(col("us")).as("u_end"))
+    val burst = e.groupBy(col("event_type"),
+        floor(col("us") / lit(dayUs.toDouble)).as("b_day"))
+      .agg(min(col("us")).as("b_start"), max(col("us")).as("b_end"))
+    val chunk = (lo: Column, hi: Column) =>
+      explode(sequence(floor(lo / lit(IntervalChunkUs.toDouble)),
+        floor(hi / lit(IntervalChunkUs.toDouble)))).as("chunk")
+    val uc = user.select(col("user_id"), col("u_day"), col("u_start"),
+      col("u_end"), chunk(col("u_start"), col("u_end")))
+    val bc = burst.select(col("event_type"), col("b_day"), col("b_start"),
+      col("b_end"), chunk(col("b_start"), col("b_end")))
+    uc.join(bc, Seq("chunk"))
+      .filter(col("u_start") <= col("b_end") && col("b_start") <= col("u_end"))
+      .select(col("user_id"), col("u_day"), col("event_type"), col("b_day"),
+        (least(col("u_end"), col("b_end"))
+          - greatest(col("u_start"), col("b_start"))).as("overlap_us"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_us")).as("overlap_us"))
+  }
+
+  /** Blocked fuzzy (edit-distance) join — record-linkage over the
+    * part-name catalog: pairs of DISTINCT names within an edit
+    * distance of 3, found without ever comparing all name pairs. The
+    * 100 TB discipline is the blocking key: candidates must share the
+    * leading token, so the self-join is a hash equi join on the block
+    * and the quadratic levenshtein predicate runs only inside blocks
+    * (at corpus scale the block would tighten to (prefix, length
+    * band) with a frequency cap, exactly the shingle-join treatment —
+    * the geometry is what matters: never `ON lev(a,b) <= k` alone,
+    * which Catalyst can only plan as a nested loop). Matching runs on
+    * the DEDUPLICATED name dictionary (Heaps-bounded), not the part
+    * rows, and each name carries its part count so a downstream merge
+    * knows the mass behind every alias pair.
+    */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
   private val rangeBandsValues = RangeBands
     .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
 
@@ -281,5 +365,31 @@ object Joins {
          |JOIN (VALUES $rangeBandsValues) AS bands(band_id, lo, hi)
          |  ON l_quantity >= lo AND l_quantity < hi
          |GROUP BY band_id""".stripMargin)(joinRangeBucketed),
+    Q("join_interval",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(floor(us / 86400000000.0) AS BIGINT) AS u_day,
+        |    MIN(us) AS u_start, MAX(us) AS u_end
+        |  FROM e GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, CAST(floor(us / 86400000000.0) AS BIGINT) AS b_day,
+        |    MIN(us) AS b_start, MAX(us) AS b_end
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_pairs,
+        |  CAST(SUM(least(u_end, b_end) - greatest(u_start, b_start)) AS BIGINT)
+        |    AS overlap_us
+        |FROM u JOIN b ON u_start <= b_end AND b_start <= u_end
+        |GROUP BY 1""".stripMargin)(joinInterval),
+    Q("join_fuzzy",
+      """WITH n AS (
+        |  SELECT p_name, COUNT(*) AS n_parts,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)(joinFuzzy),
   )
 }

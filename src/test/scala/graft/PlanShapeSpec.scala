@@ -185,7 +185,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // rankings are TakeOrdered top-Ks; the fusion window sees ≤2K rows
       "rrf_fusion" -> "fused candidates ≤ 2·K after TakeOrdered",
       // top-20 heavy-hitter report: window above a LocalLimit
-      "skew_report" -> "top-20 heavy hitters (limited frame)")
+      "skew_report" -> "top-20 heavy hitters (limited frame)",
+      // joint spectrum of two categorical columns: ≤|X|·|Y| cells
+      "mutual_info" -> "categorical joint spectrum (≤|X|·|Y| rows)")
     SparkEntry.registry.foreach { q =>
       val wins = q.fn(spark, sfTiny).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

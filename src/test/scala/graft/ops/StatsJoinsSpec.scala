@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Round-5 additions: bucketized interval-overlap join, blocked fuzzy
+  * join, exact-power-sum correlation matrix, categorical mutual
+  * information. Each is checked differentially against a local
+  * brute-force recompute (the oracle covers the DuckDB side; these
+  * cover the rewrite-invisibility claims the oracle can't isolate —
+  * e.g. that chunking never double-counts a pair).
+  */
+class StatsJoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def intervals[K](rows: Array[(K, Long)]): Map[(K, Long), (Long, Long)] =
+    rows.groupBy { case (k, us) => (k, math.floorDiv(us, 86400000000L)) }
+      .map { case (key, g) => key -> (g.map(_._2).min, g.map(_._2).max) }
+
+  test("interval join equals the brute-force overlap join (chunking is invisible)") {
+    val e = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val user = intervals(e.map(x => (x._1, x._3)))
+    val burst = intervals(e.map(x => (x._2, x._3)))
+    val brute = (for {
+      ((_, _), (us, ue)) <- user.toSeq
+      ((typ, _), (bs, be)) <- burst.toSeq
+      if us <= be && bs <= ue
+    } yield (typ, math.min(ue, be) - math.max(us, bs)))
+      .groupBy(_._1)
+      .map { case (t, g) => (t, g.size.toLong, g.map(_._2).sum) }
+      .toSet
+    val got = Joins.joinInterval(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // a user-day span (≤24 h) crosses up to 5 six-hour chunks — the
+    // distinct must collapse them; equality above proves it, this pins
+    // that multi-chunk pairs actually occur in the fixture (otherwise
+    // the dedup path is untested)
+    val multiChunk = user.values.count { case (s, t) =>
+      s / 21600000000L != t / 21600000000L
+    }
+    assert(multiChunk > 0, "fixture has no interval spanning two chunks")
+  }
+
+  test("interval join plans a hash equi join on chunk, not a nested loop") {
+    val p = Joins.joinInterval(spark, sfSmall)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join planned a nested loop:\n${p.take(2000)}")
+  }
+
+  test("fuzzy join finds exactly the blocked lev<=3 pairs") {
+    val names = Tables.part(spark, sfSmall).groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names.keys; b <- names.keys
+      if a < b && a.split(" ")(0) == b.split(" ")(0) && lev(a, b) <= 3
+    } yield (a, b, lev(a, b).toLong, names(a), names(b))).toSet
+    val got = Joins.joinFuzzy(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture yields no fuzzy pairs — threshold dead")
+  }
+
+  test("fuzzy join blocks: hash equi join, no nested loop over name pairs") {
+    val p = Joins.joinFuzzy(spark, sfSmall)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join planned a nested loop:\n${p.take(2000)}")
+  }
+
+  test("corr matrix matches Spark's built-in corr to 1e-6 and stays in [-1,1]") {
+    val got = Aggregates.corrMatrix(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ref = Tables.lineitem(spark, sfSmall).groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("qp"),
+        corr(col("l_quantity"), col("l_discount")).as("qd"),
+        corr(col("l_extendedprice"), col("l_discount")).as("pd"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (a, b, c)) =>
+      val (ra, rb, rc) = ref(k)
+      Seq(a -> ra, b -> rb, c -> rc).foreach { case (g, r) =>
+        // g is rounded to 6 dp, so up to 5e-7 from the unrounded corr
+        assert(math.abs(g - r) < 2e-6, s"flag $k: $g vs built-in $r")
+        assert(g >= -1.0 && g <= 1.0, s"flag $k: corr $g out of range")
+      }
+    }
+  }
+
+  test("mutual information equals the local recompute and is non-negative") {
+    val joint = Tables.lineitem(spark, sfSmall)
+      .groupBy(col("l_returnflag"), col("l_linestatus")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = joint.values.sum.toDouble
+    val nx = joint.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val ny = joint.groupBy(_._1._2).map { case (k, g) => k -> g.values.sum }
+    val miLocal = joint.map { case ((x, y), nxy) =>
+      val t = (nxy / n) * (math.log((nxy * n.toLong) / (nx(x) * ny(y)).toDouble)
+        / math.log(2))
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val rows = Aggregates.mutualInfo(spark, sfSmall).collect()
+    assert(rows.length == joint.size)
+    val mi = rows.map(_.getDouble(5)).distinct
+    assert(mi.length == 1, "mi_bits differs across rows")
+    // 6-dp term rounding can straddle on a libm ulp: allow one grain/cell
+    assert(math.abs(mi.head - miLocal) < 2e-6, s"mi ${mi.head} vs local $miLocal")
+    assert(mi.head >= 0.0, "mutual information cannot be negative")
+    // per-cell pmi sanity: p_xy log-consistency with counts
+    rows.foreach { r =>
+      val nxy = r.getLong(2)
+      val pmi = r.getDouble(4)
+      val expect = math.log((nxy * n.toLong)
+        / (nx(r.getString(0)) * ny(r.getString(1))).toDouble) / math.log(2)
+      assert(math.abs(pmi - expect) < 1e-5, s"pmi $pmi vs $expect")
+    }
+  }
+}
