@@ -416,6 +416,76 @@ object Aggregates {
       |  CAST(SUM(term) OVER () AS DOUBLE) AS mi_bits
       |FROM t""".stripMargin
 
+  /** A/B experiment readout — Welch's two-sample z statistic per
+    * event type, with arms assigned by the content-stable
+    * [[graft.text.SplitHash]] user bucket (the hash-split discipline:
+    * assignment is a pure function of user_id, reproducible across
+    * engines, runs, and partitionings — never an RNG). ONE
+    * partial+final aggregate computes both arms' sufficient
+    * statistics as conditional exact-decimal power sums (no self-join,
+    * no second scan); the per-arm mean/variance are rounded to 6 dp
+    * BEFORE the z composition so both engines build the statistic
+    * from identical doubles. The fixture carries no real treatment
+    * effect, so z hovers near 0 — exactly what an A/A test (the
+    * standard pipeline health check) should show.
+    */
+  def abTestStats(s: SparkSession, dir: String): DataFrame = {
+    val treat = graft.text.SplitHash.bucket(col("user_id")) < 500
+    val v = dec(col("value"))
+    val cnt = (p: Column) => count(when(p, 1))
+    val s1 = (p: Column) => sum(when(p, v)).cast("double")
+    val s2 = (p: Column) => sum(when(p, v * v)).cast("double")
+    val mean = (s1c: Column, n: Column) => round(s1c / n, 6)
+    val vr = (s1c: Column, s2c: Column, n: Column) =>
+      round((s2c - s1c * s1c / n) / (n - 1), 6)
+    Tables.events(s, dir)
+      .withColumn("t", treat)
+      .groupBy(col("event_type"))
+      .agg(cnt(col("t")).as("n_t"), cnt(!col("t")).as("n_c"),
+        s1(col("t")).as("s1_t"), s1(!col("t")).as("s1_c"),
+        s2(col("t")).as("s2_t"), s2(!col("t")).as("s2_c"))
+      .select(col("event_type"), col("n_t"), col("n_c"),
+        mean(col("s1_t"), col("n_t")).as("mean_t"),
+        mean(col("s1_c"), col("n_c")).as("mean_c"),
+        vr(col("s1_t"), col("s2_t"), col("n_t")).as("var_t"),
+        vr(col("s1_c"), col("s2_c"), col("n_c")).as("var_c"))
+      .withColumn("z", round(
+        (col("mean_t") - col("mean_c"))
+          / sqrt(col("var_t") / col("n_t") + col("var_c") / col("n_c")), 6))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  private val abTestOracle = {
+    val bucket = graft.text.SplitHash.bucketSql("user_id")
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (($bucket) < 500) AS n_t,
+       |    COUNT(*) FILTER (($bucket) >= 500) AS n_c,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+       |      FILTER (($bucket) < 500) AS DOUBLE) AS s1_t,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+       |      FILTER (($bucket) >= 500) AS DOUBLE) AS s1_c,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+       |      FILTER (($bucket) < 500) AS DOUBLE) AS s2_t,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+       |      FILTER (($bucket) >= 500) AS DOUBLE) AS s2_c
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT event_type, n_t, n_c,
+       |    round(s1_t / n_t, 6) AS mean_t,
+       |    round(s1_c / n_c, 6) AS mean_c,
+       |    round((s2_t - s1_t * s1_t / n_t) / (n_t - 1), 6) AS var_t,
+       |    round((s2_c - s1_c * s1_c / n_c) / (n_c - 1), 6) AS var_c
+       |  FROM g),
+       |z AS (
+       |  SELECT *, round((mean_t - mean_c)
+       |    / sqrt(var_t / n_t + var_c / n_c), 6) AS z
+       |  FROM m)
+       |SELECT event_type, n_t, n_c, mean_t, mean_c, var_t, var_c, z,
+       |  abs(z) > 1.96 AS significant
+       |FROM z""".stripMargin
+  }
+
   /** Re-aggregatable partial aggregates — the algebraic-merge
     * property hierarchical rollups rely on at 100 TB: per-split
     * partial states (count/sum/min/max over a hash split of the fact
@@ -753,6 +823,7 @@ object Aggregates {
         |UNPIVOT (val FOR name IN (f_cnt, o_cnt, p_cnt))""".stripMargin)(aggUnpivot),
     Q("regr_trend", regrTrendOracle)(regrTrend),
     Q("corr_matrix", corrMatrixOracle)(corrMatrix),
+    Q("ab_test_stats", abTestOracle)(abTestStats),
     Q("mutual_info", mutualInfoOracle)(mutualInfo),
     Q("agg_merge_partials",
       """SELECT l_returnflag, COUNT(*) AS n,

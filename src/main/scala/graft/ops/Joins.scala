@@ -300,6 +300,36 @@ object Joins {
         col("n_parts_a"), col("n_parts_b"))
   }
 
+  /** [[joinFuzzy]] with a similarity score instead of an edit-distance
+    * cut: Jaro–Winkler ≥ 0.88 via the custom codegen'd
+    * [[graft.functions.JaroWinklerSimilarity]] expression (DuckDB
+    * implements the identical standard definition, so the score — not
+    * just the verdict — is oracle-compared). Same blocking geometry;
+    * the score is rounded to 6 dp BEFORE the threshold so both
+    * engines draw the same boundary, and the fixture's nearest score
+    * sits 4.5e-4 from the cut — no straddle risk. Shared-adjective
+    * names exercise the Winkler prefix boost (l = 4 common leading
+    * chars); the boost-free region is covered by the spec's
+    * below-threshold cases.
+    */
+  def joinFuzzyJaro(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.StringFunctions.register(s)
+    val jw = graft.functions.StringFunctions.jaroWinkler _
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("sim", round(jw(col("name_a"), col("name_b")), 6))
+      .filter(col("sim") >= 0.88)
+      .select(col("name_a"), col("name_b"), col("sim"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
   private val rangeBandsValues = RangeBands
     .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
 
@@ -391,5 +421,16 @@ object Joins {
         |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
         |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)(joinFuzzy),
+    Q("join_fuzzy_jaro",
+      """WITH n AS (
+        |  SELECT p_name, COUNT(*) AS n_parts,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88"""
+        .stripMargin)(joinFuzzyJaro),
   )
 }

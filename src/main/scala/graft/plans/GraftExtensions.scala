@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.VectorFunctions
+import graft.functions.{StringFunctions, VectorFunctions}
 
 /** SparkSessionExtensions entry point — the way a library user wires
   * graft's native functions into their own session:
@@ -15,6 +15,7 @@ import graft.functions.VectorFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.dotInfo)
+    ext.injectFunction(StringFunctions.jaroWinklerInfo)
     // BETWEEN-style range joins against literal band tables become
     // bucketed hash joins (see RangeBucketJoinRule)
     ext.injectOptimizerRule(_ => RangeBucketJoinRule)
