@@ -275,6 +275,38 @@ object TextAnalysis {
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
 
+  /** The fixed phrase [[phraseMatch]] searches for; two mid-frequency
+    * vocabulary words so the fixture yields real adjacent hits.
+    */
+  private val PhraseW1 = "fast"
+  private val PhraseW2 = "table"
+
+  /** Exact phrase search over positional postings — the retrieval
+    * primitive an inverted index alone can't answer ("fast table" as
+    * ADJACENT tokens, not co-occurrence). Access path, not a text
+    * scan: the token filter prunes the posting stream to the phrase's
+    * terms BEFORE any shuffle (at corpus scale this is the
+    * inverted-index lookup — only the two terms' postings move), and
+    * adjacency is an EQUI join on (doc_id, pos + 1), so Catalyst
+    * plans a hash join keyed on both columns — no positional range
+    * scan, no nested loop. A k-word phrase chains k−1 such joins;
+    * each intermediate is at most the rarest term's posting list.
+    * Per-document match count and first hit position come from one
+    * aggregate over the join output.
+    */
+  def phraseMatch(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(PhraseW1, PhraseW2))
+    val a = toks.filter(col("tok") === PhraseW1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val b = toks.filter(col("tok") === PhraseW2)
+      .select(col("doc_id").as("doc_b"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("doc_b") && col("p2") === col("p1") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p1")).as("first_pos"))
+  }
+
   /** Corpus profiling — the first query run against any new dataset:
     * row counts, per-column cardinalities, null rates, length
     * distribution. One pass, one row out.
@@ -1051,6 +1083,17 @@ object TextAnalysis {
          |    i -> t[i] || ' ' || t[i+1])) AS bigram
          |  FROM (SELECT $tokensSql AS t FROM documents))
          |GROUP BY bigram""".stripMargin)(ngramBigrams),
+    Q("phrase_match",
+      s"""WITH t AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents),
+         |    unnest(range(1, len(t) + 1)) AS u(i)
+         |  WHERE t[i] IN ('$PhraseW1', '$PhraseW2'))
+         |SELECT a.doc_id, COUNT(*) AS n_matches, MIN(a.pos) AS first_pos
+         |FROM t a JOIN t b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  AND a.tok = '$PhraseW1' AND b.tok = '$PhraseW2'
+         |GROUP BY 1""".stripMargin)(phraseMatch),
     Q("tfidf",
       s"""WITH tf AS (
          |  SELECT doc_id, term, COUNT(*) AS tf FROM (

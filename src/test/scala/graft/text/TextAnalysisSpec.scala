@@ -135,9 +135,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - intercept) < 1e-6)
     assert(got(0)._2 < 0, "frequency must decay with rank on any real corpus")
   }
+
+  test("phrase_match equals a local positional recompute and plans an equi hash join") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pat = "[a-z]+".r
+    val brute = docs.flatMap { case (id, text) =>
+      val toks = pat.findAllIn(text.toLowerCase).toArray
+      val hits = toks.indices.dropRight(1)
+        .filter(i => toks(i) == "fast" && toks(i + 1) == "table")
+      if (hits.isEmpty) None else Some((id, hits.size.toLong, hits.min.toLong))
+    }.toSet
+    val got = TextAnalysis.phraseMatch(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture has no phrase hits - query surface dead")
+    val p = TextAnalysis.phraseMatch(spark, sfSmall)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"adjacency join fell back to a nested loop:\n${p.take(2000)}")
+  }
 }
 
 /** Local alias so the spec reads clearly. */
 private object MrJobsTokens {
   def tokenize(text: String): List[String] = graft.mr.MrJobs.tokenize(text)
+
 }
