@@ -73,4 +73,19 @@ class NegativeSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations
         .filterNot(_ == graft.plans.RangeBucketJoinRule)
   }
+
+  test("jaro_winkler rejects non-string inputs at analysis time") {
+    graft.functions.StringFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val e = intercept[AnalysisException] {
+      graft.Tables.lineitem(spark, sfTiny)
+        .select(graft.functions.StringFunctions
+          .jaroWinkler(col("l_quantity"), col("l_returnflag")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("jaro_winkler"),
+      s"type-check failure does not name the function: ${e.getMessage}")
+    // session still healthy
+    assert(SparkEntry.queries("word_count")(spark, sfTiny).count() > 0)
+  }
 }

@@ -21,7 +21,9 @@ val picks = Seq(
   "pq_codes" -> "PQ encode: codebook as plan literals, map-only argmin — no join, no exchange anywhere",
   "pq_topk_ivf" -> "IVF+PQ: probe-bounded candidates, ADC scoring via broadcast distance tables",
   "embedding_gram" -> "Gram matrix: per-partition cell folds, ONE aggregate over O(cells x partitions) rows — no self-join of the corpus",
-  "sparse_cosine_pairs" -> "sparse tf-idf cosine: df cap below the posting self-join bounds candidates; global top-K is TakeOrdered")
+  "sparse_cosine_pairs" -> "sparse tf-idf cosine: df cap below the posting self-join bounds candidates; global top-K is TakeOrdered",
+  "join_interval" -> "interval-overlap join: both sides explode to time chunks, hash equi join on chunk + exact residual, distinct collapses multi-chunk pairs — no nested loop",
+  "join_fuzzy_jaro" -> "blocked fuzzy join: hash equi join on the block key; the codegen'd jaro_winkler expression scores inside the joined projection")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
