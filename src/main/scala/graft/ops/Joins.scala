@@ -241,6 +241,26 @@ object Joins {
     * floor (not truncate) so pre-1970 epochs would bucket identically
     * in both engines.
     */
+  /** The chunked-equi rewrite itself, factored for property testing:
+    * joins `left` (closed intervals [l_start, l_end] plus arbitrary
+    * key columns) with `right` ([r_start, r_end] + keys) on interval
+    * OVERLAP, each pair emitted exactly once regardless of how many
+    * chunks it shares. Column names are the contract; both frames
+    * must have distinct key-column sets.
+    */
+  private[graft] def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, chunkUs: Long): DataFrame = {
+    val chunk = (lo: Column, hi: Column) =>
+      explode(sequence(floor(lo / lit(chunkUs.toDouble)),
+        floor(hi / lit(chunkUs.toDouble)))).as("chunk")
+    val lc = left.select(col("*"), chunk(col("l_start"), col("l_end")))
+    val rc = right.select(col("*"), chunk(col("r_start"), col("r_end")))
+    lc.join(rc, Seq("chunk"))
+      .filter(col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .drop("chunk")
+      .distinct()
+  }
+
   def joinInterval(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val e = Tables.events(s, dir)
@@ -248,23 +268,16 @@ object Joins {
         unix_micros(col("ts")).as("us"))
     val user = e.groupBy(col("user_id"),
         floor(col("us") / lit(dayUs.toDouble)).as("u_day"))
-      .agg(min(col("us")).as("u_start"), max(col("us")).as("u_end"))
+      .agg(min(col("us")).as("l_start"), max(col("us")).as("l_end"))
     val burst = e.groupBy(col("event_type"),
         floor(col("us") / lit(dayUs.toDouble)).as("b_day"))
-      .agg(min(col("us")).as("b_start"), max(col("us")).as("b_end"))
-    val chunk = (lo: Column, hi: Column) =>
-      explode(sequence(floor(lo / lit(IntervalChunkUs.toDouble)),
-        floor(hi / lit(IntervalChunkUs.toDouble)))).as("chunk")
-    val uc = user.select(col("user_id"), col("u_day"), col("u_start"),
-      col("u_end"), chunk(col("u_start"), col("u_end")))
-    val bc = burst.select(col("event_type"), col("b_day"), col("b_start"),
-      col("b_end"), chunk(col("b_start"), col("b_end")))
-    uc.join(bc, Seq("chunk"))
-      .filter(col("u_start") <= col("b_end") && col("b_start") <= col("u_end"))
+      .agg(min(col("us")).as("r_start"), max(col("us")).as("r_end"))
+    intervalOverlapJoin(user, burst, IntervalChunkUs)
+      // pairs are already distinct; (keys → bounds) is functional, so
+      // the projection stays duplicate-free without a second distinct
       .select(col("user_id"), col("u_day"), col("event_type"), col("b_day"),
-        (least(col("u_end"), col("b_end"))
-          - greatest(col("u_start"), col("b_start"))).as("overlap_us"))
-      .distinct()
+        (least(col("l_end"), col("r_end"))
+          - greatest(col("l_start"), col("r_start"))).as("overlap_us"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_us")).as("overlap_us"))
   }

@@ -234,6 +234,29 @@ object WindowOps {
         (col("swx").cast("double") / col("swt").cast("double")).as("ewma"))
   }
 
+  /** Rolling 5-event median of each user's values — the ROBUST
+    * smoother ([[ewmaSmooth]]'s outlier-immune sibling: one glitch
+    * reading moves an EWMA for [[EwmaDepth]] steps but never moves a
+    * median). An exact percentile CAN ride a window frame (unlike
+    * COUNT DISTINCT — see rollingActives), so this is one per-user
+    * window, O(k log k) per row with k = 5, shuffling each user's
+    * stream once; the (ts, event_id) ordering is total, so frames are
+    * identical in both engines. The interpolated midpoint on
+    * even-sized head frames is the one double op; round(6) absorbs
+    * the formula-order ulp between engines (the agg_percentiles
+    * policy).
+    */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("med5",
+        round(percentile(col("value"), lit(0.5)).over(w), 6))
+      .drop("ts")
+  }
+
   /** Rolling 7-day active users (DAU / WAU / stickiness) — the
     * product-analytics staple that is genuinely hard at scale because
     * COUNT(DISTINCT) cannot ride a window frame. The scale-safe shape
@@ -527,6 +550,12 @@ object WindowOps {
          |  CAST(swx AS DOUBLE) / CAST(swt AS DOUBLE) AS ewma
          |FROM ev JOIN a ON ev.user_id = a.user_id AND ev.rn = a.rn""".stripMargin)(
       ewmaSmooth),
+    Q("rolling_median",
+      """SELECT user_id, event_id, value,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        |FROM events""".stripMargin)(rollingMedian),
     Q("attribution_last_touch",
       """SELECT event_id, user_id, attr_event_id, attr_type FROM (
         |  SELECT event_id, user_id, event_type,

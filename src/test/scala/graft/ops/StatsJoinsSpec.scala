@@ -45,6 +45,42 @@ class StatsJoinsSpec extends AnyFunSuite {
     assert(multiChunk > 0, "fixture has no interval spanning two chunks")
   }
 
+  test("chunked interval join is exact on adversarial synthetic intervals") {
+    // randomized + boundary-aligned intervals: starts/ends ON chunk
+    // edges, zero-length intervals, touching endpoints (closed
+    // semantics: touch = overlap), intervals spanning many chunks —
+    // the cases a floor/sequence off-by-one would corrupt
+    import spark.implicits._
+    val W = 1000L
+    val rnd = new scala.util.Random(7)
+    def edgy(): Long = rnd.nextInt(6) match {
+      case 0 => rnd.nextInt(10) * W            // exactly on a boundary
+      case 1 => rnd.nextInt(10) * W - 1        // just below
+      case 2 => rnd.nextInt(10) * W + 1        // just above
+      case _ => rnd.nextInt(10000).toLong
+    }
+    val lefts = (1 to 60).map { i =>
+      val s = edgy(); val len = if (i % 7 == 0) 0L else rnd.nextInt(3000).toLong
+      (i.toLong, s, s + len)
+    }
+    val rights = (1 to 40).map { j =>
+      val s = edgy(); val len = if (j % 5 == 0) 0L else rnd.nextInt(5000).toLong
+      (j.toLong, s, s + len)
+    }
+    val got = Joins.intervalOverlapJoin(
+        lefts.toDF("lid", "l_start", "l_end"),
+        rights.toDF("rid", "r_start", "r_end"), W)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = for {
+      (li, ls, le) <- lefts; (ri, rs, re) <- rights
+      if ls <= re && rs <= le
+    } yield (li, ri)
+    assert(got.toSet == brute.toSet, "chunked join disagrees with brute force")
+    assert(got.length == got.toSet.size, "multi-chunk pair emitted twice")
+    assert(brute.nonEmpty)
+  }
+
   test("interval join plans a hash equi join on chunk, not a nested loop") {
     val p = Joins.joinInterval(spark, sfSmall)
       .queryExecution.executedPlan.toString
