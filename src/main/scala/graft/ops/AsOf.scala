@@ -52,6 +52,45 @@ object AsOf {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** [[asofJoin]] through graft's NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinExec]] — custom LogicalPlan + Strategy +
+    * physical exec, the build brief's preference-order (c)): each
+    * side shuffles once on user_id, sorts by (user, time), and a
+    * single forward merge pass pairs every purchase with the last
+    * click at or before it — no union materialization, no WindowExec
+    * buffer, O(1) merge state. Same inclusive tie discipline as the
+    * composed form: same-microsecond clicks collapse via max_by
+    * BEFORE the join, so the exec's (key, time) ordering is total
+    * where it matters. The oracle is the identical DuckDB ASOF JOIN
+    * the composed query checks against — the two implementations and
+    * the oracle triangulate.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsOfJoinStrategy
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val lPlan = purchases.queryExecution.analyzed
+    val rPlan = clicks.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name).get
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, "user_id"), attr(rPlan, "c_user"),
+      attr(lPlan, "ts"), attr(rPlan, "c_ts"))
+    org.apache.spark.sql.graftglue.GraftGlue.ofRows(s, node)
+      .select(col("event_id"),
+        date_format(col("c_ts"), TsFmt).as("click_ts"),
+        col("c_value").as("click_value"))
+  }
+
   /** Nearest-neighbor as-of join (pandas merge_asof
     * direction='nearest'): each purchase matched to the click with
     * the smallest |Δts| in either direction, ties to the earlier
@@ -144,5 +183,15 @@ object AsOf {
         |  SELECT user_id, ts, arg_max(value, event_id) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(asofJoin),
+    Q("asof_join_native",
+      """SELECT p.event_id,
+        |  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      asofJoinNative),
   )
 }

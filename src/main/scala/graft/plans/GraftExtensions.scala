@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BETWEEN-style range joins against literal band tables become
     // bucketed hash joins (see RangeBucketJoinRule)
     ext.injectOptimizerRule(_ => RangeBucketJoinRule)
+    // native as-of join (AsOfJoinNode → AsOfJoinExec sorted merge)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
