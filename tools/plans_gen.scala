@@ -23,7 +23,8 @@ val picks = Seq(
   "embedding_gram" -> "Gram matrix: per-partition cell folds, ONE aggregate over O(cells x partitions) rows — no self-join of the corpus",
   "sparse_cosine_pairs" -> "sparse tf-idf cosine: df cap below the posting self-join bounds candidates; global top-K is TakeOrdered",
   "join_interval" -> "interval-overlap join: both sides explode to time chunks, hash equi join on chunk + exact residual, distinct collapses multi-chunk pairs — no nested loop",
-  "join_fuzzy_jaro" -> "blocked fuzzy join: hash equi join on the block key; the codegen'd jaro_winkler expression scores inside the joined projection")
+  "join_fuzzy_jaro" -> "blocked fuzzy join: hash equi join on the block key; the codegen'd jaro_winkler expression scores inside the joined projection",
+  "asof_join_native" -> "native as-of exec: one shuffle+sort per side, single-pass merge — no union, no WindowExec (compare the asof_join composed form)")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
