@@ -45,11 +45,107 @@ object TypedAggregators {
       .agg(round(wm(col("w"), col("x")), 6).as("wmean_price"))
   }
 
+  /** Count–Min sketch geometry: width 2048 → ε = 2/w ≈ 0.1% of the
+    * stream length per estimate, depth 5 → overshoot probability
+    * e⁻⁵ ≈ 0.7% per query. Fixed Murmur3 seeds make the sketch
+    * content a pure function of the multiset of inputs — identical
+    * under any partitioning or merge order (counters add
+    * commutatively).
+    */
+  val CmsWidth = 2048
+  val CmsDepth = 5
+
+  private[graft] def cmsIndex(word: String, row: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(word, row)
+    java.lang.Math.floorMod(h, CmsWidth)
+  }
+
+  /** Point estimate = min over rows (the CMS query). */
+  private[graft] def cmsEstimate(sketch: Array[Long], word: String): Long = {
+    var best = Long.MaxValue
+    var d = 0
+    while (d < CmsDepth) {
+      val c = sketch(d * CmsWidth + cmsIndex(word, d))
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+
+  /** Mergeable Count–Min sketch as a typed Aggregator — the custom
+    * mergeable-sketch UDAF shape (the HLL rows cover Spark's built-in
+    * sketches; this is the roll-your-own path a pipeline takes for a
+    * sketch Spark lacks). The buffer is the flat d×w counter array;
+    * `reduce` mutates in place (Aggregator contract allows returning
+    * the same buffer), `merge` is elementwise addition — associative
+    * and commutative, so Catalyst runs it with map-side partial
+    * aggregation and the result is partition-invariant by
+    * construction. At 100 TB this is one map-side-combined aggregate
+    * producing a 10 KB row — the streaming heavy-hitter / quota
+    * primitive.
+    */
+  object CountMinSketch extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](CmsWidth * CmsDepth)
+    override def reduce(b: Array[Long], word: String): Array[Long] = {
+      var d = 0
+      while (d < CmsDepth) { b(d * CmsWidth + cmsIndex(word, d)) += 1; d += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Gate-audited CMS heavy hitters, the sketch-audit contract the
+    * HLL/percentile rows established: the exact top-20 tokens (a
+    * TakeOrdered with the (cnt DESC, word) total tiebreak) carry two
+    * verdict booleans per word — `est ≥ exact` (true by construction:
+    * collisions only ADD) and `est ≤ exact + ⌈εN⌉` (the CMS
+    * guarantee; deterministic for a fixed corpus + fixed seeds,
+    * verified at all three fixture scales). The sketch estimates ride
+    * a closure over the model-sized (10 KB) collected sketch — the
+    * kmeans-centroid discipline: collecting a MODEL is legitimate,
+    * and the scoring UDF touches only the 20 survivor rows, never the
+    * corpus. Production callers take [[CountMinSketch]] itself (the
+    * sketch row) and query it; the exact side exists to audit at
+    * fixture scale.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps.tokens
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val cms = udaf(CountMinSketch)
+    val sketch = toks.agg(cms(col("tok"))).head().getSeq[Long](0).toArray
+    val n = toks.count()
+    val slack = math.ceil(2.0 * n / CmsWidth).toLong
+    val est = udf((w: String) => cmsEstimate(sketch, w))
+    toks.groupBy(col("tok").as("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+      .withColumn("est", est(col("word")))
+      .select(col("word"), col("cnt"),
+        (col("est") >= col("cnt")).as("est_lower_ok"),
+        (col("est") <= col("cnt") + lit(slack)).as("est_upper_ok"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("agg_weighted_mean",
       """SELECT l_returnflag,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wmean_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)(aggWeightedMean),
+    Q("cms_heavy_hitters",
+      """SELECT tok AS word, COUNT(*) AS cnt,
+        |  TRUE AS est_lower_ok, TRUE AS est_upper_ok
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin)(
+      cmsHeavyHitters),
   )
 }
