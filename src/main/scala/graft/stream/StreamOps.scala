@@ -38,6 +38,47 @@ class RunningTotalsProcessor
   }
 }
 
+/** Output row of [[CmsShardProcessor]] (top-level for encoders). */
+case class ShardSketch(shard: Int, sketch: Array[Long])
+
+/** Sharded streaming Count–Min sketch: each shard key maintains its
+  * own [[graft.functions.TypedAggregators.CountMinSketch]]-shaped
+  * counter array in a ValueState and re-emits it after every batch.
+  * Sharding (token hash mod N) is the scale design — state updates
+  * parallelize over shards instead of funneling one global key
+  * through one task — and costs nothing at read time because CMS is
+  * a LINEAR sketch: the global sketch is the elementwise sum of the
+  * shard sketches, bit-identical to a batch sketch over the same
+  * multiset (StreamingSpec pins exactly that identity across
+  * micro-batch splits).
+  */
+class CmsShardProcessor
+    extends StatefulProcessor[Int, (Int, String), ShardSketch] {
+
+  import graft.functions.TypedAggregators.{CmsDepth, CmsWidth, cmsIndex}
+
+  @transient private var state: ValueState[Array[Long]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Array[Long]]("cms",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Int,
+      rows: Iterator[(Int, String)],
+      timerValues: TimerValues): Iterator[ShardSketch] = {
+    val sk = if (state.exists()) state.get()
+      else new Array[Long](CmsWidth * CmsDepth)
+    rows.foreach { case (_, w) =>
+      var d = 0
+      while (d < CmsDepth) { sk(d * CmsWidth + cmsIndex(w, d)) += 1; d += 1 }
+    }
+    state.update(sk)
+    Iterator(ShardSketch(key, sk.clone()))
+  }
+}
+
 /** Output row of [[TypeCountsProcessor]] (top-level for encoders). */
 case class UserTypeCounts(
     user_id: Long, event_type: String, n_type: Long,
@@ -293,6 +334,21 @@ object StreamOps {
     * frames); the legacy operator above remains the batch-capable
     * form.
     */
+  /** Streaming sharded CMS over a token column (see
+    * [[graft.stream.CmsShardProcessor]]); `shards` keys spread the
+    * state updates, and summing the latest emitted sketches
+    * reconstructs the exact global sketch.
+    */
+  def cmsShardStream(tokens: DataFrame, shards: Int): Dataset[ShardSketch] = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens.selectExpr(s"pmod(hash(tok), $shards) AS shard", "tok")
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CmsShardProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotalsTws(events: DataFrame): Dataset[UserRunning] = {
     val s = events.sparkSession
     import s.implicits._

@@ -509,4 +509,50 @@ class StreamingSpec extends AnyFunSuite {
         (ts("2024-01-01 01:30:00"), ts("2024-01-01 02:00:00"), 1L)))
     } finally q.stop()
   }
+
+  test("streaming sharded CMS: summed shard sketches equal the batch sketch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val words = Seq("spark", "scan", "join", "spark", "agg", "spark",
+      "scan", "window", "join", "spark", "scan", "hash")
+    val stream = MemoryStream[String]
+    val q = StreamOps.cmsShardStream(
+        stream.toDF().withColumnRenamed("value", "tok"), shards = 4)
+      .writeStream.format("memory").queryName("cms_shards")
+      .outputMode("update").start()
+    try {
+      // three uneven micro-batches: the summed final sketches must not
+      // depend on how the stream was split
+      stream.addData(words.take(5): _*); q.processAllAvailable()
+      stream.addData(words.slice(5, 6): _*); q.processAllAvailable()
+      stream.addData(words.drop(6): _*); q.processAllAvailable()
+      import graft.functions.TypedAggregators.{CmsDepth, CmsWidth, cmsEstimate, cmsIndex}
+      // latest sketch per shard (each batch re-emits the running state)
+      val rows = spark.table("cms_shards").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, g) => g.maxBy(_._2)._1._2 }
+      val global = latest.foldLeft(new Array[Long](CmsWidth * CmsDepth)) {
+        (acc, sk) => acc.indices.foreach(i => acc(i) += sk(i)); acc
+      }
+      // identical to a locally-built batch sketch over the same multiset
+      val batch = new Array[Long](CmsWidth * CmsDepth)
+      words.foreach { w =>
+        (0 until CmsDepth).foreach(d => batch(d * CmsWidth + cmsIndex(w, d)) += 1)
+      }
+      assert(global.sameElements(batch),
+        "streamed shard sketches diverge from the batch sketch")
+      assert(cmsEstimate(global, "spark") >= 4)
+      assert(latest.size > 1, "all tokens landed in one shard - sharding dead")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
