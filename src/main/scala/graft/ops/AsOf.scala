@@ -67,9 +67,14 @@ object AsOf {
     */
   def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
-    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ AsOfJoinStrategy
+    // read-modify-write on extraStrategies: synchronize on the session
+    // so two concurrent callers can't interleave and drop an entry
+    // (ConcurrencySpec races this path)
+    s.synchronized {
+      if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val e = Tables.events(s, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))

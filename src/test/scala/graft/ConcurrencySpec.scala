@@ -31,6 +31,16 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("native as-of races its strategy installation on a fresh session") {
+    // asofJoinNative mutates experimental.extraStrategies on first
+    // use (a synchronized read-modify-write); race it from a session
+    // that has never installed the strategy, so every thread hits the
+    // installation path, then check the planner still resolves
+    // AsOfJoinNode for all of them
+    runConcurrent(Seq("asof_join_native", "asof_join", "word_count"),
+      concurrentFirst = true)
+  }
+
   private def runConcurrent(
       names: Seq[String], concurrentFirst: Boolean = false): Unit = {
     def serialRun(): Map[String, Seq[String]] = names.map { n =>
