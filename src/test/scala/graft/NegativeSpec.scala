@@ -74,6 +74,19 @@ class NegativeSpec extends AnyFunSuite {
         .filterNot(_ == graft.plans.RangeBucketJoinRule)
   }
 
+  test("zero-partition requests are rejected cleanly (reference num_reducers=0 parity)") {
+    // reference test.py test_invalid_num_reducers_zero: the system
+    // must reject a zero-reducer job, not hang or corrupt state
+    intercept[IllegalArgumentException] {
+      graft.Tables.lineitem(spark, sfTiny).repartition(0).count()
+    }
+    intercept[IllegalArgumentException] {
+      graft.Tables.lineitem(spark, sfTiny).coalesce(0).count()
+    }
+    // session still healthy afterwards
+    assert(SparkEntry.queries("word_count")(spark, sfTiny).count() > 0)
+  }
+
   test("jaro_winkler rejects non-string inputs at analysis time") {
     graft.functions.StringFunctions.register(spark)
     import org.apache.spark.sql.functions.col
