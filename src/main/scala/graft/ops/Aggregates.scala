@@ -206,6 +206,56 @@ object Aggregates {
           .as("merge_consistent"))
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple — the
+    * re-identification screen run before a dataset leaves the
+    * pipeline: every (nation, market-segment) equivalence class with
+    * its population and a `risky` flag for classes smaller than k
+    * (those rows are individually identifiable from the QI alone and
+    * must be suppressed or generalized). One partial+final aggregate;
+    * output is |QI-domain| rows at any table size.
+    */
+  val KAnonymity = 10L
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") < KAnonymity).as("risky"))
+
+  /** Sketch set-algebra: intersection size via inclusion–exclusion
+    * over three mergeable HLL sketches (|A∩B| ≈ |A|+|B|−|A∪B|) —
+    * the audience-overlap primitive when A and B are too big to
+    * join exactly. ONE pass builds all three sketches as conditional
+    * aggregates (no self-join of the fact table); the exact
+    * intersection — computed per-key (max(inA), max(inB)) so the fact
+    * table shuffles once — audits the estimate with a ±15% verdict
+    * (three ±5%-rsd estimates compound through the subtraction;
+    * deterministic for a fixed corpus, green at all three fixture
+    * scales). Production callers keep the sketches and skip the
+    * exact side.
+    */
+  def hllIntersection(s: SparkSession, dir: String): DataFrame = {
+    val inA = col("o_totalprice") > 300000
+    val inB = col("o_orderstatus") === "F"
+    val o = Tables.orders(s, dir)
+    val est = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(when(inA, col("o_custkey"))))
+        .as("est_a"),
+      hll_sketch_estimate(hll_sketch_agg(when(inB, col("o_custkey"))))
+        .as("est_b"),
+      hll_sketch_estimate(hll_sketch_agg(when(inA || inB, col("o_custkey"))))
+        .as("est_u"))
+      .select((col("est_a") + col("est_b") - col("est_u")).as("est_i"))
+    val exact = o.groupBy(col("o_custkey"))
+      .agg(max(inA).as("a"), max(inB).as("b"))
+      .filter(col("a") && col("b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    exact.crossJoin(est)
+      .select(col("exact_intersection"),
+        (abs(col("est_i") - col("exact_intersection"))
+          / col("exact_intersection").cast("double") <= 0.15).as("est_ok"))
+  }
+
   /** Exact percentiles (sort-based, linear interpolation — same
     * definition as DuckDB quantile_cont) and Pearson correlation.
     * corr accumulates co-moments whose merge order varies with
@@ -824,6 +874,17 @@ object Aggregates {
     Q("regr_trend", regrTrendOracle)(regrTrend),
     Q("corr_matrix", corrMatrixOracle)(corrMatrix),
     Q("ab_test_stats", abTestOracle)(abTestStats),
+    Q("k_anonymity",
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |  COUNT(*) < 10 AS risky
+        |FROM customer GROUP BY 1, 2""".stripMargin)(kAnonymity),
+    Q("hll_intersection",
+      """SELECT COUNT(*) AS exact_intersection, TRUE AS est_ok FROM (
+        |  SELECT o_custkey,
+        |    MAX(o_totalprice > 300000) AS a,
+        |    MAX(o_orderstatus = 'F') AS b
+        |  FROM orders GROUP BY 1)
+        |WHERE a AND b""".stripMargin)(hllIntersection),
     Q("mutual_info", mutualInfoOracle)(mutualInfo),
     Q("agg_merge_partials",
       """SELECT l_returnflag, COUNT(*) AS n,

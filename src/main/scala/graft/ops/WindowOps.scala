@@ -234,6 +234,42 @@ object WindowOps {
         (col("swx").cast("double") / col("swt").cast("double")).as("ewma"))
   }
 
+  /** Pareto cut (the 80/20 report): per nation, the smallest prefix
+    * of customers — ordered by revenue — whose cumulative revenue
+    * reaches 80% of the nation's total, i.e. "who are the customers
+    * that make up 80% of revenue here". The revenue aggregate is one
+    * partial+final shuffle; the cumulative sum and total ride
+    * per-nation window frames (never unpartitioned). The membership
+    * rule is `prev_cum < 0.8·total`, evaluated ENTIRELY in exact
+    * decimals as `5·(cum − rev) < 4·total` — no floating-point
+    * boundary exists for the two engines to disagree on. The
+    * (revenue DESC, custkey) ordering is total, so the kept prefix is
+    * deterministic.
+    */
+  def paretoCut(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val cust = rev.join(
+      broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+      col("o_custkey") === col("c_custkey"))
+    val ord = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+    val cum = sum(col("rev")).over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = sum(col("rev")).over(Window.partitionBy(col("c_nationkey")))
+    cust
+      .withColumn("cum", cum)
+      .withColumn("total", total)
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .filter((col("cum") - col("rev")) * 5 < col("total") * 4)
+      .select(col("c_nationkey"), col("c_custkey"),
+        col("rev").cast("double").as("revenue"), col("rnk"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Rolling 5-event median of each user's values — the ROBUST
     * smoother ([[ewmaSmooth]]'s outlier-immune sibling: one glitch
     * reading moves an EWMA for [[EwmaDepth]] steps but never moves a
@@ -556,6 +592,24 @@ object WindowOps {
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
         |FROM events""".stripMargin)(rollingMedian),
+    Q("pareto_cut",
+      """WITH rev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_nationkey, c_custkey, rev
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |w AS (
+        |  SELECT c_nationkey, c_custkey, rev,
+        |    SUM(rev) OVER (PARTITION BY c_nationkey
+        |      ORDER BY rev DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(rev) OVER (PARTITION BY c_nationkey) AS total,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY rev DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM j)
+        |SELECT c_nationkey, c_custkey, CAST(rev AS DOUBLE) AS revenue, rnk,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM w WHERE (cum - rev) * 5 < total * 4""".stripMargin)(paretoCut),
     Q("attribution_last_touch",
       """SELECT event_id, user_id, attr_event_id, attr_type FROM (
         |  SELECT event_id, user_id, event_type,

@@ -141,6 +141,62 @@ class StatsJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto cut keeps the MINIMAL 80% prefix per nation") {
+    val rows = WindowOps.paretoCut(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute revenue per customer and check, per nation: the kept
+    // set is exactly the ranked prefix whose previous cumulative is
+    // below 80%, and one more row would cross it (minimality)
+    val rev = Tables.orders(spark, sfSmall)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .join(Tables.customer(spark, sfSmall)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .collect().map(r => (r.getInt(3), r.getLong(2), r.getDecimal(1)))
+    rev.groupBy(_._1).foreach { case (nation, g) =>
+      val ranked = g.map(t => (t._2, BigDecimal(t._3)))
+        .sortBy { case (ck, r) => (-r, ck) }
+      val total = ranked.map(_._2).sum
+      // exact-decimal membership rule, same as the engines:
+      // keep iff 5·prev_cum < 4·total (strict)
+      var cum = BigDecimal(0)
+      val expect = ranked.takeWhile { case (_, r) =>
+        val keep = cum * 5 < total * 4; cum += r; keep
+      }.map(_._1).toSet
+      val got = rows.filter(_._1 == nation).map(_._2).toSet
+      assert(got == expect, s"nation $nation prefix mismatch")
+      assert(got.size < g.size, s"nation $nation cut kept everyone")
+    }
+  }
+
+  test("k-anonymity flags exactly the small equivalence classes") {
+    val got = Aggregates.kAnonymity(spark, sfSmall).collect()
+      .map(r => ((r.getInt(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val local = Tables.customer(spark, sfSmall)
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.keySet == local.keySet)
+    got.foreach { case (k, (n, risky)) =>
+      assert(n == local(k))
+      assert(risky == (n < Aggregates.KAnonymity), s"$k flag wrong")
+    }
+  }
+
+  test("hll intersection estimate lands well inside its audited bound") {
+    val r = Aggregates.hllIntersection(spark, sfSmall).head()
+    assert(r.getBoolean(1), "inclusion-exclusion estimate outside 15%")
+    // exact matches a direct distinct-join recompute
+    val o = Tables.orders(spark, sfSmall)
+    val a = o.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey")).distinct()
+    val b = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    assert(r.getLong(0) == a.join(b, Seq("o_custkey")).count())
+  }
+
   test("mutual information equals the local recompute and is non-negative") {
     val joint = Tables.lineitem(spark, sfSmall)
       .groupBy(col("l_returnflag"), col("l_linestatus")).count()
