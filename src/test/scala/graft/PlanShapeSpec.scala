@@ -120,7 +120,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q22_global_sales", // 1-row global-average aggregate broadcast onto customer
       "q11_important_stock", // 1-row total-value aggregate broadcast onto per-part values
       "sparse_cosine_pairs", // 1-row corpus-count broadcast onto the capped postings
-      "kneser_ney") // 1-row bigram-type-total broadcast onto the bigram stream
+      "kneser_ney", // 1-row bigram-type-total broadcast onto the bigram stream
+      "hll_intersection") // 1-row sketch-estimate frame crossed onto the 1-row exact count
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
