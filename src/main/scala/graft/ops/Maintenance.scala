@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.text.SplitHash
+
+/** Table-lifecycle / warehouse-maintenance operators — the jobs a
+  * 100 TB lakehouse runs BETWEEN queries: snapshot reconciliation,
+  * small-file compaction planning, zone-map (min/max) data skipping,
+  * and deterministic k-fold assignment for training splits. The
+  * reference has no lifecycle surface at all (its storage story is
+  * "write one text file per reduce partition", reference
+  * worker.py:200-209, and re-upload for every run); these operators
+  * are what replaces that story when the corpus is a long-lived
+  * table instead of a per-job upload.
+  *
+  * Scale shapes: snapshotDiff is ONE full-outer equi-join on the
+  * primary key (both sides shuffle-partitioned on it — the standard
+  * reconciliation plan at any size); compactionPlan's window is
+  * partitioned per day so no task ever sees more than one day's file
+  * manifest (manifests are file-count-sized, not data-sized);
+  * zoneMapPrune is a single partial+final aggregate producing one row
+  * per file; kfoldAssign is a map-only hash bucket plus one
+  * K-row aggregate. Nothing here collects to the driver.
+  */
+object Maintenance {
+
+  // ---- snapshot diff ------------------------------------------------
+
+  /** Symmetric snapshot reconciliation (table diff): given yesterday's
+    * and today's versions of a keyed table, emit every key whose row
+    * was added, removed, or changed — the integrity check run after a
+    * backfill, and the input to an incremental downstream refresh
+    * (the symmetric counterpart of [[Relational.cdcMerge]], which
+    * APPLIES a known changeset; this RECOVERS the changeset from two
+    * snapshots). Rows are compared by an md5 signature over the
+    * non-key columns, so the join carries two narrow (key, sig)
+    * frames, never the full row width — at 100 TB the signature is
+    * what makes the diff network-viable.
+    *
+    * The two "snapshots" are carved deterministically from `orders`
+    * so both engines reproduce them: keys ≡7 (mod 10) exist only in
+    * the new snapshot (added), keys ≡3 only in the old (removed),
+    * keys ≡5 have their total doubled in the new one (changed).
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def sig(price: Column): Column =
+      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+        price.cast("decimal(18,2)"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority")).cast("binary"))
+    val mod = pmod(col("o_orderkey"), lit(10))
+    val old = o.filter(mod =!= 7)
+      .select(col("o_orderkey"), sig(col("o_totalprice")).as("sig_old"))
+    val nw = o.filter(mod =!= 3)
+      .select(col("o_orderkey"),
+        sig(when(mod === 5, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))).as("sig_new"))
+    old.join(nw, Seq("o_orderkey"), "full")
+      .select(col("o_orderkey"),
+        when(col("sig_old").isNull, lit("added"))
+          .when(col("sig_new").isNull, lit("removed"))
+          .when(col("sig_old") =!= col("sig_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** The oracle never needs the signature: the carve-out rules are
+    * semantic, so it classifies by membership + value equality. Keys
+    * with equal rows on both sides fall out of the WHERE — exactly
+    * the rows whose signatures match on the Spark side.
+    */
+  private val snapshotDiffOracle =
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 7),
+      |new AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 3)
+      |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+      |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |       WHEN new.o_orderkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status
+      |FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+      |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+      |   OR old.o_totalprice <> new.o_totalprice""".stripMargin
+
+  // ---- compaction planning ------------------------------------------
+
+  /** Fragments-per-partition in the simulated layout, and the target
+    * output size a compaction pass packs them into. 40 fragments/day
+    * at the fixture's event volume yields multi-file groups at every
+    * scale factor without degenerating to one group per day.
+    */
+  val CompactionFragments = 40
+  val CompactionTargetBytes = 512L
+
+  /** Small-file compaction planner — the scheduled maintenance job
+    * that keeps a streaming-ingested table readable: group each
+    * day-partition's file fragments into contiguous runs of ≈target
+    * total bytes (each run becomes ONE rewritten output file). The
+    * "files" are simulated from `events` — fragment id = a
+    * content-stable hash bucket of the event id (what a 40-writer
+    * ingestion would produce), fragment size = its rows' payload
+    * bytes. Packing is the contiguous cumulative-sum rule:
+    * group = floor((running_bytes − 1) / target), the one-pass
+    * SQL-expressible variant of greedy bin packing (first-fit would
+    * need a serial scan; the cumulative rule plans every partition
+    * independently and parallel).
+    *
+    * Scale: the window is partitioned per day and ranges over a
+    * day's FILE MANIFEST (≤ [[CompactionFragments]] rows here,
+    * file-count-sized in production) — never over event rows. The
+    * heavy part (sizing the fragments) is one partial+final
+    * aggregate over the fact table.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val frags = Tables.events(s, dir)
+      .select(
+        floor(unix_micros(col("ts")) / lit(dayUs.toDouble)).cast("long").as("day"),
+        pmod(SplitHash.fold(col("event_id").cast("string").cast("binary")),
+          lit(CompactionFragments.toLong)).as("file_id"),
+        (length(col("props")) + lit(32L)).as("bytes"))
+      .groupBy(col("day"), col("file_id"))
+      .agg(sum(col("bytes")).as("f_bytes"))
+    val cum = sum(col("f_bytes"))
+      .over(Window.partitionBy(col("day")).orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    frags.select(col("day"), col("file_id"), col("f_bytes"),
+      floor((cum - 1) / lit(CompactionTargetBytes.toDouble)).cast("long").as("grp"))
+  }
+
+  private val compactionOracle =
+    s"""WITH frags AS (
+       |  SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+       |    ${SplitHash.foldSql("CAST(event_id AS VARCHAR)")}
+       |      % $CompactionFragments AS file_id,
+       |    CAST(SUM(length(props) + 32) AS BIGINT) AS f_bytes
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, file_id, f_bytes,
+       |  CAST(FLOOR((SUM(f_bytes) OVER (PARTITION BY day ORDER BY file_id
+       |    ROWS UNBOUNDED PRECEDING) - 1) / $CompactionTargetBytes.0) AS BIGINT)
+       |    AS grp
+       |FROM frags""".stripMargin
+
+  // ---- zone-map data skipping ---------------------------------------
+
+  /** Predicate window for the zone-map report: a range that PARTIALLY
+    * overlaps its boundary files, so the report exercises skip, keep,
+    * and keep-with-partial-match — the conservative case that proves
+    * min/max pruning never claims exactness.
+    */
+  val ZoneLo = "1995-02-15"
+  val ZoneHi = "1995-08-15"
+
+  /** Zone-map (min/max statistics) skipping report — the file-level
+    * metadata pass a lakehouse scan planner runs BEFORE touching
+    * data: per file, the min/max of the predicate column and whether
+    * the ship-date range predicate can skip the file outright
+    * (max < lo or min > hi). Files are simulated as ship-month runs —
+    * the clustering an ingestion-time-ordered write (or a date
+    * Z-order) produces, which is the layout that makes zone maps
+    * effective at all; the fixture's key columns are intentionally
+    * uncorrelated with dates, so a key-span layout here would show
+    * the (equally real) zero-skip degenerate case instead. This is
+    * the operator behind parquet row-group statistics / Iceberg
+    * manifests / Delta data skipping, surfaced as a query so its
+    * guarantee is checkable: a `skipped` file provably contains NO
+    * qualifying rows (MaintenanceSpec re-scans to prove it, and
+    * pins a kept file with both matching and non-matching rows —
+    * pruning is conservative, not exact).
+    *
+    * One partial+final aggregate, one row per file out. At 100 TB
+    * the same plan reads the manifest instead of the data — the
+    * point of the operator is that min/max is all it needs.
+    */
+  def zoneMapPrune(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_day"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_day"))
+      .select(col("file_id"), col("n_rows"), col("min_day"), col("max_day"),
+        (col("max_day") < lit(ZoneLo) || col("min_day") > lit(ZoneHi))
+          .as("skipped"))
+
+  private val zoneMapOracle =
+    s"""WITH z AS (
+       |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+       |      AS file_id,
+       |    COUNT(*) AS n_rows,
+       |    strftime(MIN(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d') AS min_day,
+       |    strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d') AS max_day
+       |  FROM lineitem GROUP BY 1)
+       |SELECT file_id, n_rows, min_day, max_day,
+       |  (max_day < '$ZoneLo' OR min_day > '$ZoneHi') AS skipped
+       |FROM z""".stripMargin
+
+  // ---- k-fold assignment --------------------------------------------
+
+  val KFolds = 5L
+
+  /** Deterministic k-fold cross-validation assignment over the
+    * document corpus — the split layer under any eval protocol that
+    * trains K times: fold = content-stable hash of doc_id mod K (the
+    * [[SplitHash]] discipline every split/sampling operator shares,
+    * so fold membership can never desynchronize from hashSplit's
+    * train/val/test labels), reported as a per-fold balance audit
+    * (doc count, payload bytes, distinct languages). Map-only bucket
+    * + one K-row aggregate; the per-doc assignment never shuffles.
+    */
+  def kfoldAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(pmod(SplitHash.fold(col("doc_id").cast("string").cast("binary")),
+        lit(KFolds)).as("fold"), col("n_chars"), col("lang"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+
+  private val kfoldOracle =
+    s"""SELECT ${SplitHash.foldSql("CAST(doc_id AS VARCHAR)")} % $KFolds AS fold,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  COUNT(DISTINCT lang) AS n_langs
+       |FROM documents GROUP BY 1""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("snapshot_diff", snapshotDiffOracle)(snapshotDiff),
+    Q("compaction_plan", compactionOracle)(compactionPlan),
+    Q("zone_map_prune", zoneMapOracle)(zoneMapPrune),
+    Q("kfold_assign", kfoldOracle)(kfoldAssign),
+  )
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Warehouse-lifecycle operators: snapshot diff, compaction planning,
+  * zone-map skipping, k-fold assignment. Each is checked against a
+  * local recompute from the collected fixture (the oracle covers the
+  * DuckDB side; these pin the semantic claims the hash compare can't
+  * isolate — e.g. that a `skipped` file truly contains no qualifying
+  * rows, or that compaction groups are contiguous runs).
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def md5Fold(sv: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("snapshot diff recovers exactly the carved-out changeset") {
+    val keys = Tables.orders(spark, sfTiny).select(col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSet
+    val expected =
+      keys.filter(_ % 10 == 7).map(k => (k, "added")) ++
+      keys.filter(_ % 10 == 3).map(k => (k, "removed")) ++
+      keys.filter(_ % 10 == 5).map(k => (k, "changed"))
+    val got = Maintenance.snapshotDiff(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
+  test("compaction plan equals the local cumulative-sum packing") {
+    val dayUs = 86400000000L
+    val frags = Tables.events(spark, sfTiny)
+      .select(unix_micros(col("ts")), col("event_id"), length(col("props")))
+      .collect()
+      .map(r => ((math.floor(r.getLong(0) / dayUs.toDouble).toLong,
+        math.floorMod(md5Fold(r.getLong(1).toString),
+          Maintenance.CompactionFragments.toLong)),
+        r.getInt(2) + 32L))
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val expected = frags.groupBy(_._1._1).flatMap { case (day, files) =>
+      var cum = 0L
+      files.toSeq.sortBy(_._1._2).map { case ((_, fid), bytes) =>
+        cum += bytes
+        (day, fid, bytes,
+          math.floor((cum - 1) / Maintenance.CompactionTargetBytes.toDouble).toLong)
+      }
+    }.toSet
+    val got = Maintenance.compactionPlan(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // packing must actually produce multi-group days (otherwise the
+    // cumulative rule is untested) and groups are contiguous in
+    // file_id: group ids never decrease as file_id increases
+    val byDay = got.groupBy(_._1)
+    assert(byDay.values.exists(_.map(_._4).size > 1))
+    byDay.values.foreach { fs =>
+      val ordered = fs.toSeq.sortBy(_._2).map(_._4)
+      assert(ordered == ordered.sorted, "groups not contiguous in file_id")
+    }
+  }
+
+  test("zone-map skipped files contain zero qualifying rows") {
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select(date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .collect().map(_.getString(0))
+    val report = Maintenance.zoneMapPrune(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getBoolean(4)))
+    def fid(day: String) = day.take(4).toLong * 12 + day.slice(5, 7).toLong - 1
+    val byFile = rows.groupBy(fid)
+    assert(report.map(_._1).toSet == byFile.keySet)
+    var partialKept = false
+    report.foreach { case (f, n, minD, maxD, skipped) =>
+      val inFile = byFile(f)
+      assert(n == inFile.length)
+      assert(minD == inFile.min && maxD == inFile.max)
+      val qualifying =
+        inFile.count(d => d >= Maintenance.ZoneLo && d <= Maintenance.ZoneHi)
+      if (skipped) assert(qualifying == 0, s"file $f skipped but has matches")
+      assert(skipped == (maxD < Maintenance.ZoneLo || minD > Maintenance.ZoneHi))
+      if (!skipped && qualifying > 0 && qualifying < inFile.length)
+        partialKept = true
+    }
+    // all three regimes must occur, or the flag logic is untested:
+    // skipped, kept, and kept-with-partial-match (the conservative
+    // case — min/max pruning keeps files it can't fully qualify)
+    assert(report.exists(_._5) && report.exists(!_._5))
+    assert(partialKept, "no kept file straddles the predicate boundary")
+  }
+
+  test("k-fold assignment is a deterministic partition of the corpus") {
+    val out = Maintenance.kfoldAssign(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sfSmall).count()
+    assert(out.map(_._2).sum == total, "folds must partition all docs")
+    assert(out.forall(f => f._1 >= 0 && f._1 < Maintenance.KFolds))
+    assert(out.length == Maintenance.KFolds, "every fold populated at sf0.01")
+    val again = Maintenance.kfoldAssign(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet, "assignment must be content-stable")
+  }
+}
