@@ -425,9 +425,13 @@ object DedupOps {
     *   fixture-scale runs shouldn't pay checkpoint I/O.
     */
   def connectedComponents(pairs: DataFrame, checkpointInterval: Int = 0): DataFrame = {
-    // coalesce: sum over an empty frame is NULL (no pairs → no nodes)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // coalesce: sum over an empty frame is NULL (no pairs → no nodes).
+    // decimal(38,0), not long: node ids may be full-width content
+    // hashes (entityResolution's 2^60 SplitHash folds), whose long
+    // sum overflows under ANSI mode even at fixture scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     val c = pairs.columns
     val half = pairs.select(col(c(0)).as("u"), col(c(1)).as("v"))
     val edges = half
@@ -456,7 +460,7 @@ object DedupOps {
         else next.cache()
       val newSum = labelSum(labels)
       prev.unpersist()
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
     }
     edges.unpersist()

@@ -196,7 +196,83 @@ object MultimodalOps {
       round(col("n_silent") / n, 6).as("silence_ratio"))
   }
 
+  /** ViT-style patch extraction: the payload is interpreted as a
+    * row-major [[PatchImgW]]-bytes-wide "image" and tiled into
+    * [[PatchSize]]×[[PatchSize]] patches (full patches only — the
+    * ragged edge is the codec's problem, as in a real vision
+    * preprocessor that center-crops first). Per patch: grid
+    * coordinates, mean "pixel", and an md5 fingerprint of the patch
+    * bytes in row-major order — exactly the (batch, grid_h, grid_w,
+    * patch_dim) tensor layout a vision tower consumes, flattened to
+    * rows. The strided gather is the real access pattern; only the
+    * pixel decode is the documented fake. Map-only (a generator per
+    * payload, no shuffle); the patch loop is the same partition-batch
+    * shape as [[mmFeaturesFlat]].
+    */
+  private val PatchImgW = 16
+  private val PatchSize = 8
+
+  def mmPatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        // -- begin fake decode (real code would decode pixels here) --
+        val rows = bytes.length / PatchImgW // full image rows only
+        val gridH = rows / PatchSize
+        val gridW = PatchImgW / PatchSize
+        for {
+          pr <- 0 until gridH
+          pc <- 0 until gridW
+        } yield {
+          val patch = Array.tabulate(PatchSize * PatchSize) { k =>
+            val r = k / PatchSize
+            val c = k % PatchSize
+            bytes((pr * PatchSize + r) * PatchImgW + pc * PatchSize + c)
+          }
+          val mean = patch.map(_ & 0xff).sum.toDouble / patch.length
+          (docId, pr.toLong, pc.toLong,
+            math.rint(mean * 1e6) / 1e6, patch)
+        }
+        // -- end fake decode --
+      }
+      .toDF("doc_id", "patch_row", "patch_col", "mean_px", "patch")
+      .select(col("doc_id"), col("patch_row"), col("patch_col"),
+        col("mean_px"), md5(col("patch")).as("patch_md5"))
+  }
+
+  private val patchesOracle = {
+    // one image row of the patch: PatchSize chars starting at the
+    // row-major offset; the patch string is the concat of PatchSize
+    // such rows (ASCII fixture ⇒ substr slices bytes)
+    val rowExprs = (0 until PatchSize).map { r =>
+      s"substr(text, (pr * $PatchSize + $r) * $PatchImgW + pc * $PatchSize + 1, $PatchSize)"
+    }
+    val patchStr = rowExprs.mkString(" || ")
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |    CAST(FLOOR(length(text) / ($PatchImgW * $PatchSize.0)) AS BIGINT)
+       |      AS grid_h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, text, pr, pc FROM g,
+       |    unnest(range(0, grid_h)) AS u(pr),
+       |    unnest(range(0, ${PatchImgW / PatchSize})) AS w(pc)),
+       |s AS (
+       |  SELECT doc_id, pr AS patch_row, pc AS patch_col,
+       |    $patchStr AS patch
+       |  FROM p)
+       |SELECT doc_id, patch_row, patch_col,
+       |  round(list_sum(list_transform(range(1, ${PatchSize * PatchSize} + 1),
+       |    i -> ascii(substr(patch, CAST(i AS INT), 1))))
+       |    / ${PatchSize * PatchSize}.0, 6) AS mean_px,
+       |  md5(patch) AS patch_md5
+       |FROM s""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("mm_patches", patchesOracle)(mmPatches),
     Q("mm_resize",
       s"""SELECT doc_id, length(text) AS n_bytes,
          |  CAST(ceil(length(text) / $ResizeStride.0) AS BIGINT) AS n_resized,

@@ -222,6 +222,72 @@ object Aggregates {
       .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
         (col("n") < KAnonymity).as("risky"))
 
+  /** l-diversity audit — k-anonymity's companion check: a QI class
+    * can be populous (k-anonymous) yet still leak if everyone in it
+    * shares the same SENSITIVE value (the homogeneity attack). Per
+    * (nation, market-segment) class, count distinct sensitive values
+    * (account-balance bands of 1000) and flag classes with fewer than
+    * l of them. Same single partial+final aggregate shape as
+    * [[kAnonymity]] — the distinct lands on the class key, so the
+    * fact table shuffles once; output is |QI-domain| rows at any
+    * table size.
+    */
+  val LDiversity = 3L
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+          .as("n_sensitive"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("n_sensitive"), (col("n_sensitive") < LDiversity).as("homogeneous"))
+
+  /** Equi-depth (equi-height) histogram of order totals — the column
+    * statistic CBOs and drift monitors prefer over equi-width bins
+    * (every bucket carries ≈the same row mass, so the tails aren't
+    * crushed into one bar). Boundaries are the B−1 interior exact
+    * percentiles, computed in ONE sort-aggregate (array percentile —
+    * the aggPercentiles discipline) and collected as a model-sized
+    * scalar row (B−1 doubles — the kmeansAssign "centroids as plan
+    * literals" trade); the bucket assignment is then a map-only
+    * literal-comparison pass and the final rollup one B-row
+    * aggregate. No per-row window, no global sort of the data.
+    *
+    * Cross-engine determinism: both engines use the identical
+    * sort-based linear interpolation (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), and a boundary can only coincide with a data
+    * value when the interpolation lands ON a sample (both engines
+    * then produce that exact value), so the strict `>` bucket rule
+    * draws the same line on both sides.
+    */
+  val EquidepthBuckets = 10
+  def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val qs = (1 until EquidepthBuckets).map(_.toDouble / EquidepthBuckets)
+    val boundaries = o
+      .agg(percentile(col("o_totalprice"), array(qs.map(lit): _*)).as("bs"))
+      .head().getSeq[Double](0) // B−1 scalars: model-sized, like centroids
+    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("o_totalprice") > lit(b), 1).otherwise(0)
+    }
+    o.groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+  }
+
+  private val equidepthOracle = {
+    val qs = (1 until EquidepthBuckets)
+      .map(i => s"${i.toDouble / EquidepthBuckets}").mkString(", ")
+    val cases = (1 until EquidepthBuckets)
+      .map(i => s"(CASE WHEN o_totalprice > qs[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT quantile_cont(o_totalprice, [$qs]) AS qs FROM orders)
+       |SELECT CAST($cases AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+       |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       |FROM orders, b GROUP BY 1""".stripMargin
+  }
+
   /** Sketch set-algebra: intersection size via inclusion–exclusion
     * over three mergeable HLL sketches (|A∩B| ≈ |A|+|B|−|A∪B|) —
     * the audience-overlap primitive when A and B are too big to
@@ -878,6 +944,14 @@ object Aggregates {
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
         |  COUNT(*) < 10 AS risky
         |FROM customer GROUP BY 1, 2""".stripMargin)(kAnonymity),
+    Q("l_diversity",
+      s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+         |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+         |    AS n_sensitive,
+         |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+         |    < $LDiversity AS homogeneous
+         |FROM customer GROUP BY 1, 2""".stripMargin)(lDiversity),
+    Q("histogram_equidepth", equidepthOracle)(histogramEquidepth),
     Q("hll_intersection",
       """SELECT COUNT(*) AS exact_intersection, TRUE AS est_ok FROM (
         |  SELECT o_custkey,

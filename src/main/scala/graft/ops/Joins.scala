@@ -343,6 +343,74 @@ object Joins {
         col("n_parts_a"), col("n_parts_b"))
   }
 
+  /** End-to-end entity resolution (record linkage) — the pipeline a
+    * catalog/vendor master runs to collapse alias spellings into one
+    * golden record: (1) block the deduplicated name dictionary on the
+    * leading token, (2) score candidate pairs with the codegen'd
+    * Jaro–Winkler expression (the [[joinFuzzyJaro]] geometry — never
+    * an all-pairs nested loop), (3) resolve transitive match chains
+    * with min-label connected components
+    * ([[graft.dedup.DedupOps.connectedComponents]] — A~B and B~C must
+    * land in ONE entity even when A~C scores below threshold), and
+    * (4) emit one golden record per entity: canonical name
+    * (lexicographic min — the deterministic survivorship rule),
+    * alias count, and total part mass behind the entity. Unmatched
+    * names pass through as singleton entities.
+    *
+    * Node ids for the component step are [[SplitHash]] folds of the
+    * name (content-stable, oracle-reproducible); the label join back
+    * to the dictionary is an equi join on that id. At 100 TB the
+    * dictionary is Heaps-bounded and every stage is a hash join on
+    * block / id — the same shape at any corpus size.
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.StringFunctions.register(s)
+    val jw = graft.functions.StringFunctions.jaroWinkler _
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("nid", graft.text.SplitHash.fold(col("p_name").cast("binary")))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"), col("nid").as("nid_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"), col("nid").as("nid_b"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(round(jw(col("name_a"), col("name_b")), 6) >= 0.88)
+      .select(col("nid_a"), col("nid_b"))
+    val labels = graft.dedup.DedupOps.connectedComponents(pairs)
+      .toDF("nid", "entity")
+    names.join(labels, Seq("nid"), "left")
+      .withColumn("entity", coalesce(col("entity"), col("nid")))
+      .groupBy(col("entity"))
+      .agg(min(col("p_name")).as("canonical_name"),
+        count(lit(1)).as("n_aliases"),
+        sum(col("n_parts")).as("total_parts"))
+      .select(col("canonical_name"), col("n_aliases"), col("total_parts"))
+  }
+
+  private val entityResolutionOracle =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT p_name, COUNT(*) AS n_parts,
+       |    ${graft.text.SplitHash.foldSql("p_name")} AS nid,
+       |    split_part(p_name, ' ', 1) AS blk
+       |  FROM part GROUP BY 1),
+       |m AS (
+       |  SELECT a.nid AS u, b.nid AS v FROM n a JOIN n b
+       |  ON a.blk = b.blk AND a.p_name < b.p_name
+       |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88),
+       |e AS (SELECT u, v FROM m UNION SELECT v, u FROM m),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |cl AS (
+       |  SELECT u AS nid, least(u, min(v)) AS entity FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT n.p_name, n.n_parts, coalesce(cl.entity, n.nid) AS entity
+       |  FROM n LEFT JOIN cl ON n.nid = cl.nid)
+       |SELECT min(p_name) AS canonical_name, COUNT(*) AS n_aliases,
+       |  CAST(SUM(n_parts) AS BIGINT) AS total_parts
+       |FROM lab GROUP BY entity""".stripMargin
+
   private val rangeBandsValues = RangeBands
     .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
 
@@ -445,5 +513,6 @@ object Joins {
         |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88"""
         .stripMargin)(joinFuzzyJaro),
+    Q("entity_resolution", entityResolutionOracle)(entityResolution),
   )
 }

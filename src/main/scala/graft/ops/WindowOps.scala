@@ -436,6 +436,46 @@ object WindowOps {
             x => x.getField("event_type")), ">").as("path"))
   }
 
+  /** Next-event training examples — the sequence-model dataset build:
+    * per user, each event with at least [[NextEventContext]]
+    * predecessors becomes one (context, label) example, context =
+    * the previous K event types joined oldest-first — next-token
+    * prediction over behavioral streams, the exact shape a
+    * session-recommendation or churn model trains on. One per-user
+    * window (bounded partitions), K `lag`s in a single WindowExec
+    * pass, map-only after the sort — no self-join, no explode of
+    * prefix combinations.
+    */
+  val NextEventContext = 3
+
+  def nextEventExamples(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lags = (NextEventContext to 1 by -1)
+      .map(k => lag(col("event_type"), k).over(w))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        concat_ws(">", lags: _*).as("context"),
+        col("event_type").as("label"),
+        lags.head.isNotNull.as("full")) // oldest lag present ⇒ all are
+      .filter(col("full"))
+      .select(col("user_id"), col("event_id"), col("context"), col("label"))
+  }
+
+  private val nextEventOracle = {
+    val lagCols = (NextEventContext to 1 by -1).map(k =>
+      s"lag(event_type, $k) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS l$k")
+    s"""WITH r AS (
+       |  SELECT user_id, event_id, event_type,
+       |    ${lagCols.mkString(",\n    ")}
+       |  FROM events)
+       |SELECT user_id, event_id,
+       |  ${(NextEventContext to 1 by -1).map(k => s"l$k").mkString(" || '>' || ")}
+       |    AS context,
+       |  event_type AS label
+       |FROM r WHERE l$NextEventContext IS NOT NULL""".stripMargin
+  }
+
   /** Pareto frontier (skyline) of the part catalog — the parts no
     * other part beats on BOTH price (lower-better) and size
     * (higher-better). The textbook form is a quadratic NOT EXISTS
@@ -477,6 +517,7 @@ object WindowOps {
          |SELECT user_id, COUNT(*) AS n_steps,
          |  string_agg(event_type, '>' ORDER BY rn) AS path
          |FROM r WHERE rn <= $PathLen GROUP BY 1""".stripMargin)(eventPaths),
+    Q("next_event_examples", nextEventOracle)(nextEventExamples),
     Q("skyline_parts",
       """WITH d AS (
         |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS psize,

@@ -173,6 +173,62 @@ object Bpe {
         sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer fertility per source — the cross-corpus health metric
+    * for a trained tokenizer (fertility = BPE tokens per word;
+    * chars-per-token = the compression it buys): a tokenizer trained
+    * on one distribution "shatters" text from another, and this is
+    * the report that catches it per source before training does.
+    * Same vocab-sized segmentation as [[bpeEncode]] (shared
+    * [[trainedMerges]] memo — the train loop runs once per session);
+    * the per-source rollup is one aggregate over (doc, word) counts
+    * joined to the segmented vocabulary. Ratios are single IEEE
+    * divisions of exact longs, rounded identically in both engines.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = trainedMerges(s, dir)
+    val perSrcWord = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocabSeg = perSrcWord.select(col("w")).distinct()
+      .as[String]
+      .map { w =>
+        val syms = merges.foldLeft(w.map(_.toString).toVector) {
+          case (v, (a, b)) => mergeOnce(v, a, b)
+        }
+        (w, w.length.toLong, syms.length.toLong)
+      }
+      .toDF("w", "n_chars", "n_syms")
+    perSrcWord.join(vocabSeg, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_chars")).as("n_chars"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+  }
+
+  private def fertilityOracle: String =
+    s"""WITH $replayCtes,
+       |enc AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_syms
+       |  FROM seg$Merges),
+       |psw AS (
+       |  SELECT source, w, COUNT(*) AS cnt FROM (
+       |    SELECT source, unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(SUM(cnt * n_syms) AS BIGINT)
+       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(SUM(cnt * n_chars) AS BIGINT)
+       |    / CAST(SUM(cnt * n_syms) AS DOUBLE), 6) AS chars_per_token
+       |FROM psw JOIN enc USING (w) GROUP BY 1""".stripMargin
+
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
 
   /** DuckDB replay of the training loop, unrolled to [[Merges]] CTE
@@ -242,5 +298,6 @@ object Bpe {
 
   val all: Seq[Q] = Seq(
     Q("bpe_merges", mergesOracle)(bpeMerges),
+    Q("bpe_fertility", fertilityOracle)(bpeFertility),
     Q("bpe_encode", encodeOracle)(bpeEncode))
 }

@@ -95,4 +95,32 @@ class MultimodalSpec extends AnyFunSuite {
         amps.count(a => math.abs(a) < 8).toDouble / math.max(amps.length, 1)))
     }
   }
+
+  test("patch tiling matches a local strided-gather recompute") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val got = MultimodalOps.mmPatches(spark, sfTiny).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getDouble(3), r.getString(4)))).toMap
+    val expected = texts.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val gridH = bytes.length / 16 / 8
+      for (pr <- 0 until gridH; pc <- 0 until 2) yield {
+        val patch = (for (r <- 0 until 8; c <- 0 until 8)
+          yield bytes((pr * 8 + r) * 16 + pc * 8 + c)).toArray
+        ((id, pr.toLong, pc.toLong),
+          (patch.map(_ & 0xff).sum / 64.0, md5hex(patch)))
+      }
+    }
+    assert(got == expected)
+    // a doc must produce a full 2-D grid (both patch columns and
+    // multiple rows), or the strided indexing is untested
+    assert(got.keys.exists(_._3 == 1L), "no second patch column")
+    assert(got.keys.exists(_._2 >= 2L), "no third patch row")
+  }
 }

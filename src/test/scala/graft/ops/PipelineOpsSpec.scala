@@ -895,4 +895,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(pmod(col("o_orderkey"), lit(10L)) === 0).count()
     assert(deltaCnt > 0, "delta partition empty — identity untested")
   }
+
+  test("next-event examples match a per-user sliding recompute") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val k = graft.ops.WindowOps.NextEventContext
+    val expected = events.groupBy(_._1).flatMap { case (uid, g) =>
+      val ordered = g.sortBy(e => (e._4, e._2))
+      ordered.sliding(k + 1).filter(_.length == k + 1).map { w =>
+        (uid, w.last._2, w.init.map(_._3).mkString(">"), w.last._3)
+      }
+    }.toSet
+    val got = graft.ops.WindowOps.nextEventExamples(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == expected)
+    // every user with > k events contributes n − k examples
+    val perUser = events.groupBy(_._1).view.mapValues(_.length)
+    assert(got.size == perUser.values.map(n => math.max(n - k, 0)).sum)
+  }
 }

@@ -225,4 +225,71 @@ class StatsJoinsSpec extends AnyFunSuite {
       assert(math.abs(pmi - expect) < 1e-5, s"pmi $pmi vs $expect")
     }
   }
+
+  test("entity resolution equals local union-find over the verified jaro pairs") {
+    // joinFuzzyJaro's pair list is itself oracle-verified (same
+    // threshold, same blocking); resolving it with a local union-find
+    // must reproduce the distributed component resolution exactly
+    val pairs = Joins.joinFuzzyJaro(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val names = Tables.part(spark, sfSmall)
+      .groupBy(col("p_name")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val parent = scala.collection.mutable.Map(names.keys.map(n => n -> n).toSeq: _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = names.keys.toSeq.groupBy(find).map { case (_, g) =>
+      (g.min, g.size.toLong, g.map(names).sum)
+    }.toSet
+    val got = Joins.entityResolution(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // conservation + the fixture must exercise a transitive chain
+    // (a component that is larger than any single pair)
+    assert(got.toSeq.map(_._2).sum == names.size)
+    assert(got.toSeq.map(_._3).sum == names.values.sum)
+    assert(got.exists(_._2 >= 3), "no transitive chain in the fixture")
+  }
+
+  test("l-diversity flags exactly the homogeneous classes") {
+    val rows = Tables.customer(spark, sfSmall)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (k, g) =>
+      val bands = g.map(t => math.floor(t._2 / 1000).toLong).distinct.length
+      (k._1, k._2, g.length.toLong, bands.toLong, bands < Aggregates.LDiversity)
+    }.toSet
+    val got = Aggregates.lDiversity(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == expected)
+  }
+
+  test("equi-depth histogram: near-equal masses, disjoint ranges, local recompute") {
+    val prices = Tables.orders(spark, sfSmall).select(col("o_totalprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = prices.length
+    val bs = (1 until Aggregates.EquidepthBuckets).map { i =>
+      val idx = (n - 1) * (i.toDouble / Aggregates.EquidepthBuckets)
+      val lo = idx.floor.toInt
+      val g = idx - lo
+      if (lo + 1 < n) prices(lo) * (1 - g) + prices(lo + 1) * g else prices(lo)
+    }
+    val expected = prices.groupBy(p => bs.count(p > _).toLong)
+      .map { case (b, g) => (b, g.length.toLong, g.min, g.max) }.toSet
+    val got = Aggregates.histogramEquidepth(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.size == Aggregates.EquidepthBuckets)
+    // equi-depth contract: masses within 2× of each other at this
+    // near-continuous fixture, and bucket value ranges are disjoint
+    val masses = got.toSeq.map(_._2)
+    assert(masses.max <= 2 * masses.min, s"unbalanced buckets: $masses")
+    val ordered = got.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._3, "bucket ranges overlap")
+      case _ =>
+    }
+  }
 }

@@ -46,6 +46,38 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bpe_fertility equals the local recompute exactly") {
+    val srcWords = Tables.documents(spark, sfTiny)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val vocab = srcWords.groupBy(_._2).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val merges = Bpe.trainLocal(vocab, Bpe.Merges).map { case (a, b, _) => (a, b) }
+    val segLen = vocab.map { case (w, _) =>
+      w -> merges.foldLeft(w.map(_.toString).toVector) {
+        case (v, (a, b)) => Bpe.mergeOnce(v, a, b)
+      }.length.toLong
+    }.toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = srcWords.groupBy(_._1).map { case (src, ws) =>
+      val nWords = ws.size.toLong
+      val nChars = ws.map(_._2.length.toLong).sum
+      val nBpe = ws.map(w => segLen(w._2)).sum
+      (src, nWords, nBpe, round6(nBpe.toDouble / nWords),
+        round6(nChars.toDouble / nBpe))
+    }.toSet
+    val got = Bpe.bpeFertility(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+    // fertility sanity: at least one token per word, no more than
+    // one per character
+    got.foreach { case (src, _, _, fert, cpt) =>
+      assert(fert >= 1.0, s"$src fertility < 1")
+      assert(cpt >= 1.0, s"$src chars/token < 1")
+    }
+  }
+
   test("mergeOnce is greedy left-to-right and non-overlapping") {
     assert(Bpe.mergeOnce(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
     assert(Bpe.mergeOnce(Vector("a", "b", "a", "b"), "a", "b") == Vector("ab", "ab"))
