@@ -1016,6 +1016,43 @@ object DedupOps {
       dupCount),
     Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
+    // Detector-agreement readout: SimHash's hamming≤3 pairs scored
+    // against the exact Jaccard≥0.8 pairs as truth — the one-row
+    // precision/recall/F1 harness every near-dup threshold change is
+    // judged by before it ships (the two detectors measure different
+    // similarity families, so the overlap is a real measurement, not
+    // 1.0 by construction). Composes two already-oracled pair
+    // generators; each side is its own bounded equi-join pipeline and
+    // the agreement join is on (doc_a, doc_b).
+    Q("dedup_eval",
+      s"""WITH truth AS ($jaccardOracle),
+         |pred AS (
+         |  WITH $simhashSqlCtes
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+         |m AS (SELECT COUNT(*) AS tp FROM pred
+         |      JOIN truth USING (doc_a, doc_b)),
+         |c AS (SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+         |             (SELECT COUNT(*) FROM truth) AS n_truth, tp FROM m)
+         |SELECT n_pred, n_truth, tp,
+         |  round(tp / CAST(n_pred AS DOUBLE), 6) AS precision,
+         |  round(tp / CAST(n_truth AS DOUBLE), 6) AS recall,
+         |  round(2 * tp / CAST(n_pred + n_truth AS DOUBLE), 6) AS f1
+         |FROM c""".stripMargin) { (s, dir) =>
+      val truth = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      val pred = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val tp = pred.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("tp"))
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(tp) // three 1-row aggregates — scalar joins
+        .select(col("n_pred"), col("n_truth"), col("tp"),
+          round(col("tp") / col("n_pred").cast("double"), 6).as("precision"),
+          round(col("tp") / col("n_truth").cast("double"), 6).as("recall"),
+          round(lit(2) * col("tp")
+            / (col("n_pred") + col("n_truth")).cast("double"), 6).as("f1"))
+    },
     Q("dedup_clusters",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),

@@ -134,6 +134,51 @@ object TypedAggregators {
         (col("est") <= col("cnt") + lit(slack)).as("est_upper_ok"))
   }
 
+  /** Join-cardinality estimation from per-side Count–Min sketches —
+    * the sketch-algebra trick a planner uses to size `A ⋈ B` WITHOUT
+    * running the join: the CMS inner product
+    * min_d Σ_j cA[d][j]·cB[d][j] estimates Σ_k fA(k)·fB(k), which IS
+    * the equi-join row count. Each side is one map-side-combined
+    * sketch aggregate (a 10 KB model row); the dot product runs on
+    * the driver over the two collected sketches (model-sized, the
+    * kmeans-centroid discipline). The audited verdicts follow the
+    * [[cmsHeavyHitters]] contract: the estimate can only
+    * OVERESTIMATE (collision terms add), and the classic Markov
+    * bound caps the overshoot at ε·|A|·|B| with ε = 2/width —
+    * deterministic for fixed seeds, so both booleans hash-compare.
+    * The exact join count rides along as a distributed aggregate to
+    * audit at fixture scale; production callers keep the sketches
+    * and skip it.
+    */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val cms = udaf(CountMinSketch)
+    val a = Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("k"))
+    val b = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k"))
+    val sA = a.agg(cms(col("k"))).head().getSeq[Long](0).toArray
+    val sB = b.agg(cms(col("k"))).head().getSeq[Long](0).toArray
+    var est = Long.MaxValue
+    var d = 0
+    while (d < CmsDepth) {
+      var dot = 0L
+      var j = 0
+      while (j < CmsWidth) {
+        dot += sA(d * CmsWidth + j) * sB(d * CmsWidth + j)
+        j += 1
+      }
+      if (dot < est) est = dot
+      d += 1
+    }
+    val nA = a.count()
+    val nB = b.count()
+    val slack = math.ceil(2.0 * nA * nB / CmsWidth).toLong
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+      .select(col("exact_rows"),
+        (lit(est) >= col("exact_rows")).as("est_lower_ok"),
+        (lit(est) <= col("exact_rows") + lit(slack)).as("est_upper_ok"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("agg_weighted_mean",
       """SELECT l_returnflag,
@@ -147,5 +192,12 @@ object TypedAggregators {
         |      FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin)(
       cmsHeavyHitters),
+    Q("join_size_estimate",
+      // verdicts are TRUE by the CMS guarantee (deterministic for
+      // fixed seeds); the oracle audits the exact side distributedly
+      """SELECT (SELECT COUNT(*) FROM orders JOIN lineitem
+        |          ON o_orderkey = l_orderkey) AS exact_rows,
+        |  TRUE AS est_lower_ok, TRUE AS est_upper_ok""".stripMargin)(
+      joinSizeEstimate),
   )
 }

@@ -140,6 +140,140 @@ object GraphOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Hop distance from the corpus' most frequent word — [[BfsHops]]
+    * rounds of distributed BFS (min-plus label propagation) over the
+    * undirected bigram graph: the bounded-radius traversal behind
+    * "context neighborhood" expansion in retrieval and taxonomy
+    * induction. The seed is chosen deterministically (max count, ties
+    * to the lexicographic min — a TakeOrdered-1 scalar, model-sized);
+    * each round is one equi-join of the frontier with the edge list
+    * plus one min-aggregate — the same per-round plan as [[pageRank]],
+    * and the hop cap bounds the work exactly like an iteration cap.
+    * Output: every node within [[BfsHops]] hops with its exact
+    * distance (unreached nodes are absent, not ∞ — at corpus scale
+    * the reached set is the small side).
+    */
+  val BfsHops = 3
+
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val bc = TextAnalysis.bigramCounts(s, dir).filter(col("w1") =!= col("w2"))
+    val e = bc.select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val edges = e.union(e.select(col("b"), col("a"))).toDF("src", "dst").cache()
+    val seed = graft.text.TextOps.wordCount(s, dir)
+      .orderBy(col("cnt").desc, col("word")).limit(1)
+      .select(col("word").as("node"), lit(0L).as("dist"))
+    var dist = seed
+    for (_ <- 1 to BfsHops) {
+      val next = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(next).groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+    }
+    val out = dist.cache()
+    out.count() // materialize before releasing the edge cache
+    edges.unpersist()
+    out
+  }
+
+  /** One unrolled BFS round in the oracle dialect. */
+  private def bfsIter(i: Int, prev: String): String =
+    s"""d$i AS (
+       |  SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT ed.dst AS node, $prev.dist + 1 AS dist
+       |    FROM ed JOIN $prev ON ed.src = $prev.node)
+       |  GROUP BY 1)""".stripMargin
+
+  private val bfsOracle =
+    s"""WITH bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT $tokensSql AS t FROM documents),
+       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
+       |e AS (
+       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+       |  FROM bg WHERE w1 <> w2),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |wc AS (SELECT w AS word, COUNT(*) AS cnt FROM (
+       |  SELECT unnest($tokensSql) AS w FROM documents) GROUP BY 1),
+       |d0 AS (
+       |  SELECT word AS node, CAST(0 AS BIGINT) AS dist FROM wc
+       |  ORDER BY cnt DESC, word LIMIT 1),
+       |${(1 to BfsHops).map(i => bfsIter(i, s"d${i - 1}")).mkString(",\n")}
+       |SELECT node, dist FROM d$BfsHops""".stripMargin
+
+  /** Community detection by [[LpaRounds]] rounds of SYNCHRONOUS label
+    * propagation over the undirected bigram graph: each round every
+    * node adopts its neighbors' most frequent label (ties to the
+    * lexicographic minimum — the determinism rule that makes the
+    * unrolled oracle replay exact; asynchronous LPA is
+    * order-dependent and untestable). Round 1 degenerates to
+    * min-neighbor (all labels distinct); by round 2 dense
+    * neighborhoods have converged on shared hubs — the
+    * boilerplate-vs-organic clustering signal at corpus scale.
+    * Each round is one equi-join of the label vector with the edge
+    * list, one (node, label) count aggregate, and one per-node
+    * ranked pick (partitioned window, degree-bounded frames) — the
+    * [[pageRank]] round shape with an argmax instead of a sum.
+    */
+  val LpaRounds = 2
+
+  def graphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val bc = TextAnalysis.bigramCounts(s, dir).filter(col("w1") =!= col("w2"))
+    val e = bc.select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val edges = e.union(e.select(col("b"), col("a"))).toDF("src", "dst").cache()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpaRounds) {
+      val counts = edges
+        .join(lab.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("c").desc, col("label"))
+      lab = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    val out = lab.cache()
+    out.count() // materialize before releasing the edge cache
+    edges.unpersist()
+    out
+  }
+
+  /** One unrolled synchronous-LPA round in the oracle dialect. */
+  private def lpaIter(i: Int, prev: String): String =
+    s"""c$i AS (
+       |  SELECT ed.src, $prev.label, COUNT(*) AS c
+       |  FROM ed JOIN $prev ON ed.dst = $prev.node
+       |  GROUP BY 1, 2),
+       |l$i AS (
+       |  SELECT src AS node, label FROM (
+       |    SELECT src, label,
+       |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label)
+       |        AS rn
+       |    FROM c$i)
+       |  WHERE rn = 1)""".stripMargin
+
+  private val lpaOracle =
+    s"""WITH bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT $tokensSql AS t FROM documents),
+       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
+       |e AS (
+       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+       |  FROM bg WHERE w1 <> w2),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+       |${(1 to LpaRounds).map(i => lpaIter(i, s"l${i - 1}")).mkString(",\n")}
+       |SELECT node, label FROM l$LpaRounds""".stripMargin
+
   private val triangleOracle =
     s"""WITH bg AS (
        |  SELECT t[i] AS w1, t[i+1] AS w2
@@ -201,5 +335,7 @@ object GraphOps {
          |${prIter(3, "p2")}
          |SELECT node, pr FROM p3""".stripMargin)(pageRank),
     Q("graph_triangles", triangleOracle)(triangleStats),
+    Q("graph_bfs", bfsOracle)(graphBfs),
+    Q("graph_communities", lpaOracle)(graphCommunities),
   )
 }

@@ -271,8 +271,67 @@ object MultimodalOps {
        |FROM s""".stripMargin
   }
 
+  /** Voice-activity segmentation: maximal runs of non-silent samples
+    * (|amp| ≥ [[SilenceAmp]], the [[mmWaveform]] PCM convention) of at
+    * least [[MinSegLen]] samples, indexed in time order — the
+    * pre-transcription pass that turns raw audio into utterance
+    * segments (and the classic gaps-and-islands shape, here as one
+    * linear generator per payload instead of the window-chain a SQL
+    * engine needs). Map-only flatMap; segment counts are
+    * payload-bounded.
+    */
+  private val MinSegLen = 4
+
+  def mmVadSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        // -- begin fake decode (real code would run a VAD model) --
+        val segs = Vector.newBuilder[(Long, Long)] // (start, len)
+        var start = -1
+        var i = 0
+        while (i <= bytes.length) {
+          val voiced = i < bytes.length &&
+            math.abs(((bytes(i) & 0xff) - 128)) >= SilenceAmp
+          if (voiced && start < 0) start = i
+          if (!voiced && start >= 0) {
+            if (i - start >= MinSegLen) segs += ((start.toLong, (i - start).toLong))
+            start = -1
+          }
+          i += 1
+        }
+        // -- end fake decode --
+        segs.result().zipWithIndex.map { case ((st, len), idx) =>
+          (docId, idx + 1L, st, len)
+        }
+      }
+      .toDF("doc_id", "seg_idx", "seg_start", "seg_len")
+  }
+
+  private val vadOracle =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+       |  WHERE abs(ascii(substr(text, CAST(i AS INT), 1)) - 128) >= $SilenceAmp),
+       |v AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM b),
+       |seg AS (
+       |  SELECT doc_id, MIN(pos) AS seg_start, COUNT(*) AS seg_len
+       |  FROM v GROUP BY doc_id, grp),
+       |k AS (SELECT * FROM seg WHERE seg_len >= $MinSegLen)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seg_start)
+       |    AS BIGINT) AS seg_idx,
+       |  seg_start, CAST(seg_len AS BIGINT) AS seg_len
+       |FROM k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_patches", patchesOracle)(mmPatches),
+    Q("mm_vad_segments", vadOracle)(mmVadSegments),
     Q("mm_resize",
       s"""SELECT doc_id, length(text) AS n_bytes,
          |  CAST(ceil(length(text) / $ResizeStride.0) AS BIGINT) AS n_resized,

@@ -288,6 +288,82 @@ object Aggregates {
        |FROM orders, b GROUP BY 1""".stripMargin
   }
 
+  /** Per-type trimmed mean (10–90 interior mean) — the robust
+    * location estimate telemetry dashboards prefer over the raw mean
+    * when a metric has fat tails: two passes, first a per-group exact
+    * percentile aggregate for the trim bounds (|types| rows,
+    * broadcast back), then one conditional aggregate over the fact
+    * table. The trim bounds are interpolated identically in both
+    * engines (the [[aggPercentiles]] argument), and the kept-mass
+    * mean divides an exact decimal sum — no accumulation-order
+    * noise.
+    */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val bounds = e.groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.1), lit(0.9))).as("ps"))
+      .select(col("event_type"),
+        element_at(col("ps"), 1).as("lo"), element_at(col("ps"), 2).as("hi"))
+    val kept = col("value").between(col("lo"), col("hi"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(kept, dec(col("value")))).cast("double").as("kept_sum"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        round(col("kept_sum") / col("n_kept").cast("double"), 6)
+          .as("trimmed_mean"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+  }
+
+  private val trimmedMeanOracle =
+    """WITH b AS (
+      |  SELECT event_type, quantile_cont(value, 0.1) AS lo,
+      |    quantile_cont(value, 0.9) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN value BETWEEN lo AND hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  round(CAST(SUM(CASE WHEN value BETWEEN lo AND hi
+      |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN value BETWEEN lo AND hi THEN 1 ELSE 0 END)
+      |      AS DOUBLE), 6) AS trimmed_mean,
+      |  round(lo, 6) AS lo, round(hi, 6) AS hi
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY e.event_type, lo, hi""".stripMargin
+
+  /** Day-of-week seasonality profile per event type — the weekly-
+    * periodicity telemetry a traffic model (or an anomaly detector's
+    * baseline) is built from: per (event_type, dow) cell, event count,
+    * share of the type's week, and exact-decimal value mass. One
+    * partial+final aggregate to a |types|×7 frame; the share window
+    * partitions by type over that model-sized aggregate. Weekday
+    * numbering is pinned to DuckDB's (0 = Sunday) so one convention
+    * exists on both sides.
+    */
+  def seasonalityProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("value_sum"))
+    cells.select(col("event_type"), col("dow"), col("n_events"),
+      round(col("n_events") / sum(col("n_events"))
+        .over(Window.partitionBy(col("event_type"))).cast("double"), 6)
+        .as("dow_share"),
+      col("value_sum"))
+  }
+
+  private val seasonalityOracle =
+    """SELECT event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT)
+      |    AS dow,
+      |  COUNT(*) AS n_events,
+      |  round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+      |    AS DOUBLE), 6) AS dow_share,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Sketch set-algebra: intersection size via inclusion–exclusion
     * over three mergeable HLL sketches (|A∩B| ≈ |A|+|B|−|A∪B|) —
     * the audience-overlap primitive when A and B are too big to
@@ -952,6 +1028,8 @@ object Aggregates {
          |    < $LDiversity AS homogeneous
          |FROM customer GROUP BY 1, 2""".stripMargin)(lDiversity),
     Q("histogram_equidepth", equidepthOracle)(histogramEquidepth),
+    Q("seasonality_profile", seasonalityOracle)(seasonalityProfile),
+    Q("trimmed_mean", trimmedMeanOracle)(trimmedMean),
     Q("hll_intersection",
       """SELECT COUNT(*) AS exact_intersection, TRUE AS est_ok FROM (
         |  SELECT o_custkey,

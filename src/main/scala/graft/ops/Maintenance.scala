@@ -201,6 +201,95 @@ object Maintenance {
        |  (max_day < '$ZoneLo' OR min_day > '$ZoneHi') AS skipped
        |FROM z""".stripMargin
 
+  // ---- distribution drift (PSI) -------------------------------------
+
+  /** Population Stability Index between the two snapshot versions'
+    * price distributions — the drift monitor run on every model
+    * feature before a retrain ships: bucket CURRENT data by the
+    * REFERENCE snapshot's deciles and score
+    * Σ (p_cur − p_ref) · ln(p_cur / p_ref). Reuses [[snapshotDiff]]'s
+    * carved snapshots (the doubled prices of the ≡5 keys are real
+    * upper-tail drift, so the index is exercised, not vacuous).
+    *
+    * Shape: one sort-aggregate computes the reference deciles
+    * (collected as B−1 plan literals — the [[Aggregates.histogramEquidepth]]
+    * discipline), then each snapshot is one map-only binning pass +
+    * one 10-row aggregate; the per-bucket PSI term is a scalar
+    * expression over the joined 10-row frames. Empty current buckets
+    * are floored at p=1e-6 (the standard PSI guard) so the index
+    * stays finite.
+    */
+  val PsiBuckets = 10
+
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mod = pmod(col("o_orderkey"), lit(10))
+    val ref = o.filter(mod =!= 7).select(col("o_totalprice").as("v"))
+    val cur = o.filter(mod =!= 3)
+      .select(when(mod === 5, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")).as("v"))
+    val qs = (1 until PsiBuckets).map(_.toDouble / PsiBuckets)
+    val boundaries = ref
+      .agg(percentile(col("v"), array(qs.map(lit): _*)).as("bs"))
+      .head().getSeq[Double](0)
+    def bucketed(df: DataFrame, n: String): DataFrame = {
+      val b = boundaries.foldLeft(lit(0)) { (acc, x) =>
+        acc + when(col("v") > lit(x), 1).otherwise(0)
+      }
+      df.groupBy(b.cast("long").as("bucket")).agg(count(lit(1)).as(n))
+    }
+    val refB = bucketed(ref, "n_ref")
+    val curB = bucketed(cur, "n_cur")
+    val refTot = sum(col("n_ref")).over(Window.partitionBy())
+    val curTot = sum(col("n_cur")).over(Window.partitionBy())
+    // the totals window is over the 10-row bucket frame (model-sized)
+    refB.join(curB, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        greatest(col("n_ref") / refTot.cast("double"), lit(1e-6)).as("p_ref"),
+        greatest(col("n_cur") / curTot.cast("double"), lit(1e-6)).as("p_cur"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round((col("p_cur") - col("p_ref"))
+          * log(col("p_cur") / col("p_ref")), 6).as("psi_term"))
+  }
+
+  private val psiOracle = {
+    val qs = (1 until PsiBuckets)
+      .map(i => s"${i.toDouble / PsiBuckets}").mkString(", ")
+    val cases = (1 until PsiBuckets)
+      .map(i => s"(CASE WHEN v > qs[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH refs AS (
+       |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 <> 7),
+       |curs AS (
+       |  SELECT CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2
+       |              ELSE o_totalprice END AS v
+       |  FROM orders WHERE o_orderkey % 10 <> 3),
+       |b AS (SELECT quantile_cont(v, [$qs]) AS qs FROM refs),
+       |rb AS (SELECT CAST($cases AS BIGINT) AS bucket, COUNT(*) AS n_ref
+       |       FROM refs, b GROUP BY 1),
+       |cb AS (SELECT CAST($cases AS BIGINT) AS bucket, COUNT(*) AS n_cur
+       |       FROM curs, b GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+       |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |  FROM rb FULL JOIN cb ON rb.bucket = cb.bucket),
+       |p AS (
+       |  SELECT bucket, n_ref, n_cur,
+       |    GREATEST(n_ref / CAST((SELECT SUM(n_ref) FROM j) AS DOUBLE), 1e-6)
+       |      AS p_ref,
+       |    GREATEST(n_cur / CAST((SELECT SUM(n_cur) FROM j) AS DOUBLE), 1e-6)
+       |      AS p_cur
+       |  FROM j)
+       |SELECT bucket, n_ref, n_cur,
+       |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+       |FROM p""".stripMargin
+  }
+
   // ---- k-fold assignment --------------------------------------------
 
   val KFolds = 5L
@@ -234,5 +323,6 @@ object Maintenance {
     Q("compaction_plan", compactionOracle)(compactionPlan),
     Q("zone_map_prune", zoneMapOracle)(zoneMapPrune),
     Q("kfold_assign", kfoldOracle)(kfoldAssign),
+    Q("psi_drift", psiOracle)(psiDrift),
   )
 }

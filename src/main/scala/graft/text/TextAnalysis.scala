@@ -189,6 +189,55 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Characteristic vocabulary per source (source-level tf-idf
+    * top-[[TopicWordsK]]): per (source, word) counts scored
+    * cnt · ln(|sources| / df) — words common to every source score 0
+    * and the source's distinctive terms surface — then the top K per
+    * source via a PARTITIONED rank (WindowGroupLimit pushes the heap
+    * below the sort, so no source's vocabulary ever funnels through
+    * one task). The df side aggregates the Heaps-bounded (source,
+    * word) frame; |sources| is a model-sized scalar literal. This is
+    * the at-a-glance corpus-drift report: a crawl whose top words
+    * shift between snapshots changed its content mix.
+    */
+  val TopicWordsK = 3
+
+  def topicWords(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val dfw = sw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nSources = Tables.documents(s, dir)
+      .select(col("source")).distinct().count() // model-sized scalar
+    val scored = sw.join(dfw, Seq("word"))
+      .withColumn("score",
+        round(col("cnt") * log(lit(nSources.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopicWordsK)
+      .select(col("source"), col("rank"), col("word"), col("cnt"),
+        col("df"), col("score"))
+  }
+
+  private val topicWordsOracle =
+    s"""WITH sw AS (
+       |  SELECT source, w AS word, COUNT(*) AS cnt FROM (
+       |    SELECT source, unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |dfw AS (SELECT word, COUNT(*) AS df FROM sw GROUP BY 1),
+       |ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+       |scored AS (
+       |  SELECT source, word, cnt, df,
+       |    round(cnt * ln(ns.n / CAST(df AS DOUBLE)), 6) AS score
+       |  FROM sw JOIN dfw USING (word), ns),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY score DESC, word) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT source, rank, word, cnt, df, score
+       |FROM r WHERE rank <= $TopicWordsK""".stripMargin
+
   /** Per-document quality metrics: char/token counts, average token
     * length, punctuation ratio, stopword ratio. Pure scan-side
     * expressions — zero shuffle.
@@ -1237,6 +1286,7 @@ object TextAnalysis {
          |    AS jaccard
          |FROM it JOIN sz sa ON it.src_a = sa.source
          |JOIN sz sb ON it.src_b = sb.source""".stripMargin)(sourceOverlap),
+    Q("topic_words", topicWordsOracle)(topicWords),
     Q("perplexity_score",
       s"""WITH tr AS (
          |  SELECT doc_id, text FROM documents

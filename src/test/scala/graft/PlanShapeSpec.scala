@@ -121,7 +121,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q11_important_stock", // 1-row total-value aggregate broadcast onto per-part values
       "sparse_cosine_pairs", // 1-row corpus-count broadcast onto the capped postings
       "kneser_ney", // 1-row bigram-type-total broadcast onto the bigram stream
-      "hll_intersection") // 1-row sketch-estimate frame crossed onto the 1-row exact count
+      "hll_intersection", // 1-row sketch-estimate frame crossed onto the 1-row exact count
+      "dedup_eval") // three 1-row count aggregates crossed into the metrics row
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -188,7 +189,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // top-20 heavy-hitter report: window above a LocalLimit
       "skew_report" -> "top-20 heavy hitters (limited frame)",
       // joint spectrum of two categorical columns: ≤|X|·|Y| cells
-      "mutual_info" -> "categorical joint spectrum (≤|X|·|Y| rows)")
+      "mutual_info" -> "categorical joint spectrum (≤|X|·|Y| rows)",
+      // totals over the PSI decile spectrum: exactly PsiBuckets rows
+      "psi_drift" -> "decile bucket spectrum (≤ PsiBuckets rows)")
     SparkEntry.registry.foreach { q =>
       val wins = q.fn(spark, sfTiny).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.TestSpark
+import graft.{SparkEntry, TestSpark}
 
 class DedupSpec extends AnyFunSuite {
   import TestSpark._
@@ -286,5 +286,25 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(pairs.exists { case (a, b) => perDoc(a) != perDoc(b) },
       "fixture has no pair the naive split separates — spec loses its teeth")
+  }
+
+  test("dedup_eval scores simhash against jaccard truth consistently") {
+    val truth = DedupOps.ngramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = DedupOps.simhashPairs(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tp = (pred intersect truth).size.toLong
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = SparkEntry.queries("dedup_eval")(spark, sfSmall).head()
+    assert(row.getLong(0) == pred.size.toLong)
+    assert(row.getLong(1) == truth.size.toLong)
+    assert(row.getLong(2) == tp)
+    assert(row.getDouble(3) == round6(tp.toDouble / pred.size))
+    assert(row.getDouble(4) == round6(tp.toDouble / truth.size))
+    assert(row.getDouble(5) == round6(2.0 * tp / (pred.size + truth.size)))
+    // the harness must measure something non-degenerate: detectors
+    // overlap but neither contains the other at this fixture
+    assert(tp > 0 && (row.getDouble(3) < 1.0 || row.getDouble(4) < 1.0))
   }
 }

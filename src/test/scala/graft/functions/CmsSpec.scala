@@ -52,4 +52,28 @@ class CmsSpec extends AnyFunSuite {
       assert(rowSum == n, s"row $d mass $rowSum != $n")
     }
   }
+
+  test("CMS inner product bounds the true join size from above") {
+    import TypedAggregators.{CmsDepth, CmsWidth}
+    val a = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey").cast("string").as("tok"))
+    val b = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey").cast("string").as("tok"))
+    val sA = sketchOf(a)
+    val sB = sketchOf(b)
+    val est = (0 until CmsDepth).map { d =>
+      (0 until CmsWidth).map(j =>
+        sA(d * CmsWidth + j) * sB(d * CmsWidth + j)).sum
+    }.min
+    val exact = Tables.orders(spark, sfTiny)
+      .join(Tables.lineitem(spark, sfTiny),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(est >= exact, "inner product underestimated the join size")
+    val slack = math.ceil(2.0 * a.count() * b.count() / CmsWidth).toLong
+    assert(est <= exact + slack, s"est $est outside Markov bound")
+    // and the registered audit row agrees
+    val row = TypedAggregators.joinSizeEstimate(spark, sfTiny).head()
+    assert(row.getLong(0) == exact)
+    assert(row.getBoolean(1) && row.getBoolean(2))
+  }
 }

@@ -69,4 +69,62 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(math.abs(cc - want) <= 1e-9, s"$node clustering $cc vs $want")
     }
   }
+
+  test("BFS distances equal a local breadth-first search from the same seed") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("text")).collect().map(_.getString(0))
+    val tokenized = docs.map(graft.mr.MrJobs.tokenize)
+    val edges = tokenized.flatMap(_.sliding(2).collect {
+      case Seq(a, b) if a != b => Set(a, b)
+    }).distinct
+    val adj = scala.collection.mutable.Map[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { e =>
+      val Seq(a, b) = e.toSeq.sorted
+      adj(a) += b; adj(b) += a
+    }
+    val counts = tokenized.flatten.groupBy(identity).view.mapValues(_.length)
+    val seed = counts.toSeq.minBy { case (w, c) => (-c, w) }._1
+    var dist = Map(seed -> 0L)
+    for (d <- 1 to GraphOps.BfsHops) {
+      val frontier = dist.collect { case (n, dd) if dd == d - 1 => n }
+      frontier.flatMap(adj).foreach { n =>
+        if (!dist.contains(n)) dist += n -> d.toLong
+      }
+    }
+    val got = GraphOps.graphBfs(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == dist)
+    assert(got(seed) == 0L)
+    // propagation must go beyond the direct neighborhood, or the
+    // iterated min-plus rounds are vacuous
+    assert(got.values.max >= 2L, "BFS never left the seed's neighborhood")
+  }
+
+  test("label propagation equals a local synchronous 2-round replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("text")).collect().map(_.getString(0))
+    val adj = scala.collection.mutable.Map[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    docs.map(graft.mr.MrJobs.tokenize).foreach(_.sliding(2).foreach {
+      case Seq(a, b) if a != b => adj(a) += b; adj(b) += a
+      case _ =>
+    })
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpaRounds) {
+      labels = adj.keys.map { n =>
+        val freq = adj(n).toSeq.map(labels).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = GraphOps.graphCommunities(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == labels)
+    // a real community must form: some label shared by ≥ 3 nodes
+    val sizes = got.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max >= 3, "no multi-node community after 2 rounds")
+  }
 }

@@ -123,4 +123,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.keys.exists(_._3 == 1L), "no second patch column")
     assert(got.keys.exists(_._2 >= 2L), "no third patch row")
   }
+
+  test("VAD segments are exactly the local maximal voiced runs") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = texts.flatMap { case (id, text) =>
+      val voiced = text.getBytes("UTF-8")
+        .map(b => math.abs((b & 0xff) - 128) >= 8)
+      val runs = scala.collection.mutable.Buffer[(Long, Long)]()
+      var start = -1
+      for (i <- 0 to voiced.length) {
+        val v = i < voiced.length && voiced(i)
+        if (v && start < 0) start = i
+        if (!v && start >= 0) {
+          if (i - start >= 4) runs += ((start.toLong, (i - start).toLong))
+          start = -1
+        }
+      }
+      runs.zipWithIndex.map { case ((st, len), k) => (id, k + 1L, st, len) }
+    }.toSet
+    val got = MultimodalOps.mmVadSegments(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // silence must actually split segments somewhere, or the island
+    // logic degenerates to one run per payload
+    assert(got.exists(_._2 >= 2L), "no payload with a second segment")
+  }
 }

@@ -93,6 +93,44 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(partialKept, "no kept file straddles the predicate boundary")
   }
 
+  test("psi drift matches a local recompute and flags the planted upper-tail drift") {
+    val keys = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ref = keys.collect { case (k, v) if k % 10 != 7 => v }
+    val cur = keys.collect { case (k, v) if k % 10 != 3 =>
+      if (k % 10 == 5) v * 2 else v }
+    val sorted = ref.sorted
+    val n = sorted.length
+    val bs = (1 until Maintenance.PsiBuckets).map { i =>
+      val idx = (n - 1) * (i.toDouble / Maintenance.PsiBuckets)
+      val lo = idx.floor.toInt
+      val g = idx - lo
+      if (lo + 1 < n) sorted(lo) * (1 - g) + sorted(lo + 1) * g else sorted(lo)
+    }
+    def bucket(v: Double) = bs.count(v > _).toLong
+    val nRef = ref.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val nCur = cur.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (nRef.keySet ++ nCur.keySet).map { b =>
+      val pr = math.max(nRef.getOrElse(b, 0L).toDouble / ref.length, 1e-6)
+      val pc = math.max(nCur.getOrElse(b, 0L).toDouble / cur.length, 1e-6)
+      (b, nRef.getOrElse(b, 0L), nCur.getOrElse(b, 0L), round6(pr), round6(pc),
+        round6((pc - pr) * math.log(pc / pr)))
+    }
+    val got = Maintenance.psiDrift(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    // doubled ≡5-key prices pile into the top reference decile: its
+    // PSI term must be positive and the total index clearly nonzero
+    // (≈0.02 at sf0.001 — visible drift, below the 0.1 retrain alarm)
+    val top = got.maxBy(_._1)
+    assert(top._6 > 0, "top decile psi term not positive")
+    assert(got.toSeq.map(_._6).sum > 0.01, "total PSI misses the planted drift")
+  }
+
   test("k-fold assignment is a deterministic partition of the corpus") {
     val out = Maintenance.kfoldAssign(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -896,6 +896,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(deltaCnt > 0, "delta partition empty — identity untested")
   }
 
+  test("trimmed mean drops exactly the tails and matches a local recompute") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def q(sorted: Array[Double], p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = idx.floor.toInt
+      val g = idx - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - g) + sorted(lo + 1) * g
+      else sorted(lo)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = events.groupBy(_._1).map { case (typ, g) =>
+      val vs = g.map(_._2)
+      val sorted = vs.sorted
+      val (lo, hi) = (q(sorted, 0.1), q(sorted, 0.9))
+      val kept = vs.filter(v => v >= lo && v <= hi)
+      val keptSum = kept.map(v => BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      (typ, vs.length.toLong, kept.length.toLong,
+        round6(keptSum / kept.length), round6(lo), round6(hi))
+    }.toSet
+    val got = Aggregates.trimmedMean(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    // the trim must bite both tails: kept mass ≈ 80% of each type
+    got.foreach { case (typ, n, k, _, _, _) =>
+      val frac = k.toDouble / n
+      assert(frac > 0.75 && frac < 0.85, s"$typ kept $frac of its mass")
+    }
+  }
+
+  test("seasonality profile: exact cells, per-type shares sum to one") {
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_type"), dayofweek(col("ts")) - 1,
+        col("value").cast("decimal(18,2)"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1).toLong), r.getDecimal(2)))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byType = events.groupBy(_._1._1).view.mapValues(_.length).toMap
+    val expected = events.groupBy(_._1).map { case ((typ, dow), g) =>
+      (typ, dow, g.length.toLong,
+        round6(g.length.toDouble / byType(typ)),
+        g.map(t => BigDecimal(t._2)).sum.toDouble)
+    }.toSet
+    val got = Aggregates.seasonalityProfile(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+    // shares within a type must account for the whole week
+    got.groupBy(_._1).foreach { case (typ, cells) =>
+      val sum = cells.toSeq.map(_._4).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"$typ shares sum to $sum")
+      assert(cells.map(_._2) == (0L to 6L).toSet, s"$typ missing weekdays")
+    }
+  }
+
   test("next-event examples match a per-user sliding recompute") {
     val events = Tables.events(spark, sfSmall)
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -97,4 +97,35 @@ class SinksSpec extends AnyFunSuite {
     assert(row.getLong(1) == planted, "corrupt-row count off")
     assert(planted > 0, "fixture too small to plant any corrupt row")
   }
+
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    // the incremental-backfill write mode: overwrite day N's partition
+    // without clobbering days 1..N−1 (static overwrite mode would drop
+    // the whole table root — the classic data-loss footgun)
+    val path = tmp()
+    val orders = Tables.orders(spark, sfTiny)
+    Sinks.writeParquet(orders, path, partitionBy = Seq("o_orderstatus"))
+    val before = spark.read.parquet(path).count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrite ONLY status 'F', with a marker change (negated price)
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", -col("o_totalprice"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val after = spark.read.parquet(path)
+    assert(after.count() == before, "row count changed — a partition was lost")
+    // untouched partitions keep original values; the rewritten one
+    // carries the marker
+    assert(after.filter(col("o_orderstatus") =!= "F")
+      .filter(col("o_totalprice") < 0).count() == 0)
+    assert(after.filter(col("o_orderstatus") === "F")
+      .filter(col("o_totalprice") >= 0).count() == 0)
+  }
 }

@@ -157,6 +157,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"adjacency join fell back to a nested loop:\n${p.take(2000)}")
   }
+
+  test("topic words match a local tf-idf rank recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.documents(spark, sfTiny)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sw = rows.flatMap { case (src, t) =>
+      MrJobsTokens.tokenize(t).map(w => (src, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfw = sw.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nSources = rows.map(_._1).distinct.length.toDouble
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = sw.keys.groupBy(_._1).flatMap { case (src, keys) =>
+      keys.toSeq
+        .map { case k @ (_, w) =>
+          (w, sw(k), dfw(w), round6(sw(k) * math.log(nSources / dfw(w))))
+        }
+        .sortBy { case (w, _, _, score) => (-score, w) }
+        .take(TextAnalysis.TopicWordsK)
+        .zipWithIndex
+        .map { case ((w, cnt, df, score), i) =>
+          (src, i + 1L, w, cnt, df, score)
+        }
+    }.toSet
+    val got = TextAnalysis.topicWords(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    // distinctiveness: the rank surfaces genuinely non-ubiquitous
+    // words (score > 0 ⇔ df < |sources|) somewhere in the report
+    assert(got.exists(_._6 > 0.0), "every top word is corpus-ubiquitous")
+  }
 }
 
 /** Local alias so the spec reads clearly. */
