@@ -24,7 +24,11 @@ val picks = Seq(
   "sparse_cosine_pairs" -> "sparse tf-idf cosine: df cap below the posting self-join bounds candidates; global top-K is TakeOrdered",
   "join_interval" -> "interval-overlap join: both sides explode to time chunks, hash equi join on chunk + exact residual, distinct collapses multi-chunk pairs — no nested loop",
   "join_fuzzy_jaro" -> "blocked fuzzy join: hash equi join on the block key; the codegen'd jaro_winkler expression scores inside the joined projection",
-  "asof_join_native" -> "native as-of exec: one shuffle+sort per side, single-pass merge — no union, no WindowExec (compare the asof_join composed form)")
+  "asof_join_native" -> "native as-of exec: one shuffle+sort per side, single-pass merge — no union, no WindowExec (compare the asof_join composed form)",
+  "entity_resolution" -> "record linkage: blocked hash self-join scores jaro candidates, components resolved iteratively, golden-record rollup on the label equi join — dictionary-sized frames only",
+  "psi_drift" -> "drift monitor: reference deciles ride as literals (map-only binning of both snapshots), totals window over the 10-row bucket spectrum",
+  "topic_words" -> "per-source tf-idf rank: WindowGroupLimit keeps only K rows per source below the sort; df side aggregates the Heaps-bounded (source,word) frame",
+  "compaction_plan" -> "compaction planner: fact table folds to the per-day file manifest in one partial+final aggregate; the packing window ranges over manifests, never rows")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
