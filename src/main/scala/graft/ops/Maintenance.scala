@@ -201,6 +201,40 @@ object Maintenance {
        |  (max_day < '$ZoneLo' OR min_day > '$ZoneHi') AS skipped
        |FROM z""".stripMargin
 
+  // ---- referential repair -------------------------------------------
+
+  /** Orphaned-foreign-key repair — the remediation step after
+    * [[Aggregates.qualityConstraints]] REPORTS violations: fact rows
+    * whose dimension key no longer resolves (here a carved dimension
+    * — customers with key ≡3 (mod 50) "deleted" — plants real
+    * orphans) are remapped to the −1 sentinel member and tagged, so
+    * downstream joins stay inner (no silent row loss) and the repair
+    * is auditable row-by-row. One left equi join against the
+    * deduplicated dimension KEY SET (never the full dim width); at
+    * 100 TB both sides shuffle-partition on the key — the standard
+    * conformance pass of every dimensional load.
+    */
+  def fkRepair(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(pmod(col("c_custkey"), lit(50)) =!= 3)
+      .select(col("c_custkey"))
+    Tables.orders(s, dir)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        when(col("c_custkey").isNull, lit(-1L)).otherwise(col("o_custkey"))
+          .as("custkey_repaired"),
+        col("c_custkey").isNull.as("was_orphan"))
+  }
+
+  private val fkRepairOracle =
+    """SELECT o_orderkey,
+      |  CASE WHEN c_custkey IS NULL THEN -1 ELSE o_custkey END
+      |    AS custkey_repaired,
+      |  c_custkey IS NULL AS was_orphan
+      |FROM orders LEFT JOIN
+      |  (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 3) c
+      |  ON o_custkey = c_custkey""".stripMargin
+
   // ---- distribution drift (PSI) -------------------------------------
 
   /** Population Stability Index between the two snapshot versions'
@@ -324,5 +358,6 @@ object Maintenance {
     Q("zone_map_prune", zoneMapOracle)(zoneMapPrune),
     Q("kfold_assign", kfoldOracle)(kfoldAssign),
     Q("psi_drift", psiOracle)(psiDrift),
+    Q("fk_repair", fkRepairOracle)(fkRepair),
   )
 }

@@ -161,7 +161,14 @@ object SimOps {
     * tiny), lists are shuffle-partitioned by centroid id, and a query
     * touches P/K of the corpus.
     */
-  def cosineTopkIvf(s: SparkSession, dir: String): DataFrame = {
+  def cosineTopkIvf(s: SparkSession, dir: String): DataFrame =
+    cosineTopkIvfWith(s, dir, Probes)
+
+  /** [[cosineTopkIvf]] with an explicit probe count — the tuning
+    * knob [[ivfRecallCurve]] sweeps.
+    */
+  private def cosineTopkIvfWith(
+      s: SparkSession, dir: String, nProbes: Int): DataFrame = {
     val (e, simToCent, wAssign) = ivfSubstrate(s, dir)
     val assign = simToCent
       .withColumn("arn", row_number().over(wAssign))
@@ -170,7 +177,7 @@ object SimOps {
     val probes = simToCent
       .filter(col("vec_id") < NQueries)
       .withColumn("prn", row_number().over(wAssign))
-      .filter(col("prn") <= Probes)
+      .filter(col("prn") <= nProbes)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     val cand = probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -303,6 +310,93 @@ object SimOps {
       .withColumn("recall",
         round(col("n_hit") / col("n_exact").cast("double"), 6))
   }
+
+  /** Recall@3 as a function of IVF probe count — the tuning curve an
+    * ANN deployment reads before fixing its probes knob (recall vs
+    * fraction-of-corpus-touched is THE accuracy/cost dial of an IVF
+    * index): for each probe budget in [[RecallCurveProbes]], the
+    * probe-limited search re-runs and its top-3 is scored against the
+    * exact brute-force top-3, aggregated to one micro-averaged recall
+    * row per budget. The centroid/assignment substrate is shared
+    * across budgets ([[ivfSubstrate]]); each budget adds only the
+    * candidate join + re-rank over its probed lists — |queries|·k-row
+    * frames at any corpus size.
+    */
+  private[sim] val RecallCurveProbes = Seq(1, 4, 8)
+
+  def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    RecallCurveProbes.map { p =>
+      val approx = cosineTopkIvfWith(s, dir, p)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(p.toLong).as("probes"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") / col("n_exact").cast("double"), 6).as("recall"))
+    }.reduce(_ union _)
+  }
+
+  /** One probe-budget leg of the recall-curve oracle: probe set,
+    * candidates, exact re-rank scores, top-3, and the scored metric
+    * row. Shares `n`, `cents`, `simc`, `assign`, and `ex` with the
+    * other legs.
+    */
+  private def recallLegSql(p: Int): String =
+    s"""pr$p AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS prn FROM simc)
+       |  WHERE prn <= $p AND vec_id < $NQueries),
+       |cd$p AS (
+       |  SELECT DISTINCT pr$p.query_id, assign.neighbor_id
+       |  FROM pr$p JOIN assign ON pr$p.cent_id = assign.cent_id
+       |  WHERE assign.neighbor_id <> pr$p.query_id),
+       |sc$p AS (
+       |  SELECT cd$p.query_id, cd$p.neighbor_id,
+       |    list_sum(list_transform(range(1, len(q.v) + 1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))
+       |      / (q.nrm * c.nrm) AS c
+       |  FROM cd$p
+       |  JOIN n q ON q.vec_id = cd$p.query_id
+       |  JOIN n c ON c.vec_id = cd$p.neighbor_id),
+       |tp$p AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c DESC, neighbor_id) AS rank FROM sc$p)
+       |  WHERE rank <= 3),
+       |m$p AS (
+       |  SELECT CAST($p AS BIGINT) AS probes, COUNT(*) AS n_exact,
+       |    CAST(SUM(CASE WHEN tp$p.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_hit,
+       |    round(SUM(CASE WHEN tp$p.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |  FROM ex LEFT JOIN tp$p
+       |    ON ex.query_id = tp$p.query_id
+       |   AND ex.neighbor_id = tp$p.neighbor_id)""".stripMargin
+
+  private def ivfRecallCurveSql: String =
+    s"""WITH $normsCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS vcent, nrm AS nrmcent
+       |  FROM n WHERE vec_id < $NumCentroids),
+       |simc AS (
+       |  SELECT n.vec_id, cents.cent_id,
+       |    list_sum(list_transform(range(1, len(n.v) + 1),
+       |      i -> CAST(n.v[i] AS DOUBLE) * CAST(cents.vcent[i] AS DOUBLE)))
+       |      / (n.nrm * cents.nrmcent) AS cs
+       |  FROM n, cents),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS arn FROM simc)
+       |  WHERE arn = 1),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM ($cosineTopkSql)
+       |  WHERE rank <= 3),
+       |${RecallCurveProbes.map(recallLegSql).mkString(",\n")}
+       |${RecallCurveProbes.map(p => s"SELECT * FROM m$p").mkString("\nUNION ALL ")}""".stripMargin
 
   // ---- Product quantization (PQ / ADC) -----------------------------
 
@@ -788,6 +882,7 @@ object SimOps {
         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))""".stripMargin)(
       quantileNormalize),
     Q("cosine_topk", cosineTopkSql)(cosineTopk),
+    Q("ivf_recall_curve", ivfRecallCurveSql)(ivfRecallCurve),
     Q("cosine_topk_lsh", cosineTopkLshSql)(cosineTopkLsh),
     Q("ann_recall",
       s"""WITH ex AS (

@@ -122,7 +122,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "sparse_cosine_pairs", // 1-row corpus-count broadcast onto the capped postings
       "kneser_ney", // 1-row bigram-type-total broadcast onto the bigram stream
       "hll_intersection", // 1-row sketch-estimate frame crossed onto the 1-row exact count
-      "dedup_eval") // three 1-row count aggregates crossed into the metrics row
+      "dedup_eval", // three 1-row count aggregates crossed into the metrics row
+      "ivf_recall_curve") // IVF centroid cross (16-row broadcast, as cosine_topk_ivf) + exact-baseline leg
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
       val hasNl = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")

@@ -131,6 +131,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._6).sum > 0.01, "total PSI misses the planted drift")
   }
 
+  test("fk repair remaps exactly the planted orphans to the sentinel") {
+    val custkeys = Tables.customer(spark, sfTiny).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val surviving = custkeys.filter(_ % 50 != 3)
+    val expected = orders.map { case (ok, ck) =>
+      if (surviving(ck)) (ok, ck, false) else (ok, -1L, true)
+    }.toSet
+    val got = Maintenance.fkRepair(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+    assert(got.size == orders.length, "repair changed the row count")
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "fixture must contain both orphaned and intact rows")
+  }
+
   test("k-fold assignment is a deterministic partition of the corpus") {
     val out = Maintenance.kfoldAssign(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

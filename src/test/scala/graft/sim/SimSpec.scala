@@ -249,4 +249,22 @@ class SimSpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.8 && mean < 1.2, s"norm-preservation ratio drifted: $mean")
   }
+
+  test("IVF recall curve is monotone in probes and exhaustive at full probing") {
+    val rows = SimOps.ivfRecallCurve(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == SimOps.RecallCurveProbes.map(_.toLong))
+    // every leg scores the same exact top-3 truth set
+    assert(rows.map(_._2).distinct.length == 1)
+    // more probes can only add candidate lists → recall never drops
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 >= a._4, s"recall fell ${a._1}→${b._1} probes")
+      case _ =>
+    }
+    // the fixture sits on the curve's knee: the widest budget strictly
+    // beats the narrowest (the knob demonstrably does something)
+    assert(rows.last._4 > rows.head._4 || rows.head._4 == 1.0)
+  }
 }
