@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -156,27 +156,26 @@ object TypedAggregators {
     val b = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k"))
     val sA = a.agg(cms(col("k"))).head().getSeq[Long](0).toArray
     val sB = b.agg(cms(col("k"))).head().getSeq[Long](0).toArray
-    var est = Long.MaxValue
-    var d = 0
-    while (d < CmsDepth) {
-      var dot = 0L
-      var j = 0
-      while (j < CmsWidth) {
-        dot += sA(d * CmsWidth + j) * sB(d * CmsWidth + j)
-        j += 1
-      }
-      if (dot < est) est = dot
-      d += 1
-    }
-    val nA = a.count()
-    val nB = b.count()
-    val slack = math.ceil(2.0 * nA * nB / CmsWidth).toLong
+    // BigInt, not Long: dot is bounded by |A|·|B|, which wraps a Long
+    // well below the table sizes this operator is documented for
+    val est = (0 until CmsDepth).map { d =>
+      (0 until CmsWidth).map(j =>
+        BigInt(sA(d * CmsWidth + j)) * BigInt(sB(d * CmsWidth + j))).sum
+    }.min
+    // each sketch row's mass IS the side's row count (the linearity
+    // invariant CmsSpec pins) — no second scan of either table
+    val nA = (0 until CmsWidth).map(j => BigInt(sA(j))).sum
+    val nB = (0 until CmsWidth).map(j => BigInt(sB(j))).sum
+    val slack = (BigInt(2) * nA * nB + CmsWidth - 1) / CmsWidth
+    def dec(v: BigInt): Column =
+      lit(new java.math.BigDecimal(v.bigInteger)).cast("decimal(38,0)")
+    val exact = col("exact_rows").cast("decimal(38,0)")
     Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .agg(count(lit(1)).as("exact_rows"))
       .select(col("exact_rows"),
-        (lit(est) >= col("exact_rows")).as("est_lower_ok"),
-        (lit(est) <= col("exact_rows") + lit(slack)).as("est_upper_ok"))
+        (dec(est) >= exact).as("est_lower_ok"),
+        (dec(est) <= exact + dec(slack)).as("est_upper_ok"))
   }
 
   val all: Seq[Q] = Seq(

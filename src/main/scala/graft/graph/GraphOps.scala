@@ -42,36 +42,45 @@ object GraphOps {
     * against summation-order ulps. Dangling mass is dropped (the
     * standard simplified variant), identically on both sides.
     */
-  /** Keyed result cache — one materialized (vocab-sized) rank frame
-    * per (session, dataset), the verifiedPairs discipline: without
-    * the key, every pageRank call pinned a fresh cached copy for the
-    * session's lifetime and repeated bench/registry sweeps grew
-    * storage memory without bound.
+  /** Keyed result cache — one materialized (vocab-sized) frame per
+    * (operator, session, dataset), the verifiedPairs discipline:
+    * without the key, every iterative-operator call would pin a
+    * fresh cached copy for the session's lifetime and repeated
+    * bench/registry sweeps would grow storage memory without bound.
+    * Shared by [[pageRank]], [[graphBfs]], and [[graphCommunities]]
+    * — every iterative operator here must end its loop with a
+    * `cache()`d result (lineage truncation), so the memo is the one
+    * place that bounds how many of those survive.
     */
-  private val prCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private val resultCache =
+    scala.collection.mutable.Map[(String, SparkSession, String), DataFrame]()
 
-  def pageRank(s: SparkSession, dir: String): DataFrame = {
-    // Bpe.trainedMerges discipline: lock only around map access, never
-    // around the multi-job iterative run — a concurrent caller for a
-    // DIFFERENT (session, dir) must compute independently, not queue
-    // behind this one's Spark jobs. Two racing callers for the SAME
-    // key may each compute once; the loser's cached frame is
-    // unpersisted so only the winner's copy stays pinned.
-    val key = (s, dir)
+  /** Bpe.trainedMerges discipline: lock only around map access, never
+    * around the multi-job iterative run — a concurrent caller for a
+    * DIFFERENT key must compute independently, not queue behind this
+    * one's Spark jobs. Two racing callers for the SAME key may each
+    * compute once; the loser's cached frame is unpersisted so only
+    * the winner's copy stays pinned.
+    */
+  private def memo(tag: String, s: SparkSession, dir: String)(
+      compute: => DataFrame): DataFrame = {
+    val key = (tag, s, dir)
     val hit = synchronized {
-      prCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      prCache.get(key)
+      resultCache.filterInPlace { case ((_, sess, _), _) => !sess.sparkContext.isStopped }
+      resultCache.get(key)
     }
     hit.getOrElse {
-      val computed = pageRankUncached(s, dir)
+      val computed = compute
       synchronized {
-        val winner = prCache.getOrElseUpdate(key, computed)
+        val winner = resultCache.getOrElseUpdate(key, computed)
         if (!(winner eq computed)) computed.unpersist()
         winner
       }
     }
   }
+
+  def pageRank(s: SparkSession, dir: String): DataFrame =
+    memo("pagerank", s, dir)(pageRankUncached(s, dir))
 
   private def pageRankUncached(s: SparkSession, dir: String): DataFrame = {
     val ew = edges(s, dir).cache()
@@ -113,12 +122,39 @@ object GraphOps {
     * all-pairs. At 100 TB-scale graphs the same plan reads with the
     * edge list hash-partitioned on the join key each hop.
     */
-  def triangleStats(s: SparkSession, dir: String): DataFrame = {
-    val bc = TextAnalysis.bigramCounts(s, dir)
+  /** Canonicalized (a < b, distinct, self-loop-free) undirected edge
+    * set of the bigram graph — ONE builder for every graph operator,
+    * so tokenization/canonicalization can never drift between them.
+    */
+  private def canonicalEdges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCounts(s, dir)
       .filter(col("w1") =!= col("w2"))
-    val e = bc.select(least(col("w1"), col("w2")).as("a"),
+      .select(least(col("w1"), col("w2")).as("a"),
         greatest(col("w1"), col("w2")).as("b"))
       .distinct()
+
+  /** [[canonicalEdges]] symmetrized to (src, dst) — the traversal
+    * form [[graphBfs]] and [[graphCommunities]] join against.
+    */
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = canonicalEdges(s, dir)
+    e.union(e.select(col("b"), col("a"))).toDF("src", "dst")
+  }
+
+  /** The bg/e/ed CTE prelude shared by every graph oracle. */
+  private val edgesCteSql =
+    s"""bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT $tokensSql AS t FROM documents),
+       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
+       |e AS (
+       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+       |  FROM bg WHERE w1 <> w2),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e)""".stripMargin
+
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val e = canonicalEdges(s, dir)
     val tri = e.toDF("a", "b")
       .join(e.toDF("b", "c"), Seq("b"))
       .join(e.toDF("a", "c"), Seq("a", "c"))
@@ -155,27 +191,24 @@ object GraphOps {
     */
   val BfsHops = 3
 
-  def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val bc = TextAnalysis.bigramCounts(s, dir).filter(col("w1") =!= col("w2"))
-    val e = bc.select(least(col("w1"), col("w2")).as("a"),
-        greatest(col("w1"), col("w2")).as("b"))
-      .distinct()
-    val edges = e.union(e.select(col("b"), col("a"))).toDF("src", "dst").cache()
-    val seed = graft.text.TextOps.wordCount(s, dir)
-      .orderBy(col("cnt").desc, col("word")).limit(1)
-      .select(col("word").as("node"), lit(0L).as("dist"))
-    var dist = seed
-    for (_ <- 1 to BfsHops) {
-      val next = edges.join(dist, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.union(next).groupBy(col("node"))
-        .agg(min(col("dist")).as("dist"))
+  def graphBfs(s: SparkSession, dir: String): DataFrame =
+    memo("bfs", s, dir) {
+      val edges = undirectedEdges(s, dir).cache()
+      val seed = graft.text.TextOps.wordCount(s, dir)
+        .orderBy(col("cnt").desc, col("word")).limit(1)
+        .select(col("word").as("node"), lit(0L).as("dist"))
+      var dist = seed
+      for (_ <- 1 to BfsHops) {
+        val next = edges.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.union(next).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      val out = dist.cache()
+      out.count() // materialize before releasing the edge cache
+      edges.unpersist()
+      out
     }
-    val out = dist.cache()
-    out.count() // materialize before releasing the edge cache
-    edges.unpersist()
-    out
-  }
 
   /** One unrolled BFS round in the oracle dialect. */
   private def bfsIter(i: Int, prev: String): String =
@@ -188,15 +221,7 @@ object GraphOps {
        |  GROUP BY 1)""".stripMargin
 
   private val bfsOracle =
-    s"""WITH bg AS (
-       |  SELECT t[i] AS w1, t[i+1] AS w2
-       |  FROM (SELECT $tokensSql AS t FROM documents),
-       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
-       |e AS (
-       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
-       |  FROM bg WHERE w1 <> w2),
-       |ed AS (SELECT a AS src, b AS dst FROM e
-       |       UNION ALL SELECT b, a FROM e),
+    s"""WITH $edgesCteSql,
        |wc AS (SELECT w AS word, COUNT(*) AS cnt FROM (
        |  SELECT unnest($tokensSql) AS w FROM documents) GROUP BY 1),
        |d0 AS (
@@ -222,28 +247,26 @@ object GraphOps {
   val LpaRounds = 2
 
   def graphCommunities(s: SparkSession, dir: String): DataFrame = {
-    val bc = TextAnalysis.bigramCounts(s, dir).filter(col("w1") =!= col("w2"))
-    val e = bc.select(least(col("w1"), col("w2")).as("a"),
-        greatest(col("w1"), col("w2")).as("b"))
-      .distinct()
-    val edges = e.union(e.select(col("b"), col("a"))).toDF("src", "dst").cache()
-    var lab = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to LpaRounds) {
-      val counts = edges
-        .join(lab.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("c").desc, col("label"))
-      lab = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
+    memo("lpa", s, dir) {
+      val edges = undirectedEdges(s, dir).cache()
+      var lab = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to LpaRounds) {
+        val counts = edges
+          .join(lab.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("c").desc, col("label"))
+        lab = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("label"))
+      }
+      val out = lab.cache()
+      out.count() // materialize before releasing the edge cache
+      edges.unpersist()
+      out
     }
-    val out = lab.cache()
-    out.count() // materialize before releasing the edge cache
-    edges.unpersist()
-    out
   }
 
   /** One unrolled synchronous-LPA round in the oracle dialect. */
@@ -261,27 +284,13 @@ object GraphOps {
        |  WHERE rn = 1)""".stripMargin
 
   private val lpaOracle =
-    s"""WITH bg AS (
-       |  SELECT t[i] AS w1, t[i+1] AS w2
-       |  FROM (SELECT $tokensSql AS t FROM documents),
-       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
-       |e AS (
-       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
-       |  FROM bg WHERE w1 <> w2),
-       |ed AS (SELECT a AS src, b AS dst FROM e
-       |       UNION ALL SELECT b, a FROM e),
+    s"""WITH $edgesCteSql,
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
        |${(1 to LpaRounds).map(i => lpaIter(i, s"l${i - 1}")).mkString(",\n")}
        |SELECT node, label FROM l$LpaRounds""".stripMargin
 
   private val triangleOracle =
-    s"""WITH bg AS (
-       |  SELECT t[i] AS w1, t[i+1] AS w2
-       |  FROM (SELECT $tokensSql AS t FROM documents),
-       |    unnest(range(1, greatest(len(t), 1))) AS u(i)),
-       |e AS (
-       |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
-       |  FROM bg WHERE w1 <> w2),
+    s"""WITH $edgesCteSql,
        |tri AS (
        |  SELECT e1.a, e1.b, e2.b AS c
        |  FROM e e1

@@ -261,32 +261,51 @@ object Aggregates {
     * draws the same line on both sides.
     */
   val EquidepthBuckets = 10
+
+  /** Bucket id from collected boundary literals — the count of
+    * boundaries strictly below the value. ONE definition per engine
+    * side (the SplitHash discipline), shared with
+    * [[Maintenance.psiDrift]] so the two binning operators can never
+    * draw different lines.
+    */
+  private[ops] def bucketByBoundaries(v: Column, bs: Seq[Double]): Column =
+    bs.foldLeft(lit(0)) { (acc, b) => acc + when(v > lit(b), 1).otherwise(0) }
+
+  /** [[bucketByBoundaries]] in the oracle dialect: the CASE chain over
+    * a `qs` quantile list in scope.
+    */
+  private[ops] def bucketCasesSql(vExpr: String, buckets: Int): String =
+    (1 until buckets)
+      .map(i => s"(CASE WHEN $vExpr > qs[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** The interior quantile points for a `buckets`-way equi-depth
+    * split, as SQL list content.
+    */
+  private[ops] def quantilePointsSql(buckets: Int): String =
+    (1 until buckets).map(i => s"${i.toDouble / buckets}").mkString(", ")
+
   def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val qs = (1 until EquidepthBuckets).map(_.toDouble / EquidepthBuckets)
     val boundaries = o
       .agg(percentile(col("o_totalprice"), array(qs.map(lit): _*)).as("bs"))
       .head().getSeq[Double](0) // B−1 scalars: model-sized, like centroids
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("o_totalprice") > lit(b), 1).otherwise(0)
-    }
-    o.groupBy(bucket.cast("long").as("bucket"))
+    o.groupBy(bucketByBoundaries(col("o_totalprice"), boundaries)
+        .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
   }
 
-  private val equidepthOracle = {
-    val qs = (1 until EquidepthBuckets)
-      .map(i => s"${i.toDouble / EquidepthBuckets}").mkString(", ")
-    val cases = (1 until EquidepthBuckets)
-      .map(i => s"(CASE WHEN o_totalprice > qs[$i] THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+  private val equidepthOracle =
     s"""WITH b AS (
-       |  SELECT quantile_cont(o_totalprice, [$qs]) AS qs FROM orders)
-       |SELECT CAST($cases AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+       |  SELECT quantile_cont(o_totalprice,
+       |    [${quantilePointsSql(EquidepthBuckets)}]) AS qs FROM orders)
+       |SELECT CAST(${bucketCasesSql("o_totalprice", EquidepthBuckets)}
+       |    AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows,
        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
        |FROM orders, b GROUP BY 1""".stripMargin
-  }
 
   /** Per-type trimmed mean (10–90 interior mean) — the robust
     * location estimate telemetry dashboards prefer over the raw mean

@@ -45,19 +45,37 @@ object Maintenance {
     * the new snapshot (added), keys ≡3 only in the old (removed),
     * keys ≡5 have their total doubled in the new one (changed).
     */
+  /** The deterministic two-snapshot carve shared by [[snapshotDiff]]
+    * and [[psiDrift]] (and replayed by both oracles via
+    * [[CarveOldWhere]]/[[CarveNewWhere]]/[[CarveNewPrice]]): keys ≡7
+    * (mod 10) exist only in the new snapshot, keys ≡3 only in the
+    * old, keys ≡5 carry a doubled total in the new one. ONE
+    * definition — a drift between the diff and the drift monitor
+    * would silently invalidate the "reuses snapshotDiff's snapshots"
+    * contract.
+    */
+  private def snapshotMod = pmod(col("o_orderkey"), lit(10))
+  private[ops] def snapshotOld(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(snapshotMod =!= 7)
+  private[ops] def snapshotNew(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(snapshotMod =!= 3)
+      .withColumn("o_totalprice",
+        when(snapshotMod === 5, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+  private val CarveOldWhere = "o_orderkey % 10 <> 7"
+  private val CarveNewWhere = "o_orderkey % 10 <> 3"
+  private val CarveNewPrice =
+    "CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2 ELSE o_totalprice END"
+
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
     def sig(price: Column): Column =
       md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
         price.cast("decimal(18,2)"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
         col("o_orderpriority")).cast("binary"))
-    val mod = pmod(col("o_orderkey"), lit(10))
-    val old = o.filter(mod =!= 7)
+    val old = snapshotOld(s, dir)
       .select(col("o_orderkey"), sig(col("o_totalprice")).as("sig_old"))
-    val nw = o.filter(mod =!= 3)
-      .select(col("o_orderkey"),
-        sig(when(mod === 5, col("o_totalprice") * 2)
-          .otherwise(col("o_totalprice"))).as("sig_new"))
+    val nw = snapshotNew(s, dir)
+      .select(col("o_orderkey"), sig(col("o_totalprice")).as("sig_new"))
     old.join(nw, Seq("o_orderkey"), "full")
       .select(col("o_orderkey"),
         when(col("sig_old").isNull, lit("added"))
@@ -73,13 +91,11 @@ object Maintenance {
     * the rows whose signatures match on the Spark side.
     */
   private val snapshotDiffOracle =
-    """WITH old AS (
-      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 7),
+    s"""WITH old AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE $CarveOldWhere),
       |new AS (
-      |  SELECT o_orderkey,
-      |    CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2
-      |         ELSE o_totalprice END AS o_totalprice
-      |  FROM orders WHERE o_orderkey % 10 <> 3)
+      |  SELECT o_orderkey, $CarveNewPrice AS o_totalprice
+      |  FROM orders WHERE $CarveNewWhere)
       |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
       |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
       |       WHEN new.o_orderkey IS NULL THEN 'removed'
@@ -256,22 +272,16 @@ object Maintenance {
   val PsiBuckets = 10
 
   def psiDrift(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val mod = pmod(col("o_orderkey"), lit(10))
-    val ref = o.filter(mod =!= 7).select(col("o_totalprice").as("v"))
-    val cur = o.filter(mod =!= 3)
-      .select(when(mod === 5, col("o_totalprice") * 2)
-        .otherwise(col("o_totalprice")).as("v"))
+    val ref = snapshotOld(s, dir).select(col("o_totalprice").as("v"))
+    val cur = snapshotNew(s, dir).select(col("o_totalprice").as("v"))
     val qs = (1 until PsiBuckets).map(_.toDouble / PsiBuckets)
     val boundaries = ref
       .agg(percentile(col("v"), array(qs.map(lit): _*)).as("bs"))
       .head().getSeq[Double](0)
-    def bucketed(df: DataFrame, n: String): DataFrame = {
-      val b = boundaries.foldLeft(lit(0)) { (acc, x) =>
-        acc + when(col("v") > lit(x), 1).otherwise(0)
-      }
-      df.groupBy(b.cast("long").as("bucket")).agg(count(lit(1)).as(n))
-    }
+    def bucketed(df: DataFrame, n: String): DataFrame =
+      df.groupBy(Aggregates.bucketByBoundaries(col("v"), boundaries)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as(n))
     val refB = bucketed(ref, "n_ref")
     val curB = bucketed(cur, "n_cur")
     val refTot = sum(col("n_ref")).over(Window.partitionBy())
@@ -292,17 +302,13 @@ object Maintenance {
   }
 
   private val psiOracle = {
-    val qs = (1 until PsiBuckets)
-      .map(i => s"${i.toDouble / PsiBuckets}").mkString(", ")
-    val cases = (1 until PsiBuckets)
-      .map(i => s"(CASE WHEN v > qs[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    val cases = Aggregates.bucketCasesSql("v", PsiBuckets)
     s"""WITH refs AS (
-       |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 <> 7),
+       |  SELECT o_totalprice AS v FROM orders WHERE $CarveOldWhere),
        |curs AS (
-       |  SELECT CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2
-       |              ELSE o_totalprice END AS v
-       |  FROM orders WHERE o_orderkey % 10 <> 3),
-       |b AS (SELECT quantile_cont(v, [$qs]) AS qs FROM refs),
+       |  SELECT $CarveNewPrice AS v FROM orders WHERE $CarveNewWhere),
+       |b AS (SELECT quantile_cont(v,
+       |  [${Aggregates.quantilePointsSql(PsiBuckets)}]) AS qs FROM refs),
        |rb AS (SELECT CAST($cases AS BIGINT) AS bucket, COUNT(*) AS n_ref
        |       FROM refs, b GROUP BY 1),
        |cb AS (SELECT CAST($cases AS BIGINT) AS bucket, COUNT(*) AS n_cur

@@ -325,17 +325,43 @@ object SimOps {
   private[sim] val RecallCurveProbes = Seq(1, 4, 8)
 
   def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    // materialize the shared subtrees ONCE: Spark unions do not dedupe
+    // common subplans, so without these caches every probe leg would
+    // re-run the brute-force baseline and the centroid substrate
     val exact = cosineTopk(s, dir).filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"))
-    RecallCurveProbes.map { p =>
-      val approx = cosineTopkIvfWith(s, dir, p)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val (e, simToCent, wAssign) = ivfSubstrate(s, dir)
+    val stc = simToCent
+      .withColumn("prn", row_number().over(wAssign))
+      .select(col("vec_id"), col("cent_id"), col("prn")).cache()
+    val assign = stc.filter(col("prn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("vq"),
+      col("nrm").as("nrmq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"),
+      col("nrm").as("nrmc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    val out = RecallCurveProbes.map { p =>
+      val probes = stc.filter(col("prn") <= p && col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("cent_id"))
+      val cand = probes.join(assign, Seq("cent_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val approx = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+        .withColumn("c", vecDot(col("vq"), col("vc")) / (col("nrmq") * col("nrmc")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
         .select(lit(p.toLong).as("probes"), col("n_exact"), col("n_hit"),
           round(col("n_hit") / col("n_exact").cast("double"), 6).as("recall"))
-    }.reduce(_ union _)
+    }.reduce(_ union _).cache()
+    out.count() // 3 rows — materialize, then release the shared inputs
+    exact.unpersist()
+    stc.unpersist()
+    out
   }
 
   /** One probe-budget leg of the recall-curve oracle: probe set,

@@ -151,13 +151,17 @@ object Bpe {
     }
   }
 
-  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** The distinct vocabulary of `grouped` (any frame with a word
+    * column `w`) segmented by the trained merge model:
+    * (w, n_chars, n_syms). ONE segmentation path for every consumer
+    * ([[bpeEncode]], [[bpeFertility]]) so the symbol framing can
+    * never drift between them.
+    */
+  private def segmentedVocab(
+      s: SparkSession, dir: String, grouped: DataFrame): DataFrame = {
     import s.implicits._
     val merges = trainedMerges(s, dir)
-    val perDocWord = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-    val vocabSeg = perDocWord.select(col("w")).distinct()
+    grouped.select(col("w")).distinct()
       .as[String]
       .map { w =>
         val syms = merges.foldLeft(w.map(_.toString).toVector) {
@@ -166,7 +170,13 @@ object Bpe {
         (w, w.length.toLong, syms.length.toLong)
       }
       .toDF("w", "n_chars", "n_syms")
-    perDocWord.join(vocabSeg, Seq("w"))
+  }
+
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val perDocWord = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    perDocWord.join(segmentedVocab(s, dir, perDocWord), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_chars")).as("n_char_tokens"),
@@ -185,21 +195,10 @@ object Bpe {
     * divisions of exact longs, rounded identically in both engines.
     */
   def bpeFertility(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val merges = trainedMerges(s, dir)
     val perSrcWord = Tables.documents(s, dir)
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
-    val vocabSeg = perSrcWord.select(col("w")).distinct()
-      .as[String]
-      .map { w =>
-        val syms = merges.foldLeft(w.map(_.toString).toVector) {
-          case (v, (a, b)) => mergeOnce(v, a, b)
-        }
-        (w, w.length.toLong, syms.length.toLong)
-      }
-      .toDF("w", "n_chars", "n_syms")
-    perSrcWord.join(vocabSeg, Seq("w"))
+    perSrcWord.join(segmentedVocab(s, dir, perSrcWord), Seq("w"))
       .groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_chars")).as("n_chars"),
@@ -211,12 +210,18 @@ object Bpe {
           .as("chars_per_token"))
   }
 
-  private def fertilityOracle: String =
-    s"""WITH $replayCtes,
-       |enc AS (
+  /** The segmented-vocabulary CTE shared by the encode and fertility
+    * oracles (the SQL twin of [[segmentedVocab]]).
+    */
+  private def encCteSql: String =
+    s"""enc AS (
        |  SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
        |    CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_syms
-       |  FROM seg$Merges),
+       |  FROM seg$Merges)""".stripMargin
+
+  private def fertilityOracle: String =
+    s"""WITH $replayCtes,
+       |$encCteSql,
        |psw AS (
        |  SELECT source, w, COUNT(*) AS cnt FROM (
        |    SELECT source, unnest($tokensSql) AS w FROM documents)
@@ -283,10 +288,7 @@ object Bpe {
 
   private def encodeOracle: String =
     s"""WITH $replayCtes,
-       |enc AS (
-       |  SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
-       |    CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_syms
-       |  FROM seg$Merges),
+       |$encCteSql,
        |pdw AS (
        |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
        |    SELECT doc_id, unnest($tokensSql) AS w FROM documents)
