@@ -363,7 +363,34 @@ object Joins {
     * dictionary is Heaps-bounded and every stage is a hash join on
     * block / id — the same shape at any corpus size.
     */
+  /** Keyed result memo — the golden-record table is model state per
+    * (session, dataset), exactly like the trained pageRank vector or
+    * the verifiedPairs frame: the component fixpoint must not re-run
+    * its multi-job loop on every repeated call in one session.
+    * Same locking discipline as GraphOps.memo (lock around map
+    * access only; racing losers unpersist their copy).
+    */
+  private val erCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
   def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val hit = synchronized {
+      erCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      erCache.get(key)
+    }
+    hit.getOrElse {
+      val computed = entityResolutionUncached(s, dir).cache()
+      computed.count() // materialize: dictionary-sized (golden records)
+      synchronized {
+        val winner = erCache.getOrElseUpdate(key, computed)
+        if (!(winner eq computed)) computed.unpersist()
+        winner
+      }
+    }
+  }
+
+  private def entityResolutionUncached(s: SparkSession, dir: String): DataFrame = {
     graft.functions.StringFunctions.register(s)
     val jw = graft.functions.StringFunctions.jaroWinkler _
     val names = Tables.part(s, dir)

@@ -147,8 +147,18 @@ object Maintenance {
       .over(Window.partitionBy(col("day")).orderBy(col("file_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     frags.select(col("day"), col("file_id"), col("f_bytes"),
-      floor((cum - 1) / lit(CompactionTargetBytes.toDouble)).cast("long").as("grp"))
+      packingGroup(cum, CompactionTargetBytes).as("grp"))
   }
+
+  /** The contiguous cumulative-sum packing rule: a fragment belongs
+    * to the group its running total ENDS in, with exact-boundary
+    * totals staying in the lower group (the −1). Exposed so
+    * MaintenanceSpec can drive it over adversarial synthetic
+    * manifests (boundary-aligned sizes, oversized fragments) that
+    * the fixture cannot plant.
+    */
+  private[ops] def packingGroup(cum: Column, target: Long): Column =
+    floor((cum - 1) / lit(target.toDouble)).cast("long")
 
   private val compactionOracle =
     s"""WITH frags AS (

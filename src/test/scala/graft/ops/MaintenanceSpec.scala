@@ -64,6 +64,47 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("packing rule is exact on adversarial boundary-aligned manifests") {
+    // sizes engineered so running totals land ON, just under, and just
+    // over group boundaries (target = 100), plus an oversized fragment
+    // spanning multiple groups — the cases an off-by-one in the −1
+    // would corrupt. Expected semantics: a fragment belongs to the
+    // group its cumulative total ends in; a total of exactly k·target
+    // stays in group k−1.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Seq(50L, 50L, /* cum 100 → grp 0 (exact boundary) */
+      1L,                     /* cum 101 → grp 1 */
+      98L,                    /* cum 199 → grp 1 */
+      1L,                     /* cum 200 → grp 1 (exact boundary) */
+      350L,                   /* cum 550 → grp 5 (oversized spans)  */
+      49L,                    /* cum 599 → grp 5 */
+      1L)                     /* cum 600 → grp 5 (exact boundary) */
+    val df = sizes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("file_id", "f_bytes")
+    val cum = sum(col("f_bytes")).over(Window.orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val got = df.select(col("file_id"), Maintenance.packingGroup(cum, 100L).as("grp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L)
+    assert(got == expected)
+  }
+
+  test("boundary binning puts exact-boundary values in the lower bucket") {
+    import spark.implicits._
+    val bs = Seq(10.0, 20.0)
+    val got = Seq(5.0, 10.0, 10.000001, 20.0, 25.0).toDF("v")
+      .select(col("v"), Aggregates.bucketByBoundaries(col("v"), bs)
+        .cast("long").as("b"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    // strict > rule: a value equal to a boundary does NOT pass it —
+    // the convention both histogram_equidepth and psi_drift (and
+    // their oracles' CASE chains) must share
+    assert(got == Map(5.0 -> 0L, 10.0 -> 0L, 10.000001 -> 1L,
+      20.0 -> 1L, 25.0 -> 2L))
+  }
+
   test("zone-map skipped files contain zero qualifying rows") {
     val rows = Tables.lineitem(spark, sfTiny)
       .select(date_format(col("l_shipdate"), "yyyy-MM-dd"))
