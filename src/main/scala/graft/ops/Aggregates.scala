@@ -268,7 +268,7 @@ object Aggregates {
     * [[Maintenance.psiDrift]] so the two binning operators can never
     * draw different lines.
     */
-  private[ops] def bucketByBoundaries(v: Column, bs: Seq[Double]): Column =
+  private[graft] def bucketByBoundaries(v: Column, bs: Seq[Double]): Column =
     bs.foldLeft(lit(0)) { (acc, b) => acc + when(v > lit(b), 1).otherwise(0) }
 
   /** [[bucketByBoundaries]] in the oracle dialect: the CASE chain over

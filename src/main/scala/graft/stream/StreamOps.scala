@@ -391,6 +391,23 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming side of the drift monitor: the incoming metric stream
+    * binned against REFERENCE-snapshot decile boundaries riding as
+    * plan literals (the [[graft.ops.Maintenance.psiDrift]]
+    * discipline, shared bucket rule via
+    * [[graft.ops.Aggregates.bucketByBoundaries]]) in one streaming
+    * aggregate — update mode re-emits the revised bucket counts each
+    * micro-batch, and scoring p_cur against p_ref is a
+    * foreachBatch/model-side step over the B-row frame. State is
+    * exactly B counters regardless of stream length — the
+    * watermark-free aggregate that CAN run forever.
+    */
+  def driftBucketStream(values: DataFrame, boundaries: Seq[Double]): DataFrame =
+    values.groupBy(
+        graft.ops.Aggregates.bucketByBoundaries(col("value"), boundaries)
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =
     tumblingAgg(Tables.events(s, dir))
 

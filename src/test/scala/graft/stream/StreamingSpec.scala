@@ -510,6 +510,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift buckets equal the batch binning over the same values") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boundaries = Seq(10.0, 20.0, 30.0)
+    // boundary-equal values included: the strict-> rule must agree
+    // with the batch/oracle convention across the stream boundary too
+    val values = Seq(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 9.999, 30.0001)
+    val stream = MemoryStream[Double]
+    val q = StreamOps.driftBucketStream(
+        stream.toDF().withColumnRenamed("value", "v")
+          .selectExpr("v AS value"), boundaries)
+      .writeStream.format("memory").queryName("drift_buckets")
+      .outputMode("complete").start()
+    try {
+      stream.addData(values.take(4): _*); q.processAllAvailable()
+      stream.addData(values.drop(4): _*); q.processAllAvailable()
+      val got = spark.table("drift_buckets").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = values.groupBy(v => boundaries.count(v > _).toLong)
+        .map { case (b, g) => (b, g.size.toLong) }
+      assert(got == expected, s"streamed buckets $got vs local $expected")
+      // and the batch twin of the same function binned identically
+      val batch = StreamOps.driftBucketStream(values.toDF("value"), boundaries)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(batch == expected)
+    } finally q.stop()
+  }
+
   test("streaming sharded CMS: summed shard sketches equal the batch sketch exactly") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
