@@ -410,6 +410,30 @@ object DedupOps {
     connectedComponents(verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
       .toDF("doc_id", "canonical")
 
+  /** Quality-aware cluster survivorship — the policy upgrade over
+    * "keep the minimum doc_id": within each near-dup cluster keep the
+    * member with the MOST tokens (ties to the lower id), the
+    * longest-is-superset heuristic production dedup applies so a
+    * truncated crawl of a page never survives over the full copy.
+    * Clusters come from [[dedupClusters]] (one component fixpoint per
+    * session+dataset via the verifiedPairs cache); the survivor pick
+    * is one partitioned rank over cluster-sized frames joined to a
+    * map-only token count. Swapping the ranking column for any other
+    * oracled quality score (readability, gopher pass count) changes
+    * no plan shape.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("canonical"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters.join(toks, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("canonical"), col("n_tokens"), col("keep"))
+  }
+
   /** Min-label connected components over an undirected pair list (any
     * two-column bigint frame; first column = one endpoint, second =
     * the other). Output: (node, label) with label = the component's
@@ -1066,6 +1090,30 @@ object DedupOps {
          |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canonical
          |FROM reach GROUP BY u""".stripMargin)(dedupClusters),
+    Q("dedup_keep_best",
+      s"""WITH RECURSIVE pairs AS (
+         |$jaccardOracle),
+         |bi AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM bi
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u),
+         |cl AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS canonical
+         |  FROM reach GROUP BY u),
+         |tk AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT cl.doc_id, canonical, n_tokens,
+         |    row_number() OVER (PARTITION BY canonical
+         |      ORDER BY n_tokens DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN tk USING (doc_id))
+         |SELECT doc_id, canonical, n_tokens, rn = 1 AS keep
+         |FROM r""".stripMargin)(dedupKeepBest),
     Q("leakage_safe_split", leakageSafeSplitOracle)(leakageSafeSplit),
     Q("curate_corpus",
       s"""WITH RECURSIVE pairs AS (

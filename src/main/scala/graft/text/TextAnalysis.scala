@@ -838,6 +838,15 @@ object TextAnalysis {
     val btot = bc.agg(count(lit(1)).as("b"))
     val p = (col("bc") - lit(KnDiscount)) / col("cc") +
       lit(KnDiscount) * col("n1p_fwd") / col("cc") * (col("n1p_rev") / col("b"))
+    // Per-term scores travel as integer MICRO-nats and the per-doc
+    // mean is rounded in INTEGER arithmetic: the earlier float form
+    // (decimal sum → double division → round(6)) hit a genuine
+    // cross-engine flake at sf0.1 — a doc whose mean landed EXACTLY
+    // on a .5e-6 boundary, where Spark's BigDecimal-valueOf rounding
+    // and DuckDB's multiply-then-round disagree on the same double.
+    // Integer division is bit-identical everywhere; the only
+    // remaining cross-engine surface is libm ln/exp ulps feeding a
+    // single round() each, the risk class every LM score here shares.
     big
       .join(broadcast(bc), Seq("prev", "tok"))
       .join(broadcast(cc), col("prev") === col("w1"))
@@ -845,9 +854,12 @@ object TextAnalysis {
       .crossJoin(broadcast(btot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_big"),
-        round(sum(round(-log(p), 6).cast("decimal(18,6)")).cast("double")
-          / count(lit(1)), 6).as("kn_nll"))
-      .withColumn("kn_ppl", round(exp(col("kn_nll")), 6))
+        sum(round(-log(p) * 1e6).cast("long")).as("sum_micro"))
+      .select(col("doc_id"), col("n_big"),
+        expr("((10 * sum_micro) div n_big + 5) div 10").as("nll_micro"))
+      .select(col("doc_id"), col("n_big"),
+        (col("nll_micro") / 1e6).as("kn_nll"),
+        round(exp(col("nll_micro") / 1e6), 6).as("kn_ppl"))
   }
 
   /** Per-language keep rates (per mille) for [[sampleStratified]]:
@@ -1375,13 +1387,20 @@ object TextAnalysis {
          |  FROM big
          |  JOIN bc ON big.prev = bc.prev AND big.tok = bc.tok
          |  JOIN cc ON big.prev = cc.w1
-         |  JOIN rev ON big.tok = rev.w2, btot)
-         |SELECT doc_id, COUNT(*) AS n_big,
-         |  round(CAST(SUM(CAST(round(-ln(p), 6) AS DECIMAL(18,6)))
-         |    AS DOUBLE) / COUNT(*), 6) AS kn_nll,
-         |  round(exp(round(CAST(SUM(CAST(round(-ln(p), 6) AS DECIMAL(18,6)))
-         |    AS DOUBLE) / COUNT(*), 6)), 6) AS kn_ppl
-         |FROM sc GROUP BY doc_id""".stripMargin)(kneserNey),
+         |  JOIN rev ON big.tok = rev.w2, btot),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_big,
+         |    CAST(SUM(CAST(round(-ln(p) * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS sum_micro
+         |  FROM sc GROUP BY doc_id),
+         |mic AS (
+         |  SELECT doc_id, n_big,
+         |    ((10 * sum_micro) // n_big + 5) // 10 AS nll_micro
+         |  FROM agg)
+         |SELECT doc_id, n_big,
+         |  nll_micro / 1000000.0 AS kn_nll,
+         |  round(exp(nll_micro / 1000000.0), 6) AS kn_ppl
+         |FROM mic""".stripMargin)(kneserNey),
     Q("vocab_top",
       s"""WITH tc AS (
          |  SELECT tok, COUNT(*) AS cnt FROM (

@@ -288,6 +288,29 @@ class DedupSpec extends AnyFunSuite {
       "fixture has no pair the naive split separates — spec loses its teeth")
   }
 
+  test("keep-best survivorship keeps exactly the longest member per cluster") {
+    val clusters = DedupOps.dedupClusters(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val toks = graft.Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), size(graft.text.TextOps.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expected = clusters.groupBy(_._2).flatMap { case (can, members) =>
+      val best = members.map(_._1).minBy(d => (-toks(d), d))(
+        Ordering.Tuple2[Long, Long])
+      members.toSeq.map { case (d, _) => (d, can, toks(d), d == best) }
+    }.toSet
+    val got = DedupOps.dedupKeepBest(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expected)
+    // exactly one survivor per cluster, and the policy must actually
+    // differ from min-id survivorship somewhere on this fixture
+    val byCluster = got.groupBy(_._2)
+    byCluster.values.foreach(ms => assert(ms.count(_._4) == 1))
+    assert(got.exists { case (d, can, _, keep) => keep && d != can },
+      "longest-member policy never disagrees with min-id — vacuous")
+  }
+
   test("dedup_eval scores simhash against jaccard truth consistently") {
     val truth = DedupOps.ngramJaccard(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -92,12 +92,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       }.sum
       assert(math.abs(total - 1.0) < 1e-9, s"context '$w1' sums to $total")
     }
-    // per-doc NLL equals the operator's output under identical rounding
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-doc NLL equals the operator's output under the identical
+    // micro-nat integer pipeline (terms rounded to integer micro-nats,
+    // mean rounded by integer division — bit-exact, no float rounding
+    // boundary anywhere past the ln)
     val expected = bigrams.groupBy(_._1).map { case (id, g) =>
-      val logs = g.map { case (_, w1, w2) => BigDecimal(r6(-math.log(p(w1, w2)))) }
-      id -> (g.size.toLong, r6((logs.sum / g.size).toDouble))
+      val sumMicro = g.map { case (_, w1, w2) =>
+        BigDecimal(-math.log(p(w1, w2)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val nllMicro = ((10 * sumMicro) / g.size + 5) / 10
+      id -> (g.size.toLong, nllMicro / 1e6)
     }
     val got = TextAnalysis.kneserNey(spark, sfTiny)
       .select("doc_id", "n_big", "kn_nll").as[(Long, Long, Double)].collect()
@@ -105,7 +110,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.keySet == expected.keySet)
     expected.foreach { case (id, (n, nll)) =>
       assert(got(id)._1 == n, s"doc $id bigram count")
-      assert(math.abs(got(id)._2 - nll) < 1e-6, s"doc $id: ${got(id)._2} vs $nll")
+      assert(got(id)._2 == nll, s"doc $id: ${got(id)._2} vs $nll")
     }
   }
 
