@@ -39,12 +39,23 @@ object Relational {
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
-        col("sq").cast("double").as("sum_qty"),
-        col("sbp").cast("double").as("sum_base_price"),
-        col("sdp").cast("double").as("sum_disc_price"),
-        col("sc").cast("double").as("sum_charge"),
-        (col("sq").cast("double") / col("count_order")).as("avg_qty"),
-        (col("sbp").cast("double") / col("count_order")).as("avg_price"),
+        // cents-exact DECIMAL round first, double second: at
+        // 17-significant-digit magnitudes (the 10×-facts sweep)
+        // Spark's correctly-rounded BigDecimal→double and DuckDB's
+        // int/10^scale float division differ by one ulp on scale-6
+        // values; a scale-2 decimal's double image is one
+        // exact-integer IEEE division, identical everywhere. The
+        // explicit round() (NOT a decimal downcast — DuckDB's cast
+        // truncates where Spark's rounds) is half-up on positives in
+        // both engines, applied to EXACT decimals.
+        round(col("sq"), 2).cast("double").as("sum_qty"),
+        round(col("sbp"), 2).cast("double").as("sum_base_price"),
+        round(col("sdp"), 2).cast("double").as("sum_disc_price"),
+        round(col("sc"), 2).cast("double").as("sum_charge"),
+        (round(col("sq"), 2).cast("double") / col("count_order"))
+          .as("avg_qty"),
+        (round(col("sbp"), 2).cast("double") / col("count_order"))
+          .as("avg_price"),
         col("count_order"))
   }
 
@@ -57,12 +68,12 @@ object Relational {
       |    CAST(l_tax AS DECIMAL(18,2)) AS t
       |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
       |SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(q) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(p) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(p * (1 - d)) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(p * (1 - d) * (1 + t)) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(round(SUM(q), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(SUM(p), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(SUM(p * (1 - d)), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(SUM(p * (1 - d) * (1 + t)), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(round(SUM(q), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(round(SUM(p), 2) AS DOUBLE) / COUNT(*) AS avg_price,
       |  COUNT(*) AS count_order
       |FROM l GROUP BY l_returnflag, l_linestatus""".stripMargin
 

@@ -146,18 +146,28 @@ object RetrievalOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("v").cast("double").as("v"))
+    // means and the threshold round in INTEGER micro arithmetic (the
+    // kneser_ney discipline): the sums are exact micro multiples, so
+    // a float `round(sum/count, 6)` can land exactly on a .5e-6
+    // boundary where the engines' round implementations legitimately
+    // disagree about the same double; `((10·Σμ) div n + 5) div 10`
+    // is bit-identical everywhere
     val cent = e.groupBy(col("dim"))
-      .agg(round(
-        sum(round(col("v"), 6).cast("decimal(18,6)")).cast("double")
-          / count(lit(1)), 6).as("cd"))
+      .agg(sum(round(col("v"), 6).cast("decimal(18,6)")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        (expr("((10 * CAST(sv * 1000000 AS BIGINT)) div n + 5) div 10")
+          / 1e6).as("cd"))
     val dist = e.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"))
       .agg(round(sqrt(
         sum(round((col("v") - col("cd")) * (col("v") - col("cd")), 6)
           .cast("decimal(18,6)")).cast("double")), 6).as("dist"))
-    val thr = dist.agg(round(lit(OutlierFactor) * round(
-      sum(col("dist").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6), 6).as("thr"))
+    val thr = dist
+      .agg(sum(col("dist").cast("decimal(18,6)")).as("sd"), count(lit(1)).as("n"))
+      .select(
+        (expr("(3 * (((10 * CAST(sd * 1000000 AS BIGINT)) div n + 5) div 10) + 1) div 2")
+          / 1e6).as("thr")) // 1.5× the mean, half-up, still integer-exact
     dist.crossJoin(broadcast(thr))
       .select(col("vec_id"), col("dist"), (col("dist") > col("thr")).as("is_outlier"))
   }
@@ -167,8 +177,9 @@ object RetrievalOps {
        |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
        |c AS (
-       |  SELECT dim, round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6)))
-       |    AS DOUBLE) / COUNT(*), 6) AS cd
+       |  SELECT dim,
+       |    ((10 * CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) * 1000000
+       |        AS BIGINT)) // COUNT(*) + 5) // 10 / 1000000.0 AS cd
        |  FROM e GROUP BY 1),
        |d AS (
        |  SELECT vec_id, round(sqrt(CAST(
@@ -176,8 +187,8 @@ object RetrievalOps {
        |    AS DOUBLE)), 6) AS dist
        |  FROM e JOIN c USING (dim) GROUP BY 1),
        |t AS (
-       |  SELECT round($OutlierFactor * round(CAST(
-       |    SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6), 6)
+       |  SELECT (3 * (((10 * CAST(SUM(CAST(dist AS DECIMAL(18,6))) * 1000000
+       |      AS BIGINT)) // COUNT(*) + 5) // 10) + 1) // 2 / 1000000.0
        |    AS thr
        |  FROM d)
        |SELECT vec_id, dist, dist > thr AS is_outlier FROM d, t""".stripMargin

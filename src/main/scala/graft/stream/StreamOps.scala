@@ -478,16 +478,22 @@ object StreamOps {
         |  FROM s)
         |WHERE rank <= 3""".stripMargin)(trendingTopk),
     Q("events_session",
+      // both islanding windows order by (ts, event_id): with a bare
+      // ORDER BY ts, duplicate timestamps make the ROWS running sum's
+      // tie order arbitrary and a brk row can split its own duplicate
+      // group across sessions (caught by the 10×-facts sweep, whose
+      // copies duplicate every (user, ts)); Spark's session_window is
+      // tie-robust, so only the oracle needed the total order
       """WITH e AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m)
         |SELECT MIN(ts) AS session_start,

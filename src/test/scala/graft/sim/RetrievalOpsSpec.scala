@@ -51,9 +51,12 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
     assert(rows.nonEmpty && rows.forall(_._2 >= 0), "distances must be non-negative")
     // the threshold the operator applied must equal the one recomputed
-    // from its own reported distances (same rounding pipeline)
-    val mean = round6(rows.map(r => BigDecimal(r._2)).sum.toDouble / rows.length)
-    val thr = round6(1.5 * mean)
+    // from its own reported distances (same integer-micro rounding
+    // pipeline as the operator — no float rounding boundary)
+    val sumMicro = rows.map(r => BigDecimal(r._2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).bigDecimal.movePointRight(6).longValueExact).sum
+    val meanMicro = (10 * sumMicro / rows.length + 5) / 10
+    val thr = ((3 * meanMicro + 1) / 2) / 1e6
     rows.foreach { case (id, d, flag) =>
       assert(flag == d > thr, s"vec $id: flag $flag but dist $d vs thr $thr")
     }
@@ -85,7 +88,11 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
     val dim = vecs.head._2.length
     val cent = (0 until dim).map { d =>
-      round6(vecs.map(v => BigDecimal(round6(v._2(d)))).sum.toDouble / vecs.length)
+      // the operator's integer-micro mean: Σ of 6-dp-rounded values in
+      // micro units, divided half-up by n in integer arithmetic
+      val sumMicro = vecs.map(v => BigDecimal(round6(v._2(d)))
+        .bigDecimal.movePointRight(6).longValueExact).sum
+      ((10 * sumMicro / vecs.length + 5) / 10) / 1e6
     }
     val want = vecs.map { case (id, v) =>
       id -> round6(math.sqrt(
