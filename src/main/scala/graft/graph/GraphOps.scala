@@ -55,6 +55,10 @@ object GraphOps {
   private val resultCache =
     scala.collection.mutable.Map[(String, SparkSession, String), DataFrame]()
 
+  /** Test hook: drop the memo so a spec can race the cold-miss path. */
+  private[graft] def clearResultCache(): Unit =
+    synchronized { resultCache.clear() }
+
   /** Bpe.trainedMerges discipline: lock only around map access, never
     * around the multi-job iterative run — a concurrent caller for a
     * DIFFERENT key must compute independently, not queue behind this

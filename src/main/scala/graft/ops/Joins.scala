@@ -373,6 +373,10 @@ object Joins {
   private val erCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
+  /** Test hook: drop the memo so a spec can race the cold-miss path. */
+  private[graft] def clearErCache(): Unit =
+    synchronized { erCache.clear() }
+
   def entityResolution(s: SparkSession, dir: String): DataFrame = {
     val key = (s, dir)
     val hit = synchronized {

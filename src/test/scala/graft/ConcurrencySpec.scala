@@ -31,6 +31,19 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("memoized iterative operators race COLD (graph + golden-record memos)") {
+    // graphBfs/graphCommunities go through GraphOps.memo and
+    // entityResolution through its keyed cache — all three run
+    // multi-job iterative loops inside the compute closure, the
+    // exact shape the lock-scope discipline exists for (lock around
+    // map access only; racing losers unpersist their copy). Cleared
+    // first so all 9 futures hit the cold-miss path.
+    graft.graph.GraphOps.clearResultCache()
+    graft.ops.Joins.clearErCache()
+    runConcurrent(Seq("graph_bfs", "graph_communities", "entity_resolution"),
+      concurrentFirst = true)
+  }
+
   test("native as-of races its strategy installation on a fresh session") {
     // asofJoinNative mutates experimental.extraStrategies on first
     // use (a synchronized read-modify-write); race it from a session
