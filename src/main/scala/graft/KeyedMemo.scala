@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared keyed-result memo — ONE copy of the locking discipline that
+  * every iterative/model-producing operator needs (pageRank, BFS, LPA,
+  * entityResolution, verifiedPairs, and the dedup shingle/fingerprint
+  * substrate). Each memoized entry is a `(tag, session, dataset)` →
+  * persisted DataFrame; without the key, every repeated call in one
+  * session would pin a fresh cached copy and registry/bench sweeps
+  * would grow storage memory without bound.
+  *
+  * Discipline (the Bpe.trainedMerges rules, hoisted here so a fix
+  * lands once instead of per-module):
+  *   - lock only around map access, never around the (multi-job)
+  *     compute: a concurrent caller for a DIFFERENT key computes
+  *     independently instead of queuing behind this one's Spark jobs;
+  *   - two racing callers for the SAME key may each compute once; the
+  *     loser's persisted frame is unpersisted so only the winner's
+  *     copy stays pinned;
+  *   - entries of stopped sessions are evicted on every access, so a
+  *     JVM that cycles sessions (services, test harnesses) never pins
+  *     a dead session's plans;
+  *   - `compute` must return a PERSISTED frame (and should have
+  *     materialized it if callers depend on lineage truncation) —
+  *     the memo is the one place that bounds how many survive.
+  */
+private[graft] final class KeyedMemo {
+  private val cache =
+    scala.collection.mutable.Map[(String, SparkSession, String), DataFrame]()
+
+  /** Test hook: drop (and unpersist) all entries so a spec can race
+    * the cold-miss path deliberately.
+    */
+  def clear(): Unit = synchronized {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+
+  def apply(tag: String, s: SparkSession, dir: String)(
+      compute: => DataFrame): DataFrame = {
+    val key = (tag, s, dir)
+    val hit = synchronized {
+      cache.filterInPlace { case ((_, sess, _), _) => !sess.sparkContext.isStopped }
+      cache.get(key)
+    }
+    hit.getOrElse {
+      val computed = compute
+      synchronized {
+        val winner = cache.getOrElseUpdate(key, computed)
+        if (!(winner eq computed)) computed.unpersist()
+        winner
+      }
+    }
+  }
+}

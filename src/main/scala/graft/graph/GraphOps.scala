@@ -42,46 +42,17 @@ object GraphOps {
     * against summation-order ulps. Dangling mass is dropped (the
     * standard simplified variant), identically on both sides.
     */
-  /** Keyed result cache — one materialized (vocab-sized) frame per
-    * (operator, session, dataset), the verifiedPairs discipline:
-    * without the key, every iterative-operator call would pin a
-    * fresh cached copy for the session's lifetime and repeated
-    * bench/registry sweeps would grow storage memory without bound.
-    * Shared by [[pageRank]], [[graphBfs]], and [[graphCommunities]]
-    * — every iterative operator here must end its loop with a
-    * `cache()`d result (lineage truncation), so the memo is the one
-    * place that bounds how many of those survive.
+  /** Keyed result memo — one materialized (vocab-sized) frame per
+    * (operator, session, dataset). Shared by [[pageRank]],
+    * [[graphBfs]], and [[graphCommunities]] — every iterative
+    * operator here must end its loop with a `cache()`d result
+    * (lineage truncation). Locking discipline lives in
+    * [[graft.KeyedMemo]] (one copy JVM-wide, not per-module).
     */
-  private val resultCache =
-    scala.collection.mutable.Map[(String, SparkSession, String), DataFrame]()
+  private val memo = new graft.KeyedMemo
 
   /** Test hook: drop the memo so a spec can race the cold-miss path. */
-  private[graft] def clearResultCache(): Unit =
-    synchronized { resultCache.clear() }
-
-  /** Bpe.trainedMerges discipline: lock only around map access, never
-    * around the multi-job iterative run — a concurrent caller for a
-    * DIFFERENT key must compute independently, not queue behind this
-    * one's Spark jobs. Two racing callers for the SAME key may each
-    * compute once; the loser's cached frame is unpersisted so only
-    * the winner's copy stays pinned.
-    */
-  private def memo(tag: String, s: SparkSession, dir: String)(
-      compute: => DataFrame): DataFrame = {
-    val key = (tag, s, dir)
-    val hit = synchronized {
-      resultCache.filterInPlace { case ((_, sess, _), _) => !sess.sparkContext.isStopped }
-      resultCache.get(key)
-    }
-    hit.getOrElse {
-      val computed = compute
-      synchronized {
-        val winner = resultCache.getOrElseUpdate(key, computed)
-        if (!(winner eq computed)) computed.unpersist()
-        winner
-      }
-    }
-  }
+  private[graft] def clearResultCache(): Unit = memo.clear()
 
   def pageRank(s: SparkSession, dir: String): DataFrame =
     memo("pagerank", s, dir)(pageRankUncached(s, dir))

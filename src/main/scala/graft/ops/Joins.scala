@@ -367,32 +367,19 @@ object Joins {
     * (session, dataset), exactly like the trained pageRank vector or
     * the verifiedPairs frame: the component fixpoint must not re-run
     * its multi-job loop on every repeated call in one session.
-    * Same locking discipline as GraphOps.memo (lock around map
-    * access only; racing losers unpersist their copy).
+    * Locking discipline lives in [[graft.KeyedMemo]].
     */
-  private val erCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private val erMemo = new graft.KeyedMemo
 
   /** Test hook: drop the memo so a spec can race the cold-miss path. */
-  private[graft] def clearErCache(): Unit =
-    synchronized { erCache.clear() }
+  private[graft] def clearErCache(): Unit = erMemo.clear()
 
-  def entityResolution(s: SparkSession, dir: String): DataFrame = {
-    val key = (s, dir)
-    val hit = synchronized {
-      erCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      erCache.get(key)
-    }
-    hit.getOrElse {
+  def entityResolution(s: SparkSession, dir: String): DataFrame =
+    erMemo("entity_resolution", s, dir) {
       val computed = entityResolutionUncached(s, dir).cache()
       computed.count() // materialize: dictionary-sized (golden records)
-      synchronized {
-        val winner = erCache.getOrElseUpdate(key, computed)
-        if (!(winner eq computed)) computed.unpersist()
-        winner
-      }
+      computed
     }
-  }
 
   private def entityResolutionUncached(s: SparkSession, dir: String): DataFrame = {
     graft.functions.StringFunctions.register(s)

@@ -68,14 +68,23 @@ object Maintenance {
     "CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2 ELSE o_totalprice END"
 
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    def sig(price: Column): Column =
-      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
-        price.cast("decimal(18,2)"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
-        col("o_orderpriority")).cast("binary"))
-    val old = snapshotOld(s, dir)
-      .select(col("o_orderkey"), sig(col("o_totalprice")).as("sig_old"))
-    val nw = snapshotNew(s, dir)
-      .select(col("o_orderkey"), sig(col("o_totalprice")).as("sig_new"))
+    // the signature is schema-driven — EVERY non-key column of the
+    // snapshot, not a hand-picked subset, so widening orders can never
+    // silently exempt a column from change detection. Types with
+    // ambiguous text forms render canonically (fixed-scale decimal,
+    // ISO date); concat_ws drops nulls, fine for the NOT NULL fixture
+    // (a nullable schema would want explicit null sentinels).
+    def sig(df: DataFrame, alias: String): DataFrame = {
+      val parts = df.columns.filterNot(_ == "o_orderkey").sorted.map {
+        case c @ "o_totalprice" => col(c).cast("decimal(18,2)").cast("string")
+        case c @ "o_orderdate"  => date_format(col(c), "yyyy-MM-dd")
+        case c                  => col(c).cast("string")
+      }
+      df.select(col("o_orderkey"),
+        md5(concat_ws("|", parts: _*).cast("binary")).as(alias))
+    }
+    val old = sig(snapshotOld(s, dir), "sig_old")
+    val nw = sig(snapshotNew(s, dir), "sig_new")
     old.join(nw, Seq("o_orderkey"), "full")
       .select(col("o_orderkey"),
         when(col("sig_old").isNull, lit("added"))

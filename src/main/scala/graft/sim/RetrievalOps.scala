@@ -151,7 +151,13 @@ object RetrievalOps {
     // a float `round(sum/count, 6)` can land exactly on a .5e-6
     // boundary where the engines' round implementations legitimately
     // disagree about the same double; `((10·Σμ) div n + 5) div 10`
-    // is bit-identical everywhere
+    // is bit-identical everywhere. NOTE: with truncating `div` this
+    // is half-UP only for non-negative sums; a negative per-dim sum
+    // (the fixture spans [-0.53, 0.46]) rounds toward zero instead
+    // (mean −2.6μ → −2μ, not −3μ). That asymmetry is deliberate and
+    // safe: DuckDB's `//`-based oracle truncates identically, so the
+    // engines agree bit-for-bit — determinism, not IEEE half-away,
+    // is the contract here
     val cent = e.groupBy(col("dim"))
       .agg(sum(round(col("v"), 6).cast("decimal(18,6)")).as("sv"),
         count(lit(1)).as("n"))

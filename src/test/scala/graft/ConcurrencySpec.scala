@@ -31,6 +31,18 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("dedup substrate memos race COLD (shingle bag + simhash fingerprints)") {
+    // dedup_ngram_jaccard and dedup_similarity_histogram both read the
+    // memoized (doc, shingle) bag, simhash_pairs the fingerprint memo —
+    // cleared first (pairs too, since ngramJaccard feeds verifiedPairs)
+    // so all 9 futures race the substrate cold-miss path
+    graft.dedup.DedupOps.clearSubstrateCache()
+    graft.dedup.DedupOps.clearPairCache()
+    runConcurrent(
+      Seq("dedup_ngram_jaccard", "dedup_similarity_histogram", "simhash_pairs"),
+      concurrentFirst = true)
+  }
+
   test("memoized iterative operators race COLD (graph + golden-record memos)") {
     // graphBfs/graphCommunities go through GraphOps.memo and
     // entityResolution through its keyed cache — all three run

@@ -11,8 +11,14 @@ object TestSpark {
   val sfTiny = "/root/testdata/sf0.001"
   val sfSmall = "/root/testdata/sf0.01"
 
+  // local[4, 2]: 4 threads, maxFailures=2 — task retry is LIVE in the
+  // test JVM (plain local[N] pins maxFailures to 1), so
+  // FaultToleranceSpec can demonstrate Spark's built-in recovery (the
+  // reference's health-check Tests 8-9). No other suite throws from
+  // tasks, so the only behavior change elsewhere is that a genuine
+  // task bug would surface after one retry instead of immediately.
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
