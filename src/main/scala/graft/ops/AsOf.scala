@@ -65,7 +65,43 @@ object AsOf {
     * the composed query checks against — the two implementations and
     * the oracle triangulate.
     */
-  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame =
+    nativeAsOf(s, dir, nearest = false)
+      .select(col("event_id"),
+        date_format(col("c_ts"), TsFmt).as("click_ts"),
+        col("c_value").as("click_value"))
+
+  /** [[asofNearest]] through the native exec (`nearest = true` on
+    * [[graft.plans.AsOfJoinExec]]): same single merge pass as
+    * backward mode — at the point the backward scan stops, the right
+    * run's head IS the forward candidate, so "nearest" costs one
+    * integer comparison, no second window frame, no union. The right
+    * side pre-collapses same-(user, ts) clicks via max_by (the
+    * asofJoinNative tie discipline — the exec orders only by
+    * (key, time), so equal-time right rows must be collapsed before
+    * the join); the oracle replays the composed two-frame form over
+    * the SAME collapsed clicks. NOTE this differs from the composed
+    * [[asofNearest]] registry query ON PURPOSE where two clicks share
+    * a microsecond: that one keeps all clicks and resolves prev/next
+    * ties by event_id in opposite directions (last vs first in frame
+    * order); collapsing picks max-event_id for both. AsOfExecSpec
+    * triangulates exec ≡ composed-over-collapsed ≡ DuckDB.
+    */
+  def asofNearestNative(s: SparkSession, dir: String): DataFrame =
+    nativeAsOf(s, dir, nearest = true)
+      .select(col("event_id"),
+        date_format(col("c_ts"), TsFmt).as("click_ts"),
+        col("c_value").as("click_value"),
+        when(col("c_ts").isNull, lit(null).cast("string"))
+          .when(unix_micros(col("c_ts")) <= unix_micros(col("ts")), lit("prev"))
+          .otherwise(lit("next")).as("direction"))
+
+  /** Shared purchases-to-collapsed-clicks as-of through
+    * [[graft.plans.AsOfJoinNode]]; both native registry queries are
+    * thin projections over this.
+    */
+  private def nativeAsOf(
+      s: SparkSession, dir: String, nearest: Boolean): DataFrame = {
     import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
     // read-modify-write on extraStrategies: synchronize on the session
     // so two concurrent callers can't interleave and drop an entry
@@ -89,11 +125,8 @@ object AsOf {
         name: String) = p.output.find(_.name == name).get
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, "user_id"), attr(rPlan, "c_user"),
-      attr(lPlan, "ts"), attr(rPlan, "c_ts"))
+      attr(lPlan, "ts"), attr(rPlan, "c_ts"), nearest)
     org.apache.spark.sql.graftglue.GraftGlue.ofRows(s, node)
-      .select(col("event_id"),
-        date_format(col("c_ts"), TsFmt).as("click_ts"),
-        col("c_value").as("click_value"))
   }
 
   /** Nearest-neighbor as-of join (pandas merge_asof
@@ -198,5 +231,46 @@ object AsOf {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
       asofJoinNative),
+    // the composed two-frame nearest replayed over the SAME collapsed
+    // clicks the native exec joins against (see asofNearestNative's
+    // scaladoc for why collapsing first is the contract here)
+    Q("asof_nearest_native",
+      """WITH cc AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS p_event_id,
+        |    value AS c_value, ts AS c_ts
+        |  FROM cc
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT side, p_event_id, ts,
+        |    last_value(c_value IGNORE NULLS) OVER wprev AS pv,
+        |    last_value(c_ts IGNORE NULLS) OVER wprev AS pt,
+        |    first_value(c_value IGNORE NULLS) OVER wnext AS nv,
+        |    first_value(c_ts IGNORE NULLS) OVER wnext AS nt
+        |  FROM u
+        |  WINDOW
+        |    wprev AS (PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wnext AS (PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT p_event_id AS event_id,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pt) <= epoch_us(nt) - epoch_us(ts))
+        |    THEN strftime(pt, '%Y-%m-%d %H:%M:%S.%f')
+        |    ELSE strftime(nt, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pt) <= epoch_us(nt) - epoch_us(ts))
+        |    THEN pv ELSE nv END AS click_value,
+        |  CASE WHEN pt IS NULL AND nt IS NULL THEN NULL
+        |    WHEN nt IS NULL OR (pt IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pt) <= epoch_us(nt) - epoch_us(ts))
+        |    THEN 'prev' ELSE 'next' END AS direction
+        |FROM m WHERE side = 1""".stripMargin)(asofNearestNative),
   )
 }

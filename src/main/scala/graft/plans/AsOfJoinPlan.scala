@@ -31,11 +31,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Constraints (checked by the strategy): key and time expressions
   * must be LongType/TimestampType — both compare as signed longs.
+  *
+  * `nearest = true` switches to pandas `merge_asof
+  * direction='nearest'` semantics: the matched right row minimizes
+  * |rightTime − leftTime| in EITHER direction, ties to the earlier
+  * (backward) row. The merge keeps exactly one extra word of state —
+  * the head of the right run is already the first same-key row with
+  * rightTime > leftTime when the backward scan stops, so "nearest" is
+  * one comparison between the last-consumed candidate and that head;
+  * still a single forward pass, still O(1) state. Rows at equal
+  * (key, time) on the right must be pre-collapsed by the caller
+  * (same contract as backward mode).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    nearest: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,8 +65,8 @@ case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, near) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +74,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -94,6 +107,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val outAttrs = output
     val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val nearestMode = nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyP = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rKeyP = UnsafeProjection.create(Seq(rk, rt), rOut)
@@ -104,11 +118,33 @@ case class AsOfJoinExec(
       val resultP = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-      // single candidate: the last right row seen with rTime <= the
+      // backward candidate: the last right row seen with rTime <= the
       // current left time, valid only while its key equals the left key
       var cand: InternalRow = null
       var candKey = 0L
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var candTime = 0L
+      // head of the unconsumed right run, with its (key, time)
+      // decoded once per advance — null-keyed/-timed rows are skipped
+      // here, so a non-advancing left row can reuse the cached values
+      var rHead: InternalRow = null
+      var rHeadKey = 0L
+      var rHeadTime = 0L
+      var rHeadOk = false
+      def advance(): Unit = {
+        rHeadOk = false
+        rHead = null
+        while (!rHeadOk && rIter.hasNext) {
+          val n = rIter.next()
+          val rkt = rKeyP(n)
+          if (!rkt.isNullAt(0) && !rkt.isNullAt(1)) {
+            rHead = n
+            rHeadKey = rkt.getLong(0)
+            rHeadTime = rkt.getLong(1)
+            rHeadOk = true
+          }
+        }
+      }
+      advance()
       lIter.map { l =>
         val lkt = lKeyP(l)
         if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
@@ -116,22 +152,24 @@ case class AsOfJoinExec(
         } else {
           val lKeyV = lkt.getLong(0)
           val lTimeV = lkt.getLong(1)
-          var scanning = true
-          while (rHead != null && scanning) {
-            val rkt = rKeyP(rHead)
-            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
-              rHead = if (rIter.hasNext) rIter.next() else null
-            } else {
-              val rKeyV = rkt.getLong(0)
-              if (rKeyV < lKeyV ||
-                  (rKeyV == lKeyV && rkt.getLong(1) <= lTimeV)) {
-                if (rKeyV == lKeyV) { cand = rHead.copy(); candKey = rKeyV }
-                rHead = if (rIter.hasNext) rIter.next() else null
-              } else scanning = false
+          while (rHeadOk && (rHeadKey < lKeyV ||
+              (rHeadKey == lKeyV && rHeadTime <= lTimeV))) {
+            if (rHeadKey == lKeyV) {
+              cand = rHead.copy(); candKey = lKeyV; candTime = rHeadTime
             }
+            advance()
           }
-          val hit = cand != null && candKey == lKeyV
-          resultP(joined(l, if (hit) cand else nullRight))
+          // at loop exit rHead (if same-keyed) is the FIRST right row
+          // with rTime > lTime — the forward candidate nearest mode
+          // needs, already in hand: left rows only move forward, so
+          // nothing before it can be needed again
+          val back = cand != null && candKey == lKeyV
+          val fwd = nearestMode && rHeadOk && rHeadKey == lKeyV
+          val pick =
+            if (back && (!fwd || lTimeV - candTime <= rHeadTime - lTimeV)) cand
+            else if (fwd) rHead
+            else nullRight
+          resultP(joined(l, pick))
         }
       }
     }

@@ -24,7 +24,8 @@ class AsOfExecSpec extends AnyFunSuite {
     * payload) frames — left gets `id`, right gets `rv`.
     */
   private def nativeJoin(lRows: Seq[(Long, Long, Long)],
-      rRows: Seq[(Long, Long, Double)]): DataFrame = {
+      rRows: Seq[(Long, Long, Double)],
+      nearest: Boolean = false): DataFrame = {
     installStrategy(spark)
     import spark.implicits._
     val l = lRows.toDF("k", "id", "t_us")
@@ -36,7 +37,8 @@ class AsOfExecSpec extends AnyFunSuite {
     def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         n: String) = p.output.find(_.name == n).get
     org.apache.spark.sql.graftglue.GraftGlue.ofRows(spark,
-      AsOfJoinNode(lp, rp, a(lp, "k"), a(rp, "rk"), a(lp, "t"), a(rp, "rt")))
+      AsOfJoinNode(lp, rp, a(lp, "k"), a(rp, "rk"), a(lp, "t"), a(rp, "rt"),
+        nearest))
   }
 
   test("native as-of equals the composed union-merge form on the fixture") {
@@ -100,6 +102,112 @@ class AsOfExecSpec extends AnyFunSuite {
       .collect()
     assert(got.length == 2)
     assert(got.forall(_.isNullAt(5)))
+  }
+
+  test("nearest mode: both directions, |delta| ties to prev, per-key isolation") {
+    // key 1: purchase between clicks — nearer is ahead (next);
+    // key 2: exact |delta| tie (100 back vs 100 ahead) → prev;
+    // key 3: only future clicks → matches forward (backward mode
+    //        would null here); key 9: no clicks → null
+    val left = Seq((1L, 10L, 1000L), (2L, 20L, 1100L),
+      (3L, 30L, 700L), (9L, 90L, 1L))
+    val right = Seq((1L, 800L, 0.8), (1L, 1050L, 1.05),
+      (2L, 1000L, 2.0), (2L, 1200L, 2.2),
+      (3L, 900L, 3.9), (3L, 950L, 3.95))
+    val got = nativeJoin(left, right, nearest = true).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got == Map(
+      10L -> Some(1.05), // |1050-1000|=50 beats |1000-800|=200
+      20L -> Some(2.0),  // tie 100 vs 100 → earlier (prev) wins
+      30L -> Some(3.9),  // first FUTURE click, 900 not 950
+      90L -> None))
+  }
+
+  test("nearest mode equals a local brute force on the events fixture (and backward where it matched)") {
+    // composed-over-collapsed reference, computed locally: clicks
+    // collapse to max_by(value, event_id) per (user, ts) — the exec's
+    // input contract — then each purchase takes the |delta|-minimal
+    // click, ties backward. The registry oracle replays the same rule
+    // in DuckDB SQL; this test closes the exec≡reference leg locally.
+    val e = graft.Tables.events(spark, sfSmall)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val clicks = e.filter(_._3 == "click")
+      .groupBy(t => (t._1, t._4))
+      .map { case ((u, us), g) => (u, us, g.maxBy(_._2)._5) }
+      .groupBy(_._1).map { case (u, g) => (u, g.map(t => (t._2, t._3)).toSeq) }
+    val expect = e.filter(_._3 == "purchase").map { case (u, eid, _, us, _) =>
+      val cands = clicks.getOrElse(u, Seq.empty)
+      val best =
+        if (cands.isEmpty) None
+        else Some(cands.minBy { case (cus, _) =>
+          (math.abs(cus - us), cus) }) // |delta| then earlier
+      eid -> best
+    }.toMap
+    val got = AsOf.asofNearestNative(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        Option(r.getString(3))))
+    assert(got.nonEmpty)
+    got.foreach { case (eid, ts, v, dir) =>
+      val exp = expect(eid)
+      assert(v == exp.map(_._2), s"event $eid: value $v vs ${exp.map(_._2)}")
+      // direction must be consistent with the chosen candidate's side
+      val purchaseUs = e.find(t => t._2 == eid && t._3 == "purchase").get._4
+      (exp, dir) match {
+        case (None, d) => assert(d.isEmpty && ts.isEmpty)
+        case (Some((cus, _)), Some("prev")) => assert(cus <= purchaseUs)
+        case (Some((cus, _)), Some("next")) => assert(cus > purchaseUs)
+        case other => fail(s"event $eid: unexpected $other")
+      }
+    }
+    // backward-mode agreement: wherever backward found a match that
+    // is ALSO the nearest, the two modes must carry the same click
+    val back = AsOf.asofJoinNative(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    val nearTs = got.map(t => (t._1, t._2)).toMap
+    val agree = back.count { case (eid, bts) =>
+      bts.isDefined && bts == nearTs(eid) }
+    assert(agree > 0, "no purchase had its backward match be the nearest — fixture too degenerate to exercise the comparison")
+  }
+
+  test("nearest mode is partition-count invariant and plans the single merge exec") {
+    val p = AsOf.asofNearestNative(spark, sfSmall)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native exec not planned:\n${p.take(1500)}")
+    assert(!p.contains("Union") && !p.contains("Window"))
+    val base = withShufflePartitions(4) {
+      AsOf.asofNearestNative(spark, sfSmall).collect().map(_.toString).sorted.toSeq
+    }
+    for (n <- Seq(1, 3)) {
+      val got = withShufflePartitions(n) {
+        AsOf.asofNearestNative(spark, sfSmall).collect().map(_.toString).sorted.toSeq
+      }
+      assert(got == base, s"result changed at $n shuffle partitions")
+    }
+  }
+
+  test("brute-force differential on randomized streams (nearest)") {
+    val rnd = new scala.util.Random(17)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(10000).toLong))
+    val right = (1 to 200).map(j =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(10000).toLong, j / 10.0))
+    val rightDedup = right.groupBy(t => (t._1, t._2))
+      .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toSeq
+    val got = nativeJoin(left, rightDedup, nearest = true).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    left.foreach { case (k, id, t) =>
+      val cands = rightDedup.filter(_._1 == k)
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.minBy(c => (math.abs(c._2 - t), c._2))._3)
+      assert(got(id) == expect, s"left id=$id key=$k t=$t")
+    }
   }
 
   test("brute-force differential on randomized streams") {
