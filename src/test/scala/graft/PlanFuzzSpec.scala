@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential fuzzing — extends the fixed 245-query
+  * registry gate with GENERATED plans: a seeded ScalaCheck generator
+  * produces ~100 random filter/project/distinct/aggregate/join
+  * queries over lineitem×orders, each rendered BOTH as a DataFrame
+  * program and as the equivalent ANSI SQL; the SQL runs in DuckDB
+  * (tools/fuzz_runner.py, one subprocess for the whole batch) and the
+  * row sets must match exactly.
+  *
+  * The grammar is constrained by the repo's cross-engine determinism
+  * rules (BASELINE.md): every numeric aggregate is over integer cents
+  * (`CAST(ROUND(x * 100) AS BIGINT)` — ROUND lands on an exact
+  * integer double before the cast, so Spark's truncating cast and
+  * DuckDB's rounding cast agree), outputs are only strings and
+  * integers, and raw doubles/timestamps never reach the projection
+  * (they may appear in predicates, where comparisons are exact).
+  *
+  * Seeded-repeatable: the default seed is fixed; set GRAFT_FUZZ_SEED
+  * to explore a different corner (a failure report prints the seed,
+  * the spec index, and the SQL).
+  */
+class PlanFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private case class Pred(cond: Column, sql: String)
+  private case class GCol(name: String, col: Column, sql: String)
+  private case class Agg(name: String, col: Column, sql: String)
+
+  private sealed trait Shape
+  private case class GroupAgg(gs: List[GCol], aggs: List[Agg],
+      having: Option[Long]) extends Shape
+  private case class Select(cols: List[String], distinct: Boolean) extends Shape
+
+  private case class Spec(base: String, preds: List[Pred], shape: Shape) {
+    def sql: String = {
+      val from = base match {
+        case "L"  => "lineitem"
+        case "O"  => "orders"
+        case "J"  => "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        case "LJ" => "orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
+      }
+      val where =
+        if (preds.isEmpty) "" else " WHERE " + preds.map(_.sql).mkString(" AND ")
+      shape match {
+        case GroupAgg(gs, aggs, hav) =>
+          val sel = (gs.map(g => s"${g.sql} AS ${g.name}") ++
+            aggs.map(a => s"${a.sql} AS ${a.name}")).mkString(", ")
+          val grp = if (gs.isEmpty) ""
+            else " GROUP BY " + gs.map(_.sql).mkString(", ")
+          val having = hav.map(h => s" HAVING count(*) > $h").getOrElse("")
+          s"SELECT $sel FROM $from$where$grp$having"
+        case Select(cols, dist) =>
+          val d = if (dist) "DISTINCT " else ""
+          s"SELECT $d${cols.mkString(", ")} FROM $from$where"
+      }
+    }
+  }
+
+  // ---- pools ---------------------------------------------------------
+
+  private def cents(c: String): Column = round(col(c) * 100).cast("long")
+  private def centsSql(c: String): String = s"CAST(ROUND($c * 100) AS BIGINT)"
+
+  private val lPreds = List(
+    Pred(col("l_quantity") <= 23, "l_quantity <= 23"),
+    Pred(col("l_quantity") > 40, "l_quantity > 40"),
+    Pred(col("l_returnflag") === "R", "l_returnflag = 'R'"),
+    Pred(col("l_linestatus") === "F", "l_linestatus = 'F'"),
+    Pred(expr("l_orderkey % 3") === 1, "l_orderkey % 3 = 1"),
+    Pred(col("l_extendedprice") > 30000, "l_extendedprice > 30000"),
+    Pred(col("l_discount") < 0.05, "l_discount < 0.05"),
+    Pred(col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")),
+      "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"))
+  private val oPreds = List(
+    Pred(col("o_orderstatus") === "O", "o_orderstatus = 'O'"),
+    Pred(col("o_totalprice") > 100000, "o_totalprice > 100000"),
+    Pred(expr("o_custkey % 5") === 2, "o_custkey % 5 = 2"),
+    Pred(col("o_orderpriority") === "1-URGENT", "o_orderpriority = '1-URGENT'"))
+
+  private val lGCols = List(
+    GCol("rf", col("l_returnflag"), "l_returnflag"),
+    GCol("ls", col("l_linestatus"), "l_linestatus"),
+    GCol("lkmod", expr("l_orderkey % 3"), "l_orderkey % 3"))
+  private val oGCols = List(
+    GCol("os", col("o_orderstatus"), "o_orderstatus"),
+    GCol("op", col("o_orderpriority"), "o_orderpriority"),
+    GCol("ckmod", expr("o_custkey % 5"), "o_custkey % 5"))
+
+  private val cntAgg = Agg("cnt", count(lit(1)), "count(*)")
+  private val lAggs = List(cntAgg,
+    Agg("s_qty", sum(cents("l_quantity")), s"sum(${centsSql("l_quantity")})"),
+    Agg("s_price", sum(cents("l_extendedprice")),
+      s"sum(${centsSql("l_extendedprice")})"),
+    Agg("mn_disc", min(cents("l_discount")), s"min(${centsSql("l_discount")})"),
+    Agg("mx_qty", max(cents("l_quantity")), s"max(${centsSql("l_quantity")})"),
+    Agg("cntd_rf", countDistinct(col("l_returnflag")),
+      "count(DISTINCT l_returnflag)"))
+  private val oAggs = List(cntAgg,
+    Agg("s_total", sum(cents("o_totalprice")), s"sum(${centsSql("o_totalprice")})"),
+    Agg("mx_total", max(cents("o_totalprice")), s"max(${centsSql("o_totalprice")})"),
+    Agg("cntd_os", countDistinct(col("o_orderstatus")),
+      "count(DISTINCT o_orderstatus)"))
+
+  private val lSel = List("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+  private val oSel = List("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  private def predPool(base: String) = base match {
+    case "L" => lPreds
+    case "O" => oPreds
+    case _   => lPreds ++ oPreds
+  }
+  private def gcolPool(base: String) = base match {
+    case "L" => lGCols
+    case "O" => oGCols
+    case _   => lGCols ++ oGCols
+  }
+  private def aggPool(base: String) = base match {
+    case "L" => lAggs
+    case "O" => oAggs
+    case _   => (lAggs ++ oAggs).distinctBy(_.name)
+  }
+  private def selPool(base: String) = base match {
+    case "L" => lSel
+    case "O" => oSel
+    case _   => lSel ++ oSel
+  }
+
+  // ---- generator -----------------------------------------------------
+
+  private def genShape(base: String): Gen[Shape] = Gen.oneOf(
+    for {
+      ng <- Gen.choose(0, 2)
+      gs <- Gen.pick(ng, gcolPool(base))
+      na <- Gen.choose(1, 3)
+      aggs <- Gen.pick(na, aggPool(base))
+      hav <- Gen.option(Gen.choose(1L, 5L))
+    } yield {
+      val as = aggs.toList.distinctBy(_.name)
+      val withCnt =
+        if (hav.isDefined && !as.exists(_.name == "cnt")) cntAgg :: as else as
+      GroupAgg(gs.toList, withCnt, hav)
+    },
+    for {
+      ns <- Gen.choose(1, 4)
+      cols <- Gen.pick(ns, selPool(base))
+      dist <- Gen.oneOf(true, false)
+    } yield Select(cols.toList, dist))
+
+  private val genSpec: Gen[Spec] = for {
+    base <- Gen.oneOf("L", "O", "J", "LJ")
+    np <- Gen.choose(0, 2)
+    preds <- Gen.pick(np, predPool(base))
+    shape <- genShape(base)
+  } yield Spec(base, preds.toList, shape)
+
+  // ---- execution -----------------------------------------------------
+
+  private def frame(spec: Spec): DataFrame = {
+    val base = spec.base match {
+      case "L" => Tables.lineitem(spark, sfTiny)
+      case "O" => Tables.orders(spark, sfTiny)
+      case "J" => Tables.lineitem(spark, sfTiny)
+        .join(Tables.orders(spark, sfTiny), col("l_orderkey") === col("o_orderkey"))
+      case "LJ" => Tables.orders(spark, sfTiny)
+        .join(Tables.lineitem(spark, sfTiny),
+          col("o_orderkey") === col("l_orderkey"), "left")
+    }
+    val filtered = spec.preds.foldLeft(base)((d, p) => d.filter(p.cond))
+    spec.shape match {
+      case GroupAgg(gs, aggs, hav) =>
+        val aggCols = aggs.map(a => a.col.as(a.name))
+        val agged =
+          if (gs.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+          else filtered.groupBy(gs.map(g => g.col.as(g.name)): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        hav.map(h => agged.filter(col("cnt") > h)).getOrElse(agged)
+      case Select(cols, dist) =>
+        val s = filtered.select(cols.map(col): _*)
+        if (dist) s.distinct() else s
+    }
+  }
+
+  private def canonRows(df: DataFrame): Seq[String] =
+    df.collect().map { r =>
+      (0 until r.length).map { i =>
+        if (r.isNullAt(i)) "\\N" else r.get(i).toString
+      }.mkString("")
+    }.sorted.toSeq
+
+  test("100 generated plans match DuckDB row-for-row (seeded)") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+    val n = 100
+    val specs = Gen.listOfN(n, genSpec)
+      .pureApply(Gen.Parameters.default, Seed(seed))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzz")
+    val sqlFile = dir.resolve("sqls.txt")
+    val outFile = dir.resolve("duck.txt")
+    java.nio.file.Files.write(sqlFile,
+      specs.map(_.sql).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // spark side first (also warms the session before timing anything)
+    val sparkResults = specs.map(s => canonRows(frame(s)))
+    val runner = new java.io.File("tools/fuzz_runner.py").getAbsolutePath
+    val rc = new ProcessBuilder("python3", runner, sfTiny,
+      sqlFile.toString, outFile.toString).inheritIO().start().waitFor()
+    assert(rc == 0, s"fuzz_runner.py exited $rc")
+    // parse duckdb blocks
+    val lines = scala.io.Source.fromFile(outFile.toFile, "UTF-8").getLines().toVector
+    val blocks = scala.collection.mutable.Map[Int, Either[String, Vector[String]]]()
+    var i = 0
+    while (i < lines.length) {
+      val h = lines(i)
+      assert(h.startsWith("#Q"), s"bad runner output at line $i: $h")
+      val parts = h.drop(2).split(" ", 3)
+      val qi = parts(0).toInt
+      if (parts(1) == "OK") {
+        val nr = parts(2).toInt
+        blocks(qi) = Right(lines.slice(i + 1, i + 1 + nr))
+        i += 1 + nr
+      } else {
+        blocks(qi) = Left(parts.drop(2).mkString(" "))
+        i += 1
+      }
+    }
+    specs.zipWithIndex.foreach { case (spec, qi) =>
+      blocks(qi) match {
+        case Left(err) =>
+          fail(s"seed=$seed Q$qi: DuckDB error [$err] for SQL: ${spec.sql}")
+        case Right(duck) =>
+          val sp = sparkResults(qi)
+          assert(sp.size == duck.size,
+            s"seed=$seed Q$qi: rows spark=${sp.size} duckdb=${duck.size} SQL: ${spec.sql}")
+          sp.zip(duck).zipWithIndex.find { case ((a, b), _) => a != b }
+            .foreach { case ((a, b), rn) =>
+              fail(s"seed=$seed Q$qi row $rn: spark[$a] duckdb[$b] SQL: ${spec.sql}")
+            }
+      }
+    }
+    // coverage sanity: the batch should exercise every base and both shapes
+    val bases = specs.map(_.base).toSet
+    assert(bases == Set("L", "O", "J", "LJ"), s"bases drawn: $bases")
+    assert(specs.exists(_.shape.isInstanceOf[GroupAgg]))
+    assert(specs.exists(_.shape.isInstanceOf[Select]))
+    assert(specs.exists(s => s.shape match {
+      case GroupAgg(_, _, h) => h.isDefined; case _ => false }))
+  }
+}
