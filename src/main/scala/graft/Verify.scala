@@ -18,6 +18,7 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS); see Tables.events. Set here once
       // so the first events read doesn't depend on loader ordering.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,3 +25,23 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 }
+
+/** Window spec for PROVABLY BOUNDED global frames — spectrum tables,
+  * post-`limit(K)` heads, model-sized mixture weights. Semantically
+  * identical to an unpartitioned window (every row in one partition;
+  * `partitionBy(lit(0))` hashes all rows to the same task), but the
+  * constant partition key (a) suppresses WindowExec's
+  * "No Partition Defined" warning for these AUDITED sites, so a new,
+  * genuinely unbounded global window is visible at a glance in the
+  * bench log instead of drowning among hundreds of known-bounded
+  * ones, and (b) lets PlanShapeSpec forbid empty-partition-spec
+  * windows outright (the allowlist became this marker). Use ONLY
+  * where the frame is already bounded by construction — on a
+  * data-sized input this funnels the corpus through one task, which
+  * is exactly the shape the plan audit exists to catch.
+  */
+object Bounded {
+  def global: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.lit(0))
+}

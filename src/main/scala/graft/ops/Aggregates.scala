@@ -589,7 +589,7 @@ object Aggregates {
     val joint = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_xy"))
-    val wAll = Window.partitionBy()
+    val wAll = graft.Bounded.global // |X|x|Y| categorical cells
     val ratio = (col("n_xy") * col("n")) / (col("n_x") * col("n_y"))
     joint
       .withColumn("n", sum(col("n_xy")).over(wAll))
@@ -742,7 +742,7 @@ object Aggregates {
       .groupBy("bin_lo")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("pct",
-        round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+        round(col("cnt") / sum(col("cnt")).over(graft.Bounded.global), 6))
   }
 
   /** Percentile winsorization — the outlier-clipping cleanup step for
@@ -813,7 +813,7 @@ object Aggregates {
     val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(20)
     top.crossJoin(broadcast(totals))
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("user_id"))))
+        graft.Bounded.global.orderBy(col("cnt").desc, col("user_id"))))
       .select(col("user_id"), col("cnt"),
         round(col("cnt") / col("total").cast("double"), 6).as("share"),
         round(col("cnt") / (col("total").cast("double") / col("n_keys")), 6)

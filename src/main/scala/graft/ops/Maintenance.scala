@@ -303,8 +303,8 @@ object Maintenance {
         .agg(count(lit(1)).as(n))
     val refB = bucketed(ref, "n_ref")
     val curB = bucketed(cur, "n_cur")
-    val refTot = sum(col("n_ref")).over(Window.partitionBy())
-    val curTot = sum(col("n_cur")).over(Window.partitionBy())
+    val refTot = sum(col("n_ref")).over(graft.Bounded.global)
+    val curTot = sum(col("n_cur")).over(graft.Bounded.global)
     // the totals window is over the 10-row bucket frame (model-sized)
     refB.join(curB, Seq("bucket"), "full")
       .select(col("bucket"),

@@ -497,7 +497,7 @@ object WindowOps {
     val prune = Window.partitionBy(col("b"))
       .orderBy(col("price").asc, col("psize").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val sweep = Window.orderBy(col("price").asc, col("psize").desc)
+    val sweep = graft.Bounded.global.orderBy(col("price").asc, col("psize").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("b", pmod(xxhash64(col("price"), col("psize")), lit(16)))
       .withColumn("m", max(col("psize")).over(prune))

@@ -59,7 +59,7 @@ object RetrievalOps {
     // would drag the whole scored corpus onto one partition. The
     // rank ordinals are then assigned by a window over the ≤K
     // surviving rows, where a global window is free.
-    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wLex = graft.Bounded.global.orderBy(col("bm25").desc, col("doc_id"))
     val lex = graft.text.CurationRules.bm25(s, dir)
       .orderBy(col("bm25").desc, col("doc_id")).limit(KCand)
       .withColumn("lex_rank", row_number().over(wLex).cast("long"))
@@ -72,14 +72,14 @@ object RetrievalOps {
       .filter(col("nrm") > 0)
     val q = e.filter(col("vec_id") === QueryVec)
       .select(col("embedding").as("vq"), col("nrm").as("nrmq"))
-    val wDense = Window.orderBy(col("c").desc, col("vec_id"))
+    val wDense = graft.Bounded.global.orderBy(col("c").desc, col("vec_id"))
     val dense = e.filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))
       .withColumn("c", vecDot(col("embedding"), col("vq")) / (col("nrm") * col("nrmq")))
       .orderBy(col("c").desc, col("vec_id")).limit(KCand)
       .withColumn("dense_rank", row_number().over(wDense).cast("long"))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
-    val wFused = Window.orderBy(col("rrf_score").desc, col("doc_id"))
+    val wFused = graft.Bounded.global.orderBy(col("rrf_score").desc, col("doc_id"))
     lex.join(dense, Seq("doc_id"), "full")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +

@@ -550,7 +550,7 @@ object TextAnalysis {
   def sourceMixWeights(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val wAll = Window.partitionBy()
+    val wAll = graft.Bounded.global // |languages| rows
     val p = col("n_docs") / sum(col("n_docs")).over(wAll).cast("double")
     val withPa = counts.withColumn("pa", sqrt(p))
     withPa
@@ -585,7 +585,7 @@ object TextAnalysis {
     * division/floor, so both engines draw identical boundaries.
     */
   def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.partitionBy()
+    val wAll = graft.Bounded.global // |languages| rows
     val thr = sourceMixWeights(s, dir)
       .withColumn("keep_per_mille",
         floor(col("weight") / max(col("weight")).over(wAll) * 1000)
@@ -642,11 +642,11 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val spectrum = counts.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
-    val w = Window.orderBy(col("c"))
+    val w = graft.Bounded.global.orderBy(col("c"))
     spectrum
       .withColumn("cum_types", sum(col("n_types")).over(w))
       .withColumn("type_share",
-        round(col("n_types") / sum(col("n_types")).over(Window.partitionBy())
+        round(col("n_types") / sum(col("n_types")).over(graft.Bounded.global)
           .cast("double"), 6))
   }
 
@@ -1087,15 +1087,25 @@ object TextAnalysis {
     * count TIES at the top-10 boundary (sf0.01: merge/slow both 918),
     * so cutting inside the sketch (whose tie order is unspecified)
     * would be nondeterministic, while re-ranking ≤capacity rows is
-    * free. With capacity (100) ≥ the fixture vocabulary (31) the
-    * tracked counts are exact, so the exact-top-10 DuckDB oracle
-    * hash-matches; at production scale the same plan is the standard
-    * approximate heavy-hitters query.
+    * free.
+    *
+    * CAPACITY IS LOAD-BEARING, not a tuning knob: the sketch reports
+    * only items it can PROVE heavy, so once distinct items exceed
+    * maxItemsTracked a near-uniform corpus yields ZERO rows — found
+    * empirically when the 10×-docs stress fixture (310 distinct
+    * tokens) silently emptied this query at the old capacity of 100.
+    * 4096 dominates every fixture vocabulary (sf0.1: 31; 10×-docs
+    * stress: 310) with two orders of headroom while staying O(1)
+    * model state; with capacity ≥ vocab the tracked counts are exact
+    * and the exact-top-10 DuckDB oracle hash-matches at every scale
+    * point. At true corpus scale, size capacity from the Heaps-law
+    * vocabulary bound (or accept provable-heavy-hitters-only
+    * semantics — never an empty set at skewed real-text frequencies).
     */
   def approxTopKWords(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
-      .selectExpr("approx_top_k(tok, 100, 100) AS tk")
+      .selectExpr("approx_top_k(tok, 100, 4096) AS tk")
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("word"), col("e.count").cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(10)

@@ -97,8 +97,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("skyline_parts")
     assert(p.contains("hashpartitioning(b#"),
       "no bucket-partitioned local-prune window before the global sweep")
-    assert(p.contains("SinglePartition"),
-      "global frontier sweep window missing")
+    // the global sweep now carries the Bounded.global lit(0) marker:
+    // same single-populated-partition execution, exchange keyed on
+    // the constant instead of SinglePartition
+    assert(p.contains("hashpartitioning(0,"),
+      "global frontier sweep window (lit-partitioned) missing")
   }
 
   test("only the documented brute-force queries use nested-loop/cartesian joins") {
@@ -168,41 +171,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(tops >= 2, s"expected 2 TakeOrderedAndProject heads, found $tops")
   }
 
-  test("only documented bounded frames use unpartitioned windows") {
-    // Complement of the vocab_top/token_ids pin: a global (
-    // unpartitioned) window funnels its whole input through ONE task,
-    // so every query that plans one must be on this list with a
-    // boundedness argument — a new global sort over a data-derived
-    // frame fails here instead of scrolling by as one more WindowExec
-    // warning in the bench log.
-    val allowed = Map(
-      // ≤ |price histogram buckets| rows: window over an aggregated spectrum
-      "histogram_prices" -> "bucket spectrum (≤ fixed bucket count)",
-      // global frontier sweep runs AFTER the bucket-local prune
-      "skyline_parts" -> "bucket-pruned frontier candidates",
-      // spectrum of distinct counts (≈√corpus tokens) + 1-row total
-      "freq_of_freqs" -> "count-of-counts spectrum",
-      // 5-source mixture table: windows over |sources| rows
-      "source_mix_weights" -> "per-source mixture weights (model-sized)",
-      "sample_temperature" -> "per-source mixture weights (model-sized)",
-      // rankings are TakeOrdered top-Ks; the fusion window sees ≤2K rows
-      "rrf_fusion" -> "fused candidates ≤ 2·K after TakeOrdered",
-      // top-20 heavy-hitter report: window above a LocalLimit
-      "skew_report" -> "top-20 heavy hitters (limited frame)",
-      // joint spectrum of two categorical columns: ≤|X|·|Y| cells
-      "mutual_info" -> "categorical joint spectrum (≤|X|·|Y| rows)",
-      // totals over the PSI decile spectrum: exactly PsiBuckets rows
-      "psi_drift" -> "decile bucket spectrum (≤ PsiBuckets rows)")
+  test("no query plans an unpartitioned window (audited bounded frames carry the lit-partition marker)") {
+    // A global (unpartitioned) window funnels its whole input through
+    // ONE task. The audited bounded frames (spectrum tables, post-
+    // limit(K) heads, model-sized mixtures) now use graft.Bounded
+    // .global — partitionBy(lit(0)): same single-task execution, but
+    // WindowExec's "No Partition Defined" warning stays silent for
+    // them, so (a) a NEW unbounded window is visible at a glance in
+    // the bench log, and (b) an empty partitionSpec anywhere in the
+    // registry is now unconditionally a defect:
     SparkEntry.registry.foreach { q =>
       val wins = q.fn(spark, sfTiny).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
       }
-      if (wins.nonEmpty && !allowed.contains(q.name))
-        fail(s"${q.name} plans ${wins.size} unpartitioned window(s) without a " +
-          "documented bound — partition it, rank via Ranks.freqRanked, or " +
-          "justify it on the allowlist")
+      if (wins.nonEmpty)
+        fail(s"${q.name} plans ${wins.size} unpartitioned window(s) — " +
+          "partition it, rank via Ranks.freqRanked, or (ONLY for a " +
+          "provably bounded frame) mark it with graft.Bounded.global")
     }
+    // ...which only holds while the marker SURVIVES optimization: a
+    // Catalyst rule that folded literal partition keys away would
+    // silently reopen both the warning and this gate. Pin one marked
+    // query's optimized plan still carrying the literal spec.
+    val marked = graft.SparkEntry.queries("freq_of_freqs")(spark, sfTiny)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) => w
+      }
+    assert(marked.nonEmpty,
+      "Bounded.global's lit(0) partition key was optimized away — " +
+        "the single-partition warning suppression no longer works")
   }
 
   test("shuffling queries run under adaptive execution (runtime re-planning)") {

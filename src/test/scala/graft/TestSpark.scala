@@ -25,6 +25,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -1,23 +1,83 @@
 #!/usr/bin/env python3
 """Generate the sf~1 stress fixture: 10x key-shifted copies of the
-fact tables (lineitem/orders/events), dims and text/embedding tables
-copied unchanged — join keys stay consistent (l_orderkey shifts with
-o_orderkey; o_custkey/l_partkey/l_suppkey still point at the
-unchanged dims). Verification-side tooling only (like check.py).
+fact tables (lineitem/orders/events), dims copied unchanged — join
+keys stay consistent (l_orderkey shifts with o_orderkey;
+o_custkey/l_partkey/l_suppkey still point at the unchanged dims).
+Verification-side tooling only (like check.py).
 
-Usage: python3 tools/scale10.py <srcSfDir> <outDir> [copies=10]
+docCopies > 1 additionally scales the TEXT/EMBEDDING axis:
+  - documents: doc_id shifted per copy; for copy k > 0 every token
+    gets a copy-unique letter suffix ("zz" + letter(k)), so the
+    copies are token-disjoint — intra-copy near-dup structure is
+    preserved exactly while NO cross-copy pair is a near-dup. Without
+    this, 10 identical copies would make every doc a 10-group and
+    pair outputs would grow ~45x for 10x input: the slope measured
+    would be the fixture's, not the operator's. The dictionary grows
+    ~10x — a deliberate worst case for the Heaps-bounded claims.
+    n_chars is recomputed so the metadata stays honest.
+  - embeddings: vec_id shifted per copy; copy k's vectors are
+    cyclically rotated by k dims — norms (and intra-copy geometry)
+    preserved EXACTLY with zero float arithmetic, cross-copy
+    similarity scrambled.
+
+Usage: python3 tools/scale10.py <srcSfDir> <outDir> [copies=10] [docCopies=1]
 """
+import re
 import sys
 import duckdb
+
+def scale_documents(src, out, copies):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{src}/documents.parquet").to_pylist()
+    shift = max(r["doc_id"] for r in t) + 1
+    rows = []
+    for k in range(copies):
+        suf = "" if k == 0 else "zz" + chr(ord('a') + (k - 1) % 26)
+        for r in t:
+            text = r["text"] if k == 0 else re.sub(
+                r"[a-zA-Z]+", lambda m: m.group(0) + suf, r["text"])
+            rows.append({"doc_id": r["doc_id"] + k * shift, "text": text,
+                         "lang": r["lang"], "source": r["source"],
+                         "n_chars": len(text)})
+    pq.write_table(pa.Table.from_pylist(
+        rows, schema=pq.read_schema(f"{src}/documents.parquet")),
+        f"{out}/documents.parquet")
+    return len(rows)
+
+def scale_embeddings(src, out, copies):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{src}/embeddings.parquet").to_pylist()
+    shift = max(r["vec_id"] for r in t) + 1
+    rows = []
+    for k in range(copies):
+        for r in t:
+            v = r["embedding"]
+            rot = k % len(v)
+            rows.append({"vec_id": r["vec_id"] + k * shift,
+                         "embedding": v[rot:] + v[:rot], "label": r["label"]})
+    pq.write_table(pa.Table.from_pylist(
+        rows, schema=pq.read_schema(f"{src}/embeddings.parquet")),
+        f"{out}/embeddings.parquet")
+    return len(rows)
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    doc_copies = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     con = duckdb.connect()
     import os
     os.makedirs(out, exist_ok=True)
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "documents", "embeddings"]:
+    plain = ["region", "nation", "customer", "supplier", "part"]
+    if doc_copies > 1:
+        n_docs = scale_documents(src, out, doc_copies)
+        n_vecs = scale_embeddings(src, out, doc_copies)
+        print("documents", n_docs)
+        print("embeddings", n_vecs)
+    else:
+        plain += ["documents", "embeddings"]
+    for t in plain:
         con.execute(f"""COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))
                         TO '{out}/{t}.parquet' (FORMAT PARQUET)""")
     okey = con.execute(f"SELECT MAX(o_orderkey)+1 FROM read_parquet('{src}/orders.parquet')").fetchone()[0]
