@@ -282,8 +282,17 @@ object TextAnalysis {
     * family as [[tokenStats]] (codegen'd, map-only, zero shuffles);
     * the syllable proxy is the vowel-group count, the standard
     * dictionary-free approximation. All three counts are exact
-    * integers in both engines, so the single double formula at the
-    * end is bit-identical after rounding.
+    * integers in both engines, and the score is a RATIONAL in them —
+    * so the 4-dp rounding runs entirely in integer arithmetic:
+    * flesch·10⁴ = N/(s·w) with N = 2068350·s·w − 10150·w² −
+    * 846000·y·s exact, rounded half-away-from-zero as
+    * (2N ± s·w) div (2·s·w) (both engines' integer division
+    * truncates toward zero, so the formula is sign-correct). A
+    * `round(double, 4)` here is NOT engine-stable: the 10×-docs
+    * stress fixture has documents with (w=64, s=1, y=154) whose
+    * score is EXACTLY −61.69375 — Spark's BigDecimal HALF_UP on the
+    * binary double said −61.6937 while DuckDB's multiply-then-round
+    * said −61.6938 (the kneser_ney defect class, BASELINE.md).
     */
   def readability(s: SparkSession, dir: String): DataFrame = {
     val words = size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
@@ -295,10 +304,15 @@ object TextAnalysis {
         greatest(sents, lit(1)).cast("long").as("n_sents"),
         vg.cast("long").as("n_syll"))
       .filter(col("n_words") > 0)
+      .withColumn("nnum",
+        lit(2068350L) * col("n_sents") * col("n_words")
+          - lit(10150L) * col("n_words") * col("n_words")
+          - lit(846000L) * col("n_syll") * col("n_sents"))
       .withColumn("flesch",
-        round(lit(206.835)
-          - lit(1.015) * (col("n_words") / col("n_sents").cast("double"))
-          - lit(84.6) * (col("n_syll") / col("n_words").cast("double")), 4))
+        expr("""(2 * nnum + CASE WHEN nnum < 0 THEN -(n_sents * n_words)
+                ELSE n_sents * n_words END) div (2 * n_sents * n_words)""")
+          / lit(10000.0))
+      .drop("nnum")
   }
 
   /** Order-sensitive document fingerprint: polynomial rolling hash of
@@ -1207,9 +1221,12 @@ object TextAnalysis {
          |FROM k QUALIFY rn <= $WeightedSampleK""".stripMargin)(weightedSample),
     Q("readability",
       """SELECT doc_id, n_words, n_sents, n_syll,
-        |  round(206.835
-        |    - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
-        |    - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |  ((2 * (2068350 * n_sents * n_words - 10150 * n_words * n_words
+        |         - 846000 * n_syll * n_sents)
+        |    + CASE WHEN (2068350 * n_sents * n_words - 10150 * n_words * n_words
+        |                 - 846000 * n_syll * n_sents) < 0
+        |        THEN -(n_sents * n_words) ELSE n_sents * n_words END)
+        |   // (2 * n_sents * n_words)) / 10000.0 AS flesch
         |FROM (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
