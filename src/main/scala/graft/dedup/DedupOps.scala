@@ -161,6 +161,58 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard ≥ 0.8 via PREFIX FILTERING (the AllPairs/PPJoin
+    * family, Bayardo et al. WWW'07; Chaudhuri et al. SSJoin) — the
+    * exact-dedup SCALE path that needs neither a probabilistic sketch
+    * nor [[dfCapped]]'s hot-key drop. Order every document's shingles
+    * by GLOBAL rarity (df ASC, hash ASC — one total order corpus-wide)
+    * and emit only the first |A| − ⌈t·|A|⌉ + 1 of each as join keys:
+    * if two docs share NO prefix key, their intersection fits inside
+    * one doc's suffix, |A∩B| ≤ ⌈t|A|⌉ − 1 < t·|A| ≤ t·|A∪B|, so
+    * J < t — every qualifying pair is provably kept. At t = 0.8 the
+    * prefix is ~20% of each doc's shingles, and because rarest-first
+    * ordering puts high-df (boilerplate) shingles LAST, prefixes are
+    * rare keys by construction — candidate fan-out per key is small
+    * without dropping anything, where the df-capped baseline must
+    * discard hot keys to stay bounded. Candidates are then verified
+    * exactly against the full hashed shingle sets (array_intersect,
+    * as [[minhashNeardup]]'s verification). Same output contract and
+    * the SAME oracle as [[ngramJaccard]]: the filter is complete, so
+    * the result sets are identical — the differential gate checks the
+    * completeness theorem itself, and PrefixFilterSpec checks the
+    * candidate set is a subset of the df-capped join's.
+    */
+  def prefixFilterJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val dfCount = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+    // rank within doc by global rarity; the per-doc window is bounded
+    // by the doc's own shingle count
+    val ranked = sh.join(dfCount, Seq("sh_h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
+    // prefix length |A| − ⌈0.8·|A|⌉ + 1, in integer arithmetic:
+    // ⌈4n/5⌉ = (4n + 4) div 5 for n ≥ 0
+    val prefix = ranked
+      .filter(col("rnk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
+      .select(col("doc_id"), col("sh_h"))
+    val cand = prefix.toDF("doc_a", "sh_h")
+      .join(prefix.toDF("doc_b", "sh_h"), Seq("sh_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+      col("n_sh").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+      col("n_sh").as("nb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
   /** Directional shingle containment C(A→B) = |A∩B| / |A| ≥ 0.9 — the
     * doc-inside-doc signal symmetric Jaccard misses: a short document
     * quoted whole inside a long one has high containment but low
@@ -1050,6 +1102,7 @@ object DedupOps {
          |FROM documents d LEFT JOIN pc ON d.doc_id = pc.doc_id""".stripMargin)(
       dupCount),
     Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
+    Q("dedup_prefix_filter", jaccardOracle)(prefixFilterJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
     // Detector-agreement readout: SimHash's hamming≤3 pairs scored
     // against the exact Jaccard≥0.8 pairs as truth — the one-row

@@ -1125,6 +1125,30 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word")).limit(10)
   }
 
+  /** Mergeable heavy-hitters across shards — the [[approxTopKWords]]
+    * sketch in its SCATTER-GATHER form (approx_top_k_accumulate per
+    * shard → approx_top_k_combine → estimate), the same partial/merge
+    * algebra as the HLL union family (`approx_distinct_union`): each
+    * shard (here the language partition; at 100 TB, an executor or a
+    * day partition) ships one O(capacity) sketch instead of its
+    * vocabulary, and the coordinator merges sketches — the
+    * communication pattern that makes distributed heavy-hitters an
+    * aggregation-tree problem rather than a shuffle-the-vocabulary
+    * problem. With capacity ≥ vocab the merged counts are exact, so
+    * the exact-top-10 oracle hash-matches (capacity is load-bearing:
+    * see the [[approxTopKWords]] overflow note).
+    */
+  def approxTopKUnion(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(expr("approx_top_k_accumulate(tok, 4096)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 4096), 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(10)
+  }
+
   /** Feature hashing (the "hashing trick") — fixed-width sparse
     * featurization: every token folds into one of [[HashDim]] buckets
     * through the engine-shared md5 bucket (same construction as
@@ -1155,6 +1179,12 @@ object TextAnalysis {
       s"""SELECT tok AS word, COUNT(*) AS cnt
          |FROM (SELECT unnest($tokensSql) AS tok FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 10""".stripMargin)(approxTopKWords),
+    // merged per-shard sketches reproduce the exact global counts
+    // (capacity >= vocab), so the union query shares the exact oracle
+    Q("approx_top_k_union",
+      s"""SELECT tok AS word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($tokensSql) AS tok FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 10""".stripMargin)(approxTopKUnion),
     Q("feature_hashing",
       s"""SELECT doc_id,
          |  ${SplitHash.foldSql("tok")} % $HashDim

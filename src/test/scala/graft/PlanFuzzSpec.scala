@@ -32,11 +32,12 @@ class PlanFuzzSpec extends AnyFunSuite {
   private case class Pred(cond: Column, sql: String)
   private case class GCol(name: String, col: Column, sql: String)
   private case class Agg(name: String, col: Column, sql: String)
+  private case class SelCol(name: String, col: Column, sql: String)
 
   private sealed trait Shape
   private case class GroupAgg(gs: List[GCol], aggs: List[Agg],
       having: Option[Long]) extends Shape
-  private case class Select(cols: List[String], distinct: Boolean) extends Shape
+  private case class Select(cols: List[SelCol], distinct: Boolean) extends Shape
 
   private case class Spec(base: String, preds: List[Pred], shape: Shape) {
     def sql: String = {
@@ -58,7 +59,8 @@ class PlanFuzzSpec extends AnyFunSuite {
           s"SELECT $sel FROM $from$where$grp$having"
         case Select(cols, dist) =>
           val d = if (dist) "DISTINCT " else ""
-          s"SELECT $d${cols.mkString(", ")} FROM $from$where"
+          val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
+          s"SELECT $d$sel FROM $from$where"
       }
     }
   }
@@ -108,8 +110,26 @@ class PlanFuzzSpec extends AnyFunSuite {
     Agg("cntd_os", countDistinct(col("o_orderstatus")),
       "count(DISTINCT o_orderstatus)"))
 
-  private val lSel = List("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
-  private val oSel = List("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+  private def plain(c: String) = SelCol(c + "_c", col(c), c)
+  private val lSel = List("l_orderkey", "l_linenumber", "l_returnflag",
+    "l_linestatus").map(plain) ++ List(
+    // computed projections: scalar string/date/case/int-arith surface
+    SelCol("urf", upper(col("l_returnflag")), "upper(l_returnflag)"),
+    SelCol("shipyr", expr("year(l_shipdate)").cast("long"),
+      "CAST(year(l_shipdate) AS BIGINT)"),
+    SelCol("qband",
+      expr("CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END"),
+      "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END"),
+    SelCol("klsum", expr("l_orderkey + l_linenumber"),
+      "l_orderkey + l_linenumber"))
+  private val oSel = List("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority").map(plain) ++ List(
+    SelCol("pri1", expr("substr(o_orderpriority, 1, 1)"),
+      "substr(o_orderpriority, 1, 1)"),
+    SelCol("lop", length(col("o_orderpriority")).cast("long"),
+      "CAST(length(o_orderpriority) AS BIGINT)"),
+    SelCol("ordyr", expr("year(o_orderdate)").cast("long"),
+      "CAST(year(o_orderdate) AS BIGINT)"))
 
   private def predPool(base: String) = base match {
     case "L" => lPreds
@@ -182,7 +202,7 @@ class PlanFuzzSpec extends AnyFunSuite {
             .agg(aggCols.head, aggCols.tail: _*)
         hav.map(h => agged.filter(col("cnt") > h)).getOrElse(agged)
       case Select(cols, dist) =>
-        val s = filtered.select(cols.map(col): _*)
+        val s = filtered.select(cols.map(c => c.col.as(c.name)): _*)
         if (dist) s.distinct() else s
     }
   }
