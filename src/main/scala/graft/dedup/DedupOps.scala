@@ -239,6 +239,25 @@ object DedupOps {
         round(col("inter") / col("na"), 6).as("containment"))
   }
 
+  /** Recursive-CTE transitive closure over the verified pairs — the
+    * component oracle shared by `dedup_clusters` (min-label fixpoint)
+    * and `dedup_clusters_star` (star contraction): two different
+    * distributed algorithms, one ground truth.
+    */
+  private lazy val clustersOracle =
+    s"""WITH RECURSIVE pairs AS (
+       |$jaccardOracle),
+       |bi AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM bi
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS canonical
+       |FROM reach GROUP BY u""".stripMargin
+
   private val jaccardOracle =
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensSql AS t FROM documents),
@@ -550,6 +569,101 @@ object DedupOps {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the 100 TB companion to the min-label
+    * [[connectedComponents]] fixpoint: min-label needs O(diameter)
+    * rounds (a 10⁶-node path graph = 10⁶ rounds), star contraction
+    * converges in O(log²n) — practically < 10 — rounds REGARDLESS of
+    * diameter, each round the same groupBy-min + equi-join shape.
+    *
+    * large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+    * v > u. small-star on the larger→smaller orientation: m = min of
+    * the smaller neighbors; emit (v, m) for each smaller neighbor and
+    * (u, m). Both preserve connectivity and strictly shrink a
+    * potential until every component is a star on its minimum node.
+    * Convergence = canonical edge set unchanged (xxhash64 checksum +
+    * count — an order-free exact signature).
+    *
+    * Same output contract as [[connectedComponents]]; StarCCSpec pins
+    * equality on the fixture pairs, on random graphs against a local
+    * union-find, and the round count on a long PATH graph (the
+    * diameter-killer min-label cannot survive at scale).
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    starContraction(pairs)._1
+
+  private[dedup] def starContraction(pairs: DataFrame): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    val c = pairs.columns
+    val nodes = pairs.select(col(c(0)).as("node"))
+      .union(pairs.select(col(c(1)).as("node"))).distinct().cache()
+    // Each round's frame is rebuilt over the PREVIOUS round's RDD
+    // (createDataFrame over df.rdd): the SQL plan of every round is a
+    // bounded tree over a LogicalRDD leaf. Without this, each round
+    // references the prior frame ~4× (symmetric view + two grouped
+    // joins) and the logical tree grows 4^rounds — the planner OOMs
+    // printing it long before the data is a problem. RDD lineage
+    // still grows linearly; the per-round cache bounds recompute, and
+    // a production run of depth beyond tens of rounds would move to
+    // reliable checkpoint() exactly as [[connectedComponents]] does.
+    def freshen(df: DataFrame, old: Option[DataFrame]): DataFrame = {
+      val fresh = s.createDataFrame(df.rdd, df.schema).cache()
+      fresh.count() // materialize before releasing the prior round
+      old.foreach(_.unpersist())
+      fresh
+    }
+    var e = freshen(pairs
+      .select(least(col(c(0)), col(c(1))).as("lo"),
+        greatest(col(c(0)), col(c(1))).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct(), None)
+    def checksum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(
+        coalesce(sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")), count(lit(1))).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var prev = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      assert(rounds <= 100, "star contraction failed to converge in 100 rounds")
+      // LARGE-STAR over the symmetric view
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // SMALL-STAR on the larger→smaller orientation of the result
+      val bySmall = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = bySmall.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = bySmall.join(mins2, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins2.select(col("u").as("a"), col("m").as("b")))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      e = freshen(ss, Some(e))
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+    }
+    val labels = nodes
+      .join(e.select(col("hi").as("node"), col("lo").as("label")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("label"))
+      .cache()
+    labels.count() // materialize (node-count-sized), then release inputs
+    e.unpersist()
+    nodes.unpersist()
+    (labels, rounds)
   }
 
   // ---- SimHash ------------------------------------------------------
@@ -1144,19 +1258,14 @@ object DedupOps {
           round(lit(2) * col("tp")
             / (col("n_pred") + col("n_truth")).cast("double"), 6).as("f1"))
     },
-    Q("dedup_clusters",
-      s"""WITH RECURSIVE pairs AS (
-         |$jaccardOracle),
-         |bi AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM bi
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
-         |SELECT u AS doc_id, least(u, min(v)) AS canonical
-         |FROM reach GROUP BY u""".stripMargin)(dedupClusters),
+    Q("dedup_clusters", clustersOracle)(dedupClusters),
+    // same oracle, different algorithm: the O(log n)-round star
+    // contraction must produce exactly the min-label components
+    Q("dedup_clusters_star", clustersOracle) { (s, dir) =>
+      connectedComponentsStar(
+        verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .toDF("doc_id", "canonical")
+    },
     Q("dedup_keep_best",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),
