@@ -271,4 +271,20 @@ class PlanFuzzSpec extends AnyFunSuite {
     assert(specs.exists(s => s.shape match {
       case GroupAgg(_, _, h) => h.isDefined; case _ => false }))
   }
+
+  test("generated plans are shuffle-partition invariant (seeded)") {
+    // the C2 determinism contract, extended from the fixed registry to
+    // GENERATED plans: the same 25 random specs at 1 and 7 shuffle
+    // partitions must produce identical row sets (Spark vs Spark — no
+    // oracle needed, so this runs as a plain in-JVM property)
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+    val specs = Gen.listOfN(25, genSpec)
+      .pureApply(Gen.Parameters.default, Seed(seed + 1))
+    specs.zipWithIndex.foreach { case (spec, i) =>
+      val at1 = withShufflePartitions(1)(canonRows(frame(spec)))
+      val at7 = withShufflePartitions(7)(canonRows(frame(spec)))
+      assert(at1 == at7,
+        s"seed=$seed Q$i diverged across partition counts: ${spec.sql}")
+    }
+  }
 }

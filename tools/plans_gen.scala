@@ -25,6 +25,8 @@ val picks = Seq(
   "join_interval" -> "interval-overlap join: both sides explode to time chunks, hash equi join on chunk + exact residual, distinct collapses multi-chunk pairs — no nested loop",
   "join_fuzzy_jaro" -> "blocked fuzzy join: hash equi join on the block key; the codegen'd jaro_winkler expression scores inside the joined projection",
   "asof_join_native" -> "native as-of exec: one shuffle+sort per side, single-pass merge — no union, no WindowExec (compare the asof_join composed form)",
+  "asof_nearest_native" -> "nearest mode on the same exec: the forward candidate is the merge head already in hand, so the plan is IDENTICAL to backward — no second frame, no union",
+  "dedup_prefix_filter" -> "AllPairs prefix filter: df join ranks shingles by global rarity, the candidate equi join sees only the ~20% rarest per doc, exact verify on candidates via the full-set arrays — complete for J>=0.8 with NO hot-key drop",
   "entity_resolution" -> "record linkage: blocked hash self-join scores jaro candidates, components resolved iteratively, golden-record rollup on the label equi join — dictionary-sized frames only",
   "psi_drift" -> "drift monitor: reference deciles ride as literals (map-only binning of both snapshots), totals window over the 10-row bucket spectrum",
   "topic_words" -> "per-source tf-idf rank: WindowGroupLimit keeps only K rows per source below the sort; df side aggregates the Heaps-bounded (source,word) frame",
