@@ -487,8 +487,17 @@ object DedupOps {
     * makes.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
-      .toDF("doc_id", "canonical")
+    // cluster labels are model state per (session, dataset) — the
+    // entityResolution precedent: four consumers (clusters, keep_best,
+    // leakage_safe_split, the star twin's oracle partner) must not
+    // each re-run the component fixpoint. The fixpoint's own final
+    // frame is already cached+materialized by connectedComponents;
+    // the memo just keys the (renamed) view so repeated calls reuse it.
+    pairMemo("clusters", s, dir) {
+      connectedComponents(
+        verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .toDF("doc_id", "canonical")
+    }
 
   /** Quality-aware cluster survivorship — the policy upgrade over
     * "keep the minimum doc_id": within each near-dup cluster keep the

@@ -43,6 +43,17 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("cluster-label memo races COLD (multi-job fixpoint inside the compute closure)") {
+    // dedupClusters memoizes the component fixpoint per (session,
+    // dataset); dedup_keep_best and dedup_clusters consume it — the
+    // exact compute-outside-lock shape GraphOps pioneered, raced here
+    // with the pair memo also cold so the full chain (pairs →
+    // fixpoint → survivors) runs under contention
+    graft.dedup.DedupOps.clearPairCache()
+    runConcurrent(Seq("dedup_clusters", "dedup_keep_best", "dedup_clusters_star"),
+      concurrentFirst = true)
+  }
+
   test("memoized iterative operators race COLD (graph + golden-record memos)") {
     // graphBfs/graphCommunities go through GraphOps.memo and
     // entityResolution through its keyed cache — all three run
