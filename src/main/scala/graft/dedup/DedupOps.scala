@@ -258,6 +258,45 @@ object DedupOps {
        |SELECT u AS doc_id, least(u, min(v)) AS canonical
        |FROM reach GROUP BY u""".stripMargin
 
+  /** [[containmentPairs]] through the ASYMMETRIC prefix filter — the
+    * directional counterpart of [[prefixFilterJaccard]]: containment
+    * C(A→B) = |A∩B|/|A| ≥ t bounds the intersection by t·|A| alone,
+    * so only the CONTAINED side needs a prefix (|A| − ⌈t·|A|⌉ + 1
+    * rarest shingles, ~10% at t = 0.9); the containing side joins
+    * with its full bag. If A's rarity prefix misses A∩B entirely, the
+    * intersection fits in the ⌈t|A|⌉ − 1 commonest shingles — smaller
+    * than t·|A| — so C < t: every qualifying directed pair survives.
+    * Same output contract and oracle as the df-capped baseline; the
+    * gate checks completeness, PrefixFilterSpec checks equality.
+    */
+  def containmentPrefixFilter(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val dfCount = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfCount, Seq("sh_h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
+    // t = 0.9: ⌈9n/10⌉ = (9n + 9) div 10
+    val prefixA = ranked
+      .filter(col("rnk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("sh_h"))
+    val fullB = sh.select(col("doc_id").as("doc_b"), col("sh_h"))
+    val cand = prefixA.join(fullB, Seq("sh_h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .filter(col("inter") / col("na") >= 0.9)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("na"), 6).as("containment"))
+  }
+
   private val jaccardOracle =
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensSql AS t FROM documents),
@@ -1213,6 +1252,25 @@ object DedupOps {
          |SELECT doc_a, doc_b, round(inter / sa.n, 6) AS containment
          |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
          |WHERE inter / sa.n >= 0.9""".stripMargin)(containmentPairs),
+    // asymmetric prefix filter, same oracle as the df-capped baseline:
+    // the gate checks the directional completeness theorem
+    Q("dedup_containment_prefix",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(inter / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |WHERE inter / sa.n >= 0.9""".stripMargin)(containmentPrefixFilter),
     Q("dup_count",
       s"""WITH pr AS (
          |$jaccardOracle),

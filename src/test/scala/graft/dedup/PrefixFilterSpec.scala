@@ -50,6 +50,15 @@ class PrefixFilterSpec extends AnyFunSuite {
       s"exact-threshold pair lost or mangled: $got")
   }
 
+  test("asymmetric containment prefix filter equals the df-capped baseline") {
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val base = pairs(DedupOps.containmentPairs(spark, dir))
+      val pf = pairs(DedupOps.containmentPrefixFilter(spark, dir))
+      assert(pf == base, s"containment result sets differ at $dir")
+      assert(pf.nonEmpty, s"no containment pairs at $dir")
+    }
+  }
+
   test("the prefix bag is a small fraction of the full shingle bag (candidate economy)") {
     // the economy claim behind the operator: at t = 0.8 each doc
     // contributes ~20% of its shingles as join keys, so the candidate
