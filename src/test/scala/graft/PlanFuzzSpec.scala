@@ -37,7 +37,13 @@ class PlanFuzzSpec extends AnyFunSuite {
   private sealed trait Shape
   private case class GroupAgg(gs: List[GCol], aggs: List[Agg],
       having: Option[Long]) extends Shape
-  private case class Select(cols: List[SelCol], distinct: Boolean) extends Shape
+  /** topk: ORDER BY the base's unique key LIMIT n — deterministic
+    * because the sort key is total; NULLS FIRST is rendered
+    * explicitly (Spark's ASC default) since DuckDB's ASC default is
+    * NULLS LAST. Mutually exclusive with distinct.
+    */
+  private case class Select(cols: List[SelCol], distinct: Boolean,
+      topk: Option[Int] = None) extends Shape
 
   private case class Spec(base: String, preds: List[Pred], shape: Shape) {
     def sql: String = {
@@ -57,10 +63,20 @@ class PlanFuzzSpec extends AnyFunSuite {
             else " GROUP BY " + gs.map(_.sql).mkString(", ")
           val having = hav.map(h => s" HAVING count(*) > $h").getOrElse("")
           s"SELECT $sel FROM $from$where$grp$having"
-        case Select(cols, dist) =>
+        case Select(cols, dist, topk) =>
           val d = if (dist) "DISTINCT " else ""
           val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
-          s"SELECT $d$sel FROM $from$where"
+          val tail = topk.map { n =>
+            // the fixture's (l_orderkey, l_linenumber) is NOT unique
+            // (TPC-H-ish, not TPC-H — seed 5150 found the boundary),
+            // so ties beyond the key break by every OUTPUT expression:
+            // rows still tied are output-identical, making the LIMIT
+            // multiset deterministic even without a total base key
+            val keys = (sortKeys(base) ++ cols.map(_.sql))
+              .map(k => s"$k ASC NULLS FIRST")
+            s" ORDER BY ${keys.mkString(", ")} LIMIT $n"
+          }.getOrElse("")
+          s"SELECT $d$sel FROM $from$where$tail"
       }
     }
   }
@@ -151,6 +167,12 @@ class PlanFuzzSpec extends AnyFunSuite {
     case "O" => oSel
     case _   => lSel ++ oSel
   }
+  /** A TOTAL key per base — what makes ORDER BY + LIMIT deterministic. */
+  private def sortKeys(base: String): List[String] = base match {
+    case "L" | "J" => List("l_orderkey", "l_linenumber")
+    case "O"       => List("o_orderkey")
+    case "LJ"      => List("o_orderkey", "l_orderkey", "l_linenumber")
+  }
 
   // ---- generator -----------------------------------------------------
 
@@ -170,8 +192,13 @@ class PlanFuzzSpec extends AnyFunSuite {
     for {
       ns <- Gen.choose(1, 4)
       cols <- Gen.pick(ns, selPool(base))
-      dist <- Gen.oneOf(true, false)
-    } yield Select(cols.toList, dist))
+      kind <- Gen.choose(0, 2) // 0 = plain, 1 = distinct, 2 = top-k
+      n <- Gen.choose(1, 50)
+    } yield kind match {
+      case 1 => Select(cols.toList, distinct = true)
+      case 2 => Select(cols.toList, distinct = false, topk = Some(n))
+      case _ => Select(cols.toList, distinct = false)
+    })
 
   private val genSpec: Gen[Spec] = for {
     base <- Gen.oneOf("L", "O", "J", "LJ")
@@ -201,8 +228,15 @@ class PlanFuzzSpec extends AnyFunSuite {
           else filtered.groupBy(gs.map(g => g.col.as(g.name)): _*)
             .agg(aggCols.head, aggCols.tail: _*)
         hav.map(h => agged.filter(col("cnt") > h)).getOrElse(agged)
-      case Select(cols, dist) =>
-        val s = filtered.select(cols.map(c => c.col.as(c.name)): _*)
+      case Select(cols, dist, topk) =>
+        val ordered = topk match {
+          case Some(n) => filtered
+            .orderBy((sortKeys(spec.base).map(col) ++ cols.map(_.col))
+              .map(_.asc_nulls_first): _*)
+            .limit(n)
+          case None => filtered
+        }
+        val s = ordered.select(cols.map(c => c.col.as(c.name)): _*)
         if (dist) s.distinct() else s
     }
   }
