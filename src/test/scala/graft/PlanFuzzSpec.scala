@@ -209,14 +209,16 @@ class PlanFuzzSpec extends AnyFunSuite {
 
   // ---- execution -----------------------------------------------------
 
+  private val fuzzDir = sys.env.getOrElse("GRAFT_FUZZ_SF", sfTiny)
+
   private def frame(spec: Spec): DataFrame = {
     val base = spec.base match {
-      case "L" => Tables.lineitem(spark, sfTiny)
-      case "O" => Tables.orders(spark, sfTiny)
-      case "J" => Tables.lineitem(spark, sfTiny)
-        .join(Tables.orders(spark, sfTiny), col("l_orderkey") === col("o_orderkey"))
-      case "LJ" => Tables.orders(spark, sfTiny)
-        .join(Tables.lineitem(spark, sfTiny),
+      case "L" => Tables.lineitem(spark, fuzzDir)
+      case "O" => Tables.orders(spark, fuzzDir)
+      case "J" => Tables.lineitem(spark, fuzzDir)
+        .join(Tables.orders(spark, fuzzDir), col("l_orderkey") === col("o_orderkey"))
+      case "LJ" => Tables.orders(spark, fuzzDir)
+        .join(Tables.lineitem(spark, fuzzDir),
           col("o_orderkey") === col("l_orderkey"), "left")
     }
     val filtered = spec.preds.foldLeft(base)((d, p) => d.filter(p.cond))
@@ -250,6 +252,8 @@ class PlanFuzzSpec extends AnyFunSuite {
 
   test("100 generated plans match DuckDB row-for-row (seeded)") {
     val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+    // GRAFT_FUZZ_SF overrides the fixture dir (e.g. sf0.01) for
+    // larger-scale fuzz sweeps; default stays the fast tiny fixture
     val n = 100
     val specs = Gen.listOfN(n, genSpec)
       .pureApply(Gen.Parameters.default, Seed(seed))
@@ -262,7 +266,7 @@ class PlanFuzzSpec extends AnyFunSuite {
     // spark side first (also warms the session before timing anything)
     val sparkResults = specs.map(s => canonRows(frame(s)))
     val runner = new java.io.File("tools/fuzz_runner.py").getAbsolutePath
-    val rc = new ProcessBuilder("python3", runner, sfTiny,
+    val rc = new ProcessBuilder("python3", runner, fuzzDir,
       sqlFile.toString, outFile.toString).inheritIO().start().waitFor()
     assert(rc == 0, s"fuzz_runner.py exited $rc")
     // parse duckdb blocks
