@@ -714,6 +714,36 @@ object DedupOps {
     (labels, rounds)
   }
 
+  /** INCREMENTAL cluster maintenance — merge a new ingest batch's
+    * near-dup pairs into the EXISTING corpus's components without
+    * re-clustering the corpus: the daily-crawl shape where the old
+    * component structure is 100 TB of settled state and the batch is
+    * a sliver. Old components collapse to star edges (node → root,
+    * node-count-sized regardless of how many pairs built them), so
+    * the incremental contraction runs over |old components| + |batch
+    * pairs| edges — never the historical pair set — and, since the
+    * old part is ALREADY stars, converges in O(log batch) rounds.
+    * The new batch is [[dedupIncremental]]'s convention (doc_id ≡
+    * [[IncBatchMod]] mod 10). Output must equal the full recompute
+    * EXACTLY — the defining correctness claim of incremental view
+    * maintenance — so the registry entry shares [[dedupClusters]]'s
+    * transitive-closure oracle and IncrementalCCSpec additionally
+    * pins Spark-side equality with the one-shot clustering.
+    */
+  def dedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isNew = (d: org.apache.spark.sql.Column) =>
+      pmod(d, lit(10)) === IncBatchMod
+    val pairs = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val oldPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+    val batchPairs = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+    // settled state: components of the old corpus, as star edges
+    val oldStars = connectedComponentsStar(oldPairs)
+      .filter(col("node") =!= col("label"))
+    val merged = connectedComponentsStar(
+      oldStars.union(batchPairs.toDF("node", "label")))
+    merged.toDF("doc_id", "canonical")
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 60-bit SimHash over unigram tokens (occurrence-weighted): bit j
@@ -1089,7 +1119,7 @@ object DedupOps {
        |FROM j WHERE j >= 0.5 GROUP BY 1""".stripMargin
 
   /** Modulus selecting the "incoming batch" slice: doc_id % 10 == 7. */
-  private val IncBatchMod = 7
+  private[dedup] val IncBatchMod = 7
 
   /** Incremental dedup — the production shape: a new ingest batch
     * (here the deterministic doc_id % 10 == [[IncBatchMod]] slice)
@@ -1333,6 +1363,9 @@ object DedupOps {
         verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
         .toDF("doc_id", "canonical")
     },
+    // incremental maintenance must equal the full recompute exactly —
+    // one more algorithm under the same transitive-closure oracle
+    Q("dedup_clusters_incr", clustersOracle)(dedupClustersIncremental),
     Q("dedup_keep_best",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),

@@ -51,6 +51,21 @@ class StarCCSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cluster maintenance equals the one-shot clustering") {
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val full = labelsOf(DedupOps.dedupClusters(spark, dir))
+      val incr = labelsOf(DedupOps.dedupClustersIncremental(spark, dir))
+      assert(incr == full, s"incremental diverged from full recompute at $dir")
+      // the split must actually exercise the merge: some pair crosses
+      // the old/new boundary, else the test proves nothing
+      val pairs = DedupOps.verifiedPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.exists { case (a, b) =>
+        (a % 10 == DedupOps.IncBatchMod) != (b % 10 == DedupOps.IncBatchMod) },
+        s"no old-new crossing pair at $dir — split degenerate")
+    }
+  }
+
   test("path graph: star contraction needs O(log n) rounds where min-label needs O(n)") {
     // a 256-node path has diameter 255: min-label propagation would
     // need ~255 rounds; star contraction must collapse it in under 12
