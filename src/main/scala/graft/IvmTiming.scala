@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
+/** Evidence tool (Bench's sibling): the incremental-vs-oneshot timing
+  * pair for near-dup cluster maintenance — the number that SHOWS the
+  * IVM economics (merge cost ≪ recompute cost) instead of arguing
+  * them. The registry's `dedup_clusters_incr` entry proves the
+  * CORRECTNESS identity (incremental ≡ full recompute, against the
+  * transitive-closure oracle); this main measures the cost side on
+  * the same fixture:
+  *
+  *  - oneshot  = a full star contraction over ALL verified pairs
+  *    (what a pipeline that re-clusters the corpus per ingest pays);
+  *  - incremental = the merge of the batch's pairs into the memoized
+  *    settled star edges ([[graft.dedup.DedupOps.settledStars]] —
+  *    "yesterday's index", warmed untimed), i.e. what the maintenance
+  *    path actually pays per ingest.
+  *
+  * Both sides run after an untimed warm-up contraction so JIT/codegen
+  * warm-up doesn't land on the oneshot number. Candidate generation
+  * (verifiedPairs) is warmed untimed too — it is identical work on
+  * both sides and already measured by `dedup_ngram_jaccard`.
+  *
+  * Wall-clock alone understates the saving at fixture scale twice
+  * over: a contraction round costs ~fixed scheduler overhead plus
+  * data-proportional work (the fixed part dominates on kilobyte
+  * fixtures), and the fixture's pair graph is ~1:1 pairs-to-nodes
+  * (shallow planted clusters), so the edge collapse that funds IVM —
+  * a settled d-member cluster is d·(d−1)/2 historical pairs but only
+  * d−1 star edges — is structurally absent. The fixture line
+  * therefore also reports input edge counts and rounds, and a second
+  * line measures a deterministic DENSE-cluster graph (many cliques,
+  * the shape real near-dup clusters take: J ≥ 0.8 is near-transitive,
+  * so a duplicated page's cluster is almost a clique) where the
+  * collapse is visible in wall-clock, not just in the edge counts.
+  * Two JSON lines; recorded in BASELINE.md.
+  */
+object IvmTiming {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val pairs = graft.dedup.DedupOps.verifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    pairs.count() // warm the pair memo — not part of either side
+
+    // untimed warm-up contraction (JIT, codegen, broadcast plumbing)
+    locally {
+      val warm = graft.dedup.DedupOps.connectedComponentsStar(pairs)
+      warm.count(); warm.unpersist()
+    }
+    var oneshotRounds = 0
+    val oneshot = secs {
+      val (cc, r) = graft.dedup.DedupOps.starContraction(pairs)
+      cc.count(); cc.unpersist()
+      oneshotRounds = r
+    }
+    val oneshotEdges = pairs.count()
+    // settle yesterday's index untimed, then time the merge only
+    val stars = graft.dedup.DedupOps.settledStars(spark, dir)
+    val starEdges = stars.count()
+    val isNew = pmod(col("doc_a"), lit(10)) === graft.dedup.DedupOps.IncBatchMod ||
+      pmod(col("doc_b"), lit(10)) === graft.dedup.DedupOps.IncBatchMod
+    val batchEdges = pairs.filter(isNew).count()
+    var incrRounds = 0
+    val incremental = secs {
+      val (cc, r) = graft.dedup.DedupOps.starContraction(
+        stars.union(pairs.filter(isNew).toDF("node", "label")))
+      cc.count(); cc.unpersist()
+      incrRounds = r
+    }
+    val f3 = (d: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"metric":"ivm_cluster_maintenance","sf":"$dir",""" +
+      s""""oneshot_sec":${f3(oneshot)},"incremental_sec":${f3(incremental)},""" +
+      s""""oneshot_edges":$oneshotEdges,"incremental_edges":${starEdges + batchEdges},""" +
+      s""""oneshot_rounds":$oneshotRounds,"incremental_rounds":$incrRounds}""")
+
+    // dense-cluster demonstration: 2000 settled cliques of 50 members
+    // (2.45M historical pairs), plus a batch that adds one new member
+    // to each cluster. Oneshot re-contracts all pairs; maintenance
+    // contracts 98k star edges + the 2k batch pairs. Deterministic —
+    // no RNG — and executed through the same starContraction code.
+    import spark.implicits._
+    val k = 2000
+    val m = 50
+    val cliquePairs = spark.range(k.toLong).as[Long].flatMap { cl =>
+      val base = cl * 1000L
+      for (i <- 0 until m; j <- (i + 1) until m)
+        yield (base + i, base + j)
+    }.toDF("a", "b").cache()
+    val nPairs = cliquePairs.count()
+    val newMember = spark.range(k.toLong).as[Long]
+      .map(cl => (cl * 1000L, cl * 1000L + m))
+      .toDF("a", "b").cache()
+    val nBatch = newMember.count()
+    locally { // warm-up for the bigger shuffle sizes
+      val (w, _) = graft.dedup.DedupOps.starContraction(cliquePairs)
+      w.count(); w.unpersist()
+    }
+    var denseOneRounds = 0
+    val denseOneshot = secs {
+      val (cc, r) = graft.dedup.DedupOps.starContraction(
+        cliquePairs.union(newMember))
+      cc.count(); cc.unpersist()
+      denseOneRounds = r
+    }
+    val (settled, _) = graft.dedup.DedupOps.starContraction(cliquePairs)
+    val denseStars = settled.filter(col("node") =!= col("label")).cache()
+    val nStars = denseStars.count()
+    settled.unpersist()
+    var denseIncrRounds = 0
+    val denseIncr = secs {
+      val (cc, r) = graft.dedup.DedupOps.starContraction(
+        denseStars.union(newMember.toDF("node", "label")))
+      cc.count(); cc.unpersist()
+      denseIncrRounds = r
+    }
+    println(s"""{"metric":"ivm_dense_clusters","cliques":$k,"members":$m,""" +
+      s""""oneshot_sec":${f3(denseOneshot)},"incremental_sec":${f3(denseIncr)},""" +
+      s""""oneshot_edges":${nPairs + nBatch},"incremental_edges":${nStars + nBatch},""" +
+      s""""oneshot_rounds":$denseOneRounds,"incremental_rounds":$denseIncrRounds,""" +
+      s""""speedup":${f3(denseOneshot / denseIncr)}}""")
+    spark.stop()
+  }
+}

@@ -23,7 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     a dead session's plans;
   *   - `compute` must return a PERSISTED frame (and should have
   *     materialized it if callers depend on lineage truncation) —
-  *     the memo is the one place that bounds how many survive.
+  *     the memo is the one place that bounds how many survive. A
+  *     RENAME-ONLY projection of a persisted frame qualifies: it
+  *     canonically resolves to the child's cache entry, so reads hit
+  *     the cache and `unpersist()` (clear(), race-loser cleanup)
+  *     propagates through the rename — CacheSemanticsSpec pins both
+  *     properties. Any other derivation (filter, join, agg) must
+  *     cache + materialize its own output and release inner frames.
   */
 private[graft] final class KeyedMemo {
   private val cache =

@@ -85,9 +85,19 @@ object VectorFunctions {
     new ExpressionInfo(classOf[DotProductFloat].getName, "vec_dot"),
     (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1)))
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    // register only when absent: every query that uses the function
+    // calls this, and an unconditional createOrReplace emits one
+    // "replaced a previously registered function" WARN per query build
+    // — dozens per bench sweep, drowning any registry WARN that
+    // actually matters. A rare concurrent double-register is harmless
+    // (same definition, one redundant WARN); VectorExpressionsSpec
+    // covers the two-instances-in-one-projection codegen path.
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Codegen'd dot product; caller must have invoked [[register]]. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

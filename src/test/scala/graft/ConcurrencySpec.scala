@@ -48,9 +48,13 @@ class ConcurrencySpec extends AnyFunSuite {
     // dataset); dedup_keep_best and dedup_clusters consume it — the
     // exact compute-outside-lock shape GraphOps pioneered, raced here
     // with the pair memo also cold so the full chain (pairs →
-    // fixpoint → survivors) runs under contention
+    // fixpoint → survivors) runs under contention. dedup_clusters_incr
+    // adds the NESTED memo shape (its compute closure calls the
+    // settled_stars memo, which calls verifiedPairs — three keyed
+    // entries resolved under the same contention).
     graft.dedup.DedupOps.clearPairCache()
-    runConcurrent(Seq("dedup_clusters", "dedup_keep_best", "dedup_clusters_star"),
+    runConcurrent(Seq("dedup_clusters", "dedup_keep_best",
+        "dedup_clusters_star", "dedup_clusters_incr"),
       concurrentFirst = true)
   }
 

@@ -78,4 +78,19 @@ class StarCCSpec extends AnyFunSuite {
       s"expected logarithmic convergence, took $rounds rounds")
     labels.unpersist()
   }
+
+  test("checkpointed contraction produces identical labels on a deep path") {
+    // the production lineage-truncation path: every 2nd round runs a
+    // reliable checkpoint() instead of cache(), cutting RDD lineage
+    // (the per-round LogicalRDD rebuild bounds only the SQL tree) —
+    // the shape a fault-tolerant 100 TB run needs so a lost executor
+    // replays at most checkpointInterval rounds, not the whole loop
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    val plain = labelsOf(DedupOps.connectedComponentsStar(path))
+    val ckpt = labelsOf(DedupOps.connectedComponentsStar(path, checkpointInterval = 2))
+    assert(ckpt == plain, "checkpointing changed the component labels")
+    assert(ckpt == (0L to 255L).map(_ -> 0L).toMap)
+  }
 }
