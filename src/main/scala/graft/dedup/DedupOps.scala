@@ -186,35 +186,118 @@ object DedupOps {
     * PrefixFilterSpec checks the candidate economy and threshold
     * boundary cases.
     */
-  def prefixFilterJaccard(s: SparkSession, dir: String): DataFrame = {
+  def prefixFilterJaccard(s: SparkSession, dir: String): DataFrame =
+    verifyJaccardPairs(s, dir, prefixFilterCandidates(s, dir))
+
+  /** Per-doc shingles ranked by the corpus-wide rarity order (df ASC,
+    * hash ASC) — the shared substrate of the prefix-filter family
+    * ([[prefixFilterJaccard]], [[ppjoinJaccard]],
+    * [[containmentPrefixFilter]]). The rank window is per-doc, bounded
+    * by the doc's own shingle count.
+    */
+  private def rarityRanked(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val dfCount = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
-    // rank within doc by global rarity; the per-doc window is bounded
-    // by the doc's own shingle count
-    val ranked = sh.join(dfCount, Seq("sh_h"))
+    sh.join(dfCount, Seq("sh_h"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
+  }
+
+  /** AllPairs candidate generation: prefix-only self-join, one row per
+    * (doc_a < doc_b) pair. Exposed so PrefixFilterSpec can compare
+    * candidate economies across the filter ladder.
+    */
+  private[graft] def prefixFilterCandidates(
+      s: SparkSession, dir: String): DataFrame = {
     // prefix length |A| − ⌈0.8·|A|⌉ + 1, in integer arithmetic:
     // ⌈4n/5⌉ = (4n + 4) div 5 for n ≥ 0
-    val prefix = ranked
+    val prefix = rarityRanked(s, dir)
       .filter(col("rnk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
       .select(col("doc_id"), col("sh_h"))
-    val cand = prefix.toDF("doc_a", "sh_h")
+    prefix.toDF("doc_a", "sh_h")
       .join(prefix.toDF("doc_b", "sh_h"), Seq("sh_h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact verification of candidate pairs against the full hashed
+    * shingle sets — shared by every symmetric prefix-family variant;
+    * same output contract and rounding as [[ngramJaccard]].
+    */
+  private def verifyJaccardPairs(
+      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
     val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
       col("n_sh").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
       col("n_sh").as("nb"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    cand.select(col("doc_a"), col("doc_b"))
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** [[prefixFilterJaccard]] plus PPJoin's LENGTH and POSITIONAL
+    * filters (Xiao et al., WWW'08) — the next rung on the AllPairs
+    * ladder: same complete candidate space, strictly more pruning
+    * before the expensive full-set verification.
+    *
+    *  - Length filter: J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|),
+    *    and |A∩B| ≤ min(|A|,|B|), so min ≥ t·max — at t = 4/5 the
+    *    integer form is 5·min(na,nb) ≥ 4·max(na,nb). Applied on the
+    *    prefix join itself (both sides carry their set size), so
+    *    length-incompatible pairs never reach the pair aggregation.
+    *  - Positional filter: for a candidate pair take its FIRST shared
+    *    prefix key in the global rarity order — positions (i, j) in
+    *    A's and B's rank orders. Any common key ordered before it
+    *    would sit at smaller ranks in BOTH prefixes (ranks restrict
+    *    one global order) and would itself be an earlier shared
+    *    prefix match, so no common key precedes it:
+    *    |A∩B| ≤ 1 + min(na − i, nb − j). J ≥ t needs
+    *    |A∩B| ≥ ⌈t/(1+t)·(na+nb)⌉ (= ⌈4(na+nb)/9⌉ at t = 4/5), so
+    *    pairs whose positional bound falls short are pruned with NO
+    *    set lookup. This is the standard batch/set-join adaptation of
+    *    PPJoin's running positional filter: using only the first
+    *    shared key keeps completeness (the in-order accumulation of
+    *    the original is inherently sequential) while pruning the
+    *    long-tail candidates whose only shared rare key sits deep in
+    *    one doc's suffix.
+    *
+    * Same oracle as [[ngramJaccard]]/[[prefixFilterJaccard]] — the
+    * gate checks that the extra filters lose nothing; PrefixFilterSpec
+    * asserts the candidate set is a subset of the plain prefix
+    * filter's (the economy that justifies the rung).
+    */
+  def ppjoinJaccard(s: SparkSession, dir: String): DataFrame =
+    verifyJaccardPairs(s, dir, ppjoinCandidates(s, dir))
+
+  private[graft] def ppjoinCandidates(
+      s: SparkSession, dir: String): DataFrame = {
+    val pr = rarityRanked(s, dir)
+      .filter(col("rnk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
+    val a = pr.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+      col("rnk").as("ra"), col("sh_h"))
+    val b = pr.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+      col("rnk").as("rb"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter before the pair aggregation
+      .filter(lit(5) * least(col("na"), col("nb")) >=
+        lit(4) * greatest(col("na"), col("nb")))
+      // first shared prefix key = lexicographic min of (ra, rb): both
+      // rank orders restrict the same global order, so the key with
+      // the smallest ra also has the smallest rb among shared keys
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(min(struct(col("ra"), col("rb"))).as("f"))
+      .filter(lit(1) + least(col("na") - col("f.ra"), col("nb") - col("f.rb"))
+        >= expr("(4 * (na + nb) + 8) div 9"))
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Directional shingle containment C(A→B) = |A∩B| / |A| ≥ 0.9 — the
@@ -276,12 +359,8 @@ object DedupOps {
   def containmentPrefixFilter(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val dfCount = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfCount, Seq("sh_h"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
     // t = 0.9: ⌈9n/10⌉ = (9n + 9) div 10
-    val prefixA = ranked
+    val prefixA = rarityRanked(s, dir)
       .filter(col("rnk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
       .select(col("doc_id").as("doc_a"), col("sh_h"))
     val fullB = sh.select(col("doc_id").as("doc_b"), col("sh_h"))
@@ -1386,6 +1465,9 @@ object DedupOps {
       dupCount),
     Q("dedup_ngram_jaccard", jaccardOracle)(ngramJaccard),
     Q("dedup_prefix_filter", jaccardOracle)(prefixFilterJaccard),
+    // the positional/length-filter rung: same complete result, fewer
+    // candidates reach verification — the gate shares the exact oracle
+    Q("dedup_ppjoin", jaccardOracle)(ppjoinJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
     // Detector-agreement readout: SimHash's hamming≤3 pairs scored
     // against the exact Jaccard≥0.8 pairs as truth — the one-row

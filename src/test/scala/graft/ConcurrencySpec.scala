@@ -71,6 +71,16 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("settled ANN index memo races COLD (ivf maintenance path)") {
+    // cosine_topk_ivf_incr reads the settled inverted-list memo;
+    // cosine_topk_ivf rebuilds the index live — racing both against
+    // the brute-force baseline exercises the cold-miss path of the
+    // annMemo while concurrent full builds run on the same session
+    graft.sim.SimOps.clearAnnCache()
+    runConcurrent(Seq("cosine_topk_ivf_incr", "cosine_topk_ivf", "cosine_topk"),
+      concurrentFirst = true)
+  }
+
   test("native as-of races its strategy installation on a fresh session") {
     // asofJoinNative mutates experimental.extraStrategies on first
     // use (a synchronized read-modify-write); race it from a session

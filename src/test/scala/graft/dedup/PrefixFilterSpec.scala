@@ -50,6 +50,99 @@ class PrefixFilterSpec extends AnyFunSuite {
       s"exact-threshold pair lost or mangled: $got")
   }
 
+  test("ppjoin equals the prefix filter and the df-capped baseline exactly") {
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val base = pairs(DedupOps.ngramJaccard(spark, dir))
+      val pp = pairs(DedupOps.ppjoinJaccard(spark, dir))
+      assert(pp == base, s"ppjoin result diverged at $dir")
+      assert(pp.nonEmpty, s"no near-dup pairs at $dir")
+    }
+  }
+
+  test("positional+length filters prune candidates but never results") {
+    // the economy that justifies the PPJoin rung: its candidate set
+    // must be a subset of the plain prefix filter's — and on the
+    // fixture a strict one (some pair must actually be pruned by the
+    // positional or length bound, else the rung is dead code here)
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val prefixCand = DedupOps.prefixFilterCandidates(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ppCand = DedupOps.ppjoinCandidates(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ppCand.subsetOf(prefixCand),
+        s"ppjoin candidates not a subset at $dir")
+      // every verified result pair must still be among the candidates
+      val results = pairs(DedupOps.ngramJaccard(spark, dir))
+        .map(p => (p._1, p._2))
+      assert(results.subsetOf(ppCand),
+        s"a qualifying pair was pruned at $dir — completeness broken")
+    }
+  }
+
+  test("positional filter prunes low-J candidates the prefix filter keeps") {
+    import spark.implicits._
+    // A fixture where the prefix filter PROVABLY over-generates and
+    // the positional filter provably repairs it. Two duplicated docs
+    // X (×2) and Y (×2); Y = X with the last 5 of 32 tokens replaced,
+    // so each side has u = 5 unique shingles of n = 30 and they share
+    // 25: J = 25/35 ≈ 0.714 < 0.8. Duplication makes every SHARED
+    // shingle df = 4 and every unique one df = 2, so the rarity order
+    // puts the 5 unique keys first and the prefix (30 − 24 + 1 = 7
+    // keys) necessarily includes 2 shared keys — and both docs draw
+    // them from the SAME 25-key shared set under the same global
+    // order, so the cross pairs (X, Y) enter the candidate set
+    // deterministically. The positional bound then kills them: the
+    // first shared key sits at rank i = j = 6, so
+    // 1 + min(30−6, 30−6) = 25 < ⌈4·60/9⌉ = 27 — pruned with no set
+    // lookup, while the duplicate pairs (rank-1 first shared key,
+    // bound 30 ≥ 27) survive. Exactly the economy PPJoin adds.
+    val xToks = ('a' to 'z').map(c => s"t$c") ++
+      Seq("tza", "tzb", "tzc", "tzd", "tze", "tzf")
+    val yToks = xToks.dropRight(5) ++ Seq("zaa", "zab", "zac", "zad", "zae")
+    assert(xToks.length == 32 && yToks.length == 32)
+    val docs = Seq(
+      (1L, xToks.mkString(" ")), (2L, xToks.mkString(" ")),
+      (3L, yToks.mkString(" ")), (4L, yToks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pos").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prefixCand = DedupOps.prefixFilterCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ppCand = DedupOps.ppjoinCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(cross.subsetOf(prefixCand),
+      s"prefix filter lost the planted cross candidates: $prefixCand")
+    assert(ppCand.intersect(cross).isEmpty,
+      s"positional filter failed to prune the J=0.714 pairs: $ppCand")
+    assert(ppCand == Set((1L, 2L), (3L, 4L)),
+      s"duplicate pairs mangled: $ppCand")
+    // and the verified outputs agree (both return only the J=1 pairs)
+    assert(pairs(DedupOps.ppjoinJaccard(spark, dir)) ==
+      pairs(DedupOps.prefixFilterJaccard(spark, dir)))
+  }
+
+  test("ppjoin keeps the exact-threshold J = 0.8 boundary pair") {
+    import spark.implicits._
+    // same construction as the prefix-filter boundary test: |A|=9,
+    // |B|=9, inter=8 → J = 8/10 = 0.8 exactly; the positional bound
+    // must not prune it (first shared key is rank 1 in both docs →
+    // bound 1 + min(8, 8) = 9 ≥ ⌈4·18/9⌉ = 8)
+    val aToks = ('a' to 'k').map(c => s"t$c")
+    val bToks = ('a' to 'j').map(c => s"t$c") :+ "zz"
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = pairs(DedupOps.ppjoinJaccard(spark, dir))
+    assert(got == Set((1L, 2L, 0.8)),
+      s"exact-threshold pair lost or mangled by ppjoin: $got")
+  }
+
   test("asymmetric containment prefix filter equals the df-capped baseline") {
     for (dir <- Seq(sfTiny, sfSmall)) {
       val base = pairs(DedupOps.containmentPairs(spark, dir))

@@ -250,6 +250,27 @@ class SimSpec extends AnyFunSuite {
     assert(mean > 0.8 && mean < 1.2, s"norm-preservation ratio drifted: $mean")
   }
 
+  test("incremental IVF maintenance equals the one-shot index exactly") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val full = SimOps.cosineTopkIvf(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val incr = SimOps.cosineTopkIvfIncremental(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(incr == full, s"incremental index diverged at $dir")
+      // the identity must be exercised: the batch slice is nonempty
+      // AND some batch vector actually appears in the merged lists
+      val batch = SimOps.settledIvfAssignments(spark, dir)
+      val batchAssigned = graft.Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(10)) ===
+          graft.dedup.DedupOps.IncBatchMod).count()
+      assert(batchAssigned > 0, s"batch slice empty at $dir — test degenerate")
+      assert(batch.filter(pmod(col("vec_id"), lit(10)) ===
+        graft.dedup.DedupOps.IncBatchMod).count() == 0,
+        "settled lists leaked batch vectors — not an incremental test")
+    }
+  }
+
   test("IVF recall curve is monotone in probes and exhaustive at full probing") {
     val rows = SimOps.ivfRecallCurve(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
