@@ -6,13 +6,17 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Randomized differential fuzzing — extends the fixed 245-query
-  * registry gate with GENERATED plans: a seeded ScalaCheck generator
-  * produces ~100 random filter/project/distinct/aggregate/join
+/** Randomized differential fuzzing — extends the fixed registry gate
+  * with GENERATED plans: a seeded ScalaCheck generator produces ~100
+  * random filter/project/distinct/aggregate/join/window/set-op
   * queries over lineitem×orders, each rendered BOTH as a DataFrame
   * program and as the equivalent ANSI SQL; the SQL runs in DuckDB
   * (tools/fuzz_runner.py, one subprocess for the whole batch) and the
-  * row sets must match exactly.
+  * row sets must match exactly. Window shapes cover
+  * row_number/rank/lag/running-sum with a total-order tiebreak that
+  * includes the value column (rows tied on the base key may differ in
+  * the value — the grammar's own first catch); set-op shapes cover
+  * the full UNION/INTERSECT/EXCEPT × [ALL] ladder.
   *
   * The grammar is constrained by the repo's cross-engine determinism
   * rules (BASELINE.md): every numeric aggregate is over integer cents
@@ -44,6 +48,25 @@ class PlanFuzzSpec extends AnyFunSuite {
     */
   private case class Select(cols: List[SelCol], distinct: Boolean,
       topk: Option[Int] = None) extends Shape
+  /** Window functions over a low-cardinality partition, ordered by the
+    * base's TOTAL key (plus NULLS FIRST rendered on both engines) so
+    * row_number/rank/lag/running-sum are all deterministic. The frame
+    * for the running sum is an explicit ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND CURRENT ROW — Spark's default with an ORDER BY is
+    * RANGE, which coincides only because the key is total; rendering
+    * ROWS on both sides removes the dependence on that coincidence.
+    * fn: 0 = row_number, 1 = rank, 2 = lag(value), 3 = running sum.
+    */
+  private case class Win(part: GCol, fn: Int, value: SelCol) extends Shape
+  /** Set operations between two branches of the same base: the spec's
+    * predicates apply to both, each branch may add one extra predicate
+    * so the sides genuinely differ. op: 0 = UNION, 1 = UNION ALL,
+    * 2 = INTERSECT, 3 = INTERSECT ALL, 4 = EXCEPT, 5 = EXCEPT ALL —
+    * the full multiset ladder the registry's R12 row covers, now
+    * probed on UNREGISTERED plans too.
+    */
+  private case class SetOp(cols: List[SelCol], extra1: Option[Pred],
+      extra2: Option[Pred], op: Int) extends Shape
 
   private case class Spec(base: String, preds: List[Pred], shape: Shape) {
     def sql: String = {
@@ -77,6 +100,36 @@ class PlanFuzzSpec extends AnyFunSuite {
             s" ORDER BY ${keys.mkString(", ")} LIMIT $n"
           }.getOrElse("")
           s"SELECT $d$sel FROM $from$where$tail"
+        case Win(part, fn, value) =>
+          // the base key is total only up to duplicate fixture rows
+          // (the topk lesson, seed 5150): rows tied on the key can
+          // differ in the VALUE column, which would make lag and the
+          // running sum order-dependent — so the value itself is the
+          // final tiebreak, making tied rows fully identical
+          val keys = sortKeys(base) :+ value.sql
+          val over = s"PARTITION BY ${part.sql} ORDER BY " +
+            keys.map(k => s"$k ASC NULLS FIRST").mkString(", ")
+          val fnSql = fn match {
+            case 0 => s"row_number() OVER ($over)"
+            case 1 => s"rank() OVER ($over)"
+            case 2 => s"lag(${value.sql}) OVER ($over)"
+            case _ => s"sum(${value.sql}) OVER ($over " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          }
+          val keySel = sortKeys(base).zipWithIndex
+            .map { case (k, i) => s"$k AS k${i + 1}" }.mkString(", ")
+          s"SELECT ${part.sql} AS g, $keySel, $fnSql AS w FROM $from$where"
+        case SetOp(cols, e1, e2, op) =>
+          val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
+          def branch(extra: Option[Pred]) = {
+            val ps = preds ++ extra
+            val w = if (ps.isEmpty) ""
+              else " WHERE " + ps.map(_.sql).mkString(" AND ")
+            s"SELECT $sel FROM $from$w"
+          }
+          val opSql = Vector("UNION", "UNION ALL", "INTERSECT",
+            "INTERSECT ALL", "EXCEPT", "EXCEPT ALL")(op)
+          s"${branch(e1)} $opSql ${branch(e2)}"
       }
     }
   }
@@ -173,6 +226,19 @@ class PlanFuzzSpec extends AnyFunSuite {
     case "O"       => List("o_orderkey")
     case "LJ"      => List("o_orderkey", "l_orderkey", "l_linenumber")
   }
+  /** Window value columns; index 0 is numeric (the only legal running-
+    * sum operand), the second exercises lag over strings. On LJ the
+    * l-side value is NULL for unmatched orders — lag of NULL is part
+    * of the surface being probed.
+    */
+  private def winValPool(base: String): List[SelCol] = base match {
+    case "O" => List(
+      SelCol("v", cents("o_totalprice"), centsSql("o_totalprice")),
+      SelCol("v", col("o_orderpriority"), "o_orderpriority"))
+    case _ => List(
+      SelCol("v", cents("l_extendedprice"), centsSql("l_extendedprice")),
+      SelCol("v", col("l_returnflag"), "l_returnflag"))
+  }
 
   // ---- generator -----------------------------------------------------
 
@@ -198,7 +264,20 @@ class PlanFuzzSpec extends AnyFunSuite {
       case 1 => Select(cols.toList, distinct = true)
       case 2 => Select(cols.toList, distinct = false, topk = Some(n))
       case _ => Select(cols.toList, distinct = false)
-    })
+    },
+    for {
+      part <- Gen.oneOf(gcolPool(base))
+      fn <- Gen.choose(0, 3)
+      value <- if (fn == 3) Gen.const(winValPool(base).head)
+        else Gen.oneOf(winValPool(base))
+    } yield Win(part, fn, value),
+    for {
+      ns <- Gen.choose(1, 3)
+      cols <- Gen.pick(ns, selPool(base))
+      e1 <- Gen.option(Gen.oneOf(predPool(base)))
+      e2 <- Gen.option(Gen.oneOf(predPool(base)))
+      op <- Gen.choose(0, 5)
+    } yield SetOp(cols.toList, e1, e2, op))
 
   private val genSpec: Gen[Spec] = for {
     base <- Gen.oneOf("L", "O", "J", "LJ")
@@ -240,6 +319,37 @@ class PlanFuzzSpec extends AnyFunSuite {
         }
         val s = ordered.select(cols.map(c => c.col.as(c.name)): _*)
         if (dist) s.distinct() else s
+      case Win(part, fn, value) =>
+        val keys = sortKeys(spec.base)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(part.col)
+          .orderBy(keys.map(k => col(k).asc_nulls_first) :+
+            value.col.asc_nulls_first: _*)
+        val wcol = fn match {
+          case 0 => row_number().over(w)
+          case 1 => rank().over(w)
+          case 2 => lag(value.col, 1).over(w)
+          case _ => sum(value.col).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+        }
+        filtered.select((part.col.as("g") +:
+          keys.zipWithIndex.map { case (k, i) => col(k).as(s"k${i + 1}") }) :+
+          wcol.as("w"): _*)
+      case SetOp(cols, e1, e2, op) =>
+        def branch(extra: Option[Pred]) =
+          extra.fold(filtered)(p => filtered.filter(p.cond))
+            .select(cols.map(c => c.col.as(c.name)): _*)
+        val a = branch(e1)
+        val b = branch(e2)
+        op match {
+          case 0 => a.union(b).distinct()
+          case 1 => a.union(b)
+          case 2 => a.intersect(b)
+          case 3 => a.intersectAll(b)
+          case 4 => a.except(b)
+          case _ => a.exceptAll(b)
+        }
     }
   }
 
@@ -301,13 +411,20 @@ class PlanFuzzSpec extends AnyFunSuite {
             }
       }
     }
-    // coverage sanity: the batch should exercise every base and both shapes
+    // coverage sanity: the batch should exercise every base and shape
     val bases = specs.map(_.base).toSet
     assert(bases == Set("L", "O", "J", "LJ"), s"bases drawn: $bases")
     assert(specs.exists(_.shape.isInstanceOf[GroupAgg]))
     assert(specs.exists(_.shape.isInstanceOf[Select]))
+    assert(specs.exists(_.shape.isInstanceOf[Win]))
+    assert(specs.exists(_.shape.isInstanceOf[SetOp]))
     assert(specs.exists(s => s.shape match {
       case GroupAgg(_, _, h) => h.isDefined; case _ => false }))
+    // every window function and every set-op flavor over the batch
+    val winFns = specs.collect { case Spec(_, _, Win(_, fn, _)) => fn }.toSet
+    assert(winFns == Set(0, 1, 2, 3), s"window fns drawn: $winFns")
+    val setOps = specs.collect { case Spec(_, _, SetOp(_, _, _, op)) => op }.toSet
+    assert(setOps == Set(0, 1, 2, 3, 4, 5), s"set ops drawn: $setOps")
   }
 
   test("generated plans are shuffle-partition invariant (seeded)") {

@@ -33,7 +33,12 @@ def scale_documents(src, out, copies):
     shift = max(r["doc_id"] for r in t) + 1
     rows = []
     for k in range(copies):
-        suf = "" if k == 0 else "zz" + chr(ord('a') + (k - 1) % 26)
+        # two-letter base-26 suffix: unique for up to 677 copies (a
+        # single letter repeats after 26, which would make copy 27
+        # token-identical to copy 1 and flood the fixture with
+        # cross-copy near-dups the slope must not contain)
+        suf = "" if k == 0 else "zz" + \
+            chr(ord('a') + (k - 1) // 26) + chr(ord('a') + (k - 1) % 26)
         for r in t:
             text = r["text"] if k == 0 else re.sub(
                 r"[a-zA-Z]+", lambda m: m.group(0) + suf, r["text"])
@@ -54,9 +59,17 @@ def scale_embeddings(src, out, copies):
     for k in range(copies):
         for r in t:
             v = r["embedding"]
+            # rotation repeats after dim copies (copy dim+1 would be
+            # vector-identical to copy 1 → cross-copy cosine-1 pairs);
+            # compose with a global sign flip per rotation cycle —
+            # norms still preserved exactly, cycle-apart copies land
+            # at cosine −1 (far below every similarity threshold)
             rot = k % len(v)
+            w = v[rot:] + v[:rot]
+            if (k // len(v)) % 2 == 1:
+                w = [-x for x in w]
             rows.append({"vec_id": r["vec_id"] + k * shift,
-                         "embedding": v[rot:] + v[:rot], "label": r["label"]})
+                         "embedding": w, "label": r["label"]})
     pq.write_table(pa.Table.from_pylist(
         rows, schema=pq.read_schema(f"{src}/embeddings.parquet")),
         f"{out}/embeddings.parquet")
