@@ -982,6 +982,18 @@ object DedupOps {
     * the band join provably yields every pair with hamming ≤ 3; the
     * oracle computes the quadratic brute-force pairing, so the
     * differential gate checks the completeness claim itself.
+    *
+    * Scale caveat (measured, BASELINE.md round-7 slopes): with FIXED
+    * 15-bit bands the 2¹⁵ buckets fill linearly with corpus size, so
+    * random band-collision candidates grow ~n²/2¹⁵ — the 10×→100×
+    * docs step measured e = 1.30 (super-linear), the one knee in the
+    * dedup family. This is inherent to pigeonhole banding at a fixed
+    * fingerprint width: hamming ≤ 3 over 60 bits forces ≥ 4 bands of
+    * ≤ 15 bits. The production remedy at larger corpora is a LONGER
+    * fingerprint (e.g. 128-bit SimHash → 4 × 32-bit bands: same
+    * completeness guarantee, 2³² buckets — occupancy back to ~0 for
+    * any realistic corpus); the 60-bit width here is what the
+    * bit-exact DuckDB oracle can replicate ([[tokHash60]]).
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprint(s, dir)

@@ -27,6 +27,8 @@ val picks = Seq(
   "asof_join_native" -> "native as-of exec: one shuffle+sort per side, single-pass merge — no union, no WindowExec (compare the asof_join composed form)",
   "asof_nearest_native" -> "nearest mode on the same exec: the forward candidate is the merge head already in hand, so the plan is IDENTICAL to backward — no second frame, no union",
   "dedup_prefix_filter" -> "AllPairs prefix filter: df join ranks shingles by global rarity, the candidate equi join sees only the ~20% rarest per doc, exact verify on candidates via the full-set arrays — complete for J>=0.8 with NO hot-key drop",
+  "dedup_ppjoin" -> "PPJoin rung: length filter applied INSIDE the prefix equi join (both sides carry set sizes), first-shared-key positional bound at the pair aggregate — strictly fewer candidates reach the full-set verify join, nothing qualifying lost",
+  "cosine_topk_ivf_incr" -> "incremental IVF maintenance: settled inverted lists come from the session cache (InMemoryRelation — the 100 TB state is READ, not rebuilt), batch assignment is the broadcast centroid cross over the batch slice only, the union feeds the unchanged probe-bounded query side",
   "entity_resolution" -> "record linkage: blocked hash self-join scores jaro candidates, components resolved iteratively, golden-record rollup on the label equi join — dictionary-sized frames only",
   "psi_drift" -> "drift monitor: reference deciles ride as literals (map-only binning of both snapshots), totals window over the 10-row bucket spectrum",
   "topic_words" -> "per-source tf-idf rank: WindowGroupLimit keeps only K rows per source below the sort; df side aggregates the Heaps-bounded (source,word) frame",
