@@ -78,24 +78,31 @@ object SimOps {
          |  THEN ${1L << b} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
-  /** LSH-bucketed approximate top-3: candidates share a bucket with
-    * the query in ≥1 table; exact cosine ranks only candidates.
+  /** Normed embedding corpus shared by every LSH variant: zero
+    * vectors dropped (cosine undefined; ANSI-safe).
     */
-  def cosineTopkLsh(s: SparkSession, dir: String): DataFrame = {
+  private def normedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      .filter(col("nrm") > 0) // cosine undefined for zero vectors; ANSI-safe
-    val buckets = e.select(col("vec_id"),
+      .filter(col("nrm") > 0)
+  }
+
+  /** The LSH index build: per-vector bucket id in each of the
+    * [[NumTables]] tables — map-shaped, one corpus pass.
+    */
+  private def lshBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         explode(array((0 until NumTables).map(t =>
           struct(lit(t).as("tbl"), bucketCol(col("embedding"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val qb = buckets.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-    val cand = qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("tbl", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id")).distinct()
+
+  /** Exact-cosine rank of a (query_id, neighbor_id) candidate frame —
+    * the verify step shared by the LSH variants: only candidates pay
+    * the dot product, never all pairs.
+    */
+  private def rankCandidates(e: DataFrame, cand: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("nrm").as("nrmq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("nrm").as("nrmc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
@@ -105,6 +112,58 @@ object SimOps {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("c"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed approximate top-3: candidates share a bucket with
+    * the query in ≥1 table; exact cosine ranks only candidates.
+    */
+  def cosineTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = normedEmbeddings(s, dir)
+    rankCandidates(e, lshCandidates(e, multiProbe = false))
+  }
+
+  /** Candidate pairs for [[cosineTopkLsh]] / the multi-probe variant
+    * (exposed for SimSpec's candidate-economy assertions). Mask 0 is
+    * always probed, so the multi-probe candidate set is a superset of
+    * the single-probe one by construction.
+    */
+  private[graft] def lshCandidates(e: DataFrame, multiProbe: Boolean): DataFrame = {
+    val buckets = lshBuckets(e)
+    val qOwn = buckets.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val qb =
+      if (!multiProbe) qOwn
+      else qOwn
+        .select(col("query_id"), col("tbl"),
+          explode(typedLit(ProbeMasks)).as("mask"), col("bucket"))
+        .select(col("query_id"), col("tbl"),
+          col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+  }
+
+  /** Probe masks for multi-probe LSH: the query's own bucket (mask 0)
+    * plus every bucket at Hamming distance 1 (flip one sign bit).
+    */
+  private val ProbeMasks: Seq[Long] = 0L +: (0 until BitsPerTable).map(b => 1L << b)
+
+  /** Multi-probe LSH (Lv et al., VLDB'07 shape, ±1-plane signatures):
+    * recall is raised by probing MORE BUCKETS per query — the query's
+    * own bucket plus the [[BitsPerTable]] buckets that differ in one
+    * sign bit — instead of building more tables. The flipped-bit
+    * buckets are exactly where near-miss neighbors land (one plane
+    * voted the other way), so candidate growth buys recall far more
+    * cheaply than new tables: the CORPUS-side index is untouched
+    * (same T·|corpus| rows — index reuse is the point at 100 TB) and
+    * only the |queries|-sized probe side fans out ×(1+B). Still an
+    * equi-join on (table, bucket); never all-pairs. SimSpec pins the
+    * economics: candidate superset of single-probe, recall ≥
+    * single-probe, candidates ≪ brute force.
+    */
+  def cosineTopkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = normedEmbeddings(s, dir)
+    rankCandidates(e, lshCandidates(e, multiProbe = true))
   }
 
   // ---- IVF ---------------------------------------------------------
@@ -360,6 +419,32 @@ object SimOps {
        |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
        |WHERE rank <= 3""".stripMargin
 
+  private lazy val cosineTopkLshMpSql =
+    s"""WITH $normsCte,
+       |bk AS (
+       |${(0 until NumTables).map(t =>
+          s"  SELECT vec_id, v, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+          .mkString("\n  UNION ALL\n")}),
+       |qp AS (
+       |  SELECT vec_id, tbl, xor(CAST(bucket AS BIGINT), m) AS bucket
+       |  FROM bk, unnest([${ProbeMasks.mkString(", ")}]) AS mm(m)
+       |  WHERE vec_id < $NQueries),
+       |cand AS (
+       |  SELECT DISTINCT qp.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM qp JOIN bk cb
+       |    ON qp.tbl = cb.tbl AND qp.bucket = CAST(cb.bucket AS BIGINT)
+       |   AND cb.vec_id <> qp.vec_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $dotSql / (q.nrm * c.nrm) AS c
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, neighbor_id) AS rank FROM s)
+       |WHERE rank <= 3""".stripMargin
+
   /** Recall@3 of the LSH ANN against the exact brute-force top-3 —
     * the evaluation loop every ANN deployment runs before trusting an
     * index: per query, how many of the true top-3 neighbors the
@@ -373,6 +458,22 @@ object SimOps {
     val exact = cosineTopk(s, dir).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"))
     val approx = cosineTopkLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / col("n_exact").cast("double"), 6))
+  }
+
+  /** [[annRecall]] for the multi-probe variant — the uplift the extra
+    * probes buy is itself cross-engine checked, per query.
+    */
+  def annRecallMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = cosineTopkLshMultiprobe(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1010,6 +1111,19 @@ object SimOps {
          |FROM ex LEFT JOIN ap
          |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
          |GROUP BY ex.query_id""".stripMargin)(annRecall),
+    Q("cosine_topk_lsh_mp", cosineTopkLshMpSql)(cosineTopkLshMultiprobe),
+    Q("ann_recall_mp",
+      s"""WITH ex AS (
+         |  SELECT query_id, neighbor_id FROM ($cosineTopkSql)
+         |  WHERE rank <= 3),
+         |ap AS (SELECT query_id, neighbor_id FROM ($cosineTopkLshMpSql))
+         |SELECT ex.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+         |  round(SUM(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin)(annRecallMultiprobe),
     Q("cosine_topk_ivf", cosineTopkIvfSql)(cosineTopkIvf),
     // maintenance path: must equal the one-shot build EXACTLY (per-
     // vector assignment against fixed centroids), so it shares the

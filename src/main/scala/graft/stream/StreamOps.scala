@@ -301,6 +301,76 @@ object StreamOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join — the ingestion-time dimension
+    * lookup (reference analog: none; SURVEY §2.4 streaming row): each
+    * micro-batch of facts joins a broadcast dimension snapshot, then
+    * rolls up revenue per (hour, market segment). The dim side is
+    * re-resolvable per micro-batch (Spark re-plans stream-static
+    * joins every trigger), so a slowly-changing dimension is picked
+    * up without restarting the query. No join state at all — the only
+    * streaming state is the windowed aggregate, evicted by the
+    * watermark. At 100 TB/day the dim stays broadcast-sized
+    * (customers, not events); the fact side never shuffles for the
+    * join.
+    */
+  def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("window.start").as("ws"), col("c_mktsegment").as("segment"),
+        col("n"), col("total"))
+
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    enrichAgg(events.withWatermark("ts", "1 hour"), dim)
+
+  /** Stream-stream interval join — clicks matched to the views they
+    * produced within the following hour (the ad-attribution shape).
+    * Pure column logic shared by the oracled batch twin and the
+    * streaming form; the streaming caller puts event-time watermarks
+    * on BOTH inputs first, which together with the time-range
+    * predicate bounds the join state: a buffered click is evictable
+    * once the watermark passes click_ts + 1h, a buffered view once it
+    * passes view_ts. State is horizon × arrival rate — never stream
+    * history. `left_outer` additionally emits the null-padded click
+    * exactly when the watermark proves no matching view can still
+    * arrive (asserted in StreamingSpec, including state eviction via
+    * query progress).
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val v = views.select(col("user_id").as("v_user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") &&
+          col("view_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
+  def clickViewStream(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame =
+    clickViewJoin(
+      clicks.withWatermark("ts", "30 minutes"),
+      views.withWatermark("ts", "30 minutes"), joinType)
+
+  private def eventsByType(s: SparkSession, dir: String, t: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === t)
+
+  def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    enrichAgg(Tables.events(s, dir), Tables.customer(s, dir))
+
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    clickViewJoin(eventsByType(s, dir, "click"), eventsByType(s, dir, "view"))
+
+  def streamIntervalJoinOuter(s: SparkSession, dir: String): DataFrame =
+    clickViewJoin(eventsByType(s, dir, "click"), eventsByType(s, dir, "view"),
+      "left_outer")
+
   /** Custom arbitrary state — `mapGroupsWithState` (SURVEY.md §2.4):
     * a per-user running (count, sum) that persists across micro-batch
     * triggers, the state shape the built-in window aggregations can't
@@ -435,6 +505,30 @@ object StreamOps {
   }
 
   val all: Seq[Q] = Seq(
+    Q("stream_enrich",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(e.ts AS TIMESTAMP)) AS ws,
+        |  c.c_mktsegment AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin)(streamEnrich),
+    Q("stream_interval_join",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'""".stripMargin)(
+      streamIntervalJoin),
+    Q("stream_interval_join_outer",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin)(
+      streamIntervalJoinOuter),
     Q("events_retention",
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |first_day AS (

@@ -109,11 +109,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_embedding", "cosine_topk", // brute-force correctness baselines
       "join_theta", // genuine non-equi residual on equi key — hash join with filter
       "tfidf", "cosine_topk_ivf", "collocation_pmi", "skew_report",
+      "cosine_topk_ivf_incr", // same IVF centroid cross (16-row broadcast) as cosine_topk_ivf
       "perplexity_score", "fill_gaps",
       "perplexity_bigram", // 1-row LM-stats broadcast, as perplexity_score
       "customer_rfm", // scalar-N / centroid cross joins (broadcast, tiny side)
       "contrastive_triplets", // brute positive search (documented baseline; negatives are equi-mined)
       "ann_recall", // embeds cosine_topk, the exact baseline it measures recall against
+      "ann_recall_mp", // same exact-baseline leg as ann_recall
       "dsir_weights", // 1-row totals broadcast onto the 64-row bucket model
       "bm25_score", // 1-row corpus stats broadcast onto the |query|-row idf frame
       "rrf_fusion", // 1-row dense query vector broadcast (plus bm25's stats row)

@@ -288,4 +288,34 @@ class SimSpec extends AnyFunSuite {
     // beats the narrowest (the knob demonstrably does something)
     assert(rows.last._4 > rows.head._4 || rows.head._4 == 1.0)
   }
+
+  test("multi-probe LSH: candidate superset, recall uplift, still bucket-bounded") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val n = graft.Tables.embeddings(spark, sfTiny).count()
+    val eN = graft.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.functions.VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val single = SimOps.lshCandidates(eN, multiProbe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = SimOps.lshCandidates(eN, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // mask 0 is always probed: single-probe candidates never disappear
+    assert(single.subsetOf(multi),
+      s"multi-probe lost ${(single -- multi).size} single-probe candidates")
+    // the probes buy recall, never lose it (same verify step on a
+    // superset of candidates)
+    val recall = (df: org.apache.spark.sql.DataFrame) => df
+      .agg(sum("n_hit").cast("long"), sum("n_exact").cast("long"))
+      .collect().head match { case r => (r.getLong(0), r.getLong(1)) }
+    val (hitS, exS) = recall(SimOps.annRecall(spark, sfTiny))
+    val (hitM, exM) = recall(SimOps.annRecallMultiprobe(spark, sfTiny))
+    assert(exS == exM, "exact baselines diverged")
+    assert(hitM >= hitS, s"multi-probe recall dropped: $hitM < $hitS")
+    // economy: candidates stay far below brute force |queries|*(n-1)
+    val queries = multi.map(_._1).size
+    assert(multi.size < queries * (n - 1),
+      s"multi-probe candidates (${multi.size}) reached brute-force size")
+  }
 }

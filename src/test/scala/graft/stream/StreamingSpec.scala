@@ -11,6 +11,10 @@ import graft.TestSpark
   */
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
 
+/** Event row with an id, for the stream-stream join specs. */
+case class EvI(event_id: Long, ts: Timestamp, event_type: String,
+    value: Double, user_id: Long)
+
 /** Streaming semantics the batch-twin oracles can't see: incremental
   * processing over MemoryStream, watermark advancement, and late-data
   * drop. The transforms under test are the same functions the oracled
@@ -582,5 +586,103 @@ class StreamingSpec extends AnyFunSuite {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("stream-static enrich join equals batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "AUTO"), (2L, "BUILDING"), (3L, "AUTO"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1),
+      Ev(ts("2024-01-01 00:20:00"), "view", 2.0, 2),
+      Ev(ts("2024-01-01 01:05:00"), "click", 4.0, 3),
+      Ev(ts("2024-01-01 01:15:00"), "click", 8.0, 9)) // no dim row: dropped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.enrichStream(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("update").start()
+    try {
+      stream.addData(events.take(2): _*); q.processAllAvailable()
+      // second micro-batch: the dim is re-joined per trigger
+      stream.addData(events.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("enrich_t")
+        .groupBy("ws", "segment").agg(max("n").as("n"), max("total").as("total"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val expected = StreamOps.enrichAgg(events.toDF(), dim)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cRows = Seq(
+      EvI(1, ts("2024-01-01 00:00:00"), "click", 0, 1),
+      EvI(2, ts("2024-01-01 02:00:00"), "click", 0, 1),
+      EvI(3, ts("2024-01-01 00:05:00"), "click", 0, 2))
+    val vRows = Seq(
+      EvI(10, ts("2024-01-01 00:30:00"), "view", 0, 1), // matches click 1
+      EvI(11, ts("2024-01-01 02:10:00"), "view", 0, 1), // matches click 2
+      EvI(12, ts("2024-01-01 03:00:00"), "view", 0, 2)) // >1h after click 3
+    val clicks = MemoryStream[EvI]
+    val views = MemoryStream[EvI]
+    val q = StreamOps.clickViewStream(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      // split across triggers: click 2 must be BUFFERED in join state
+      // at trigger 1 and matched when view 11 arrives at trigger 2
+      clicks.addData(cRows.take(2): _*); views.addData(vRows.take(1): _*)
+      q.processAllAvailable()
+      clicks.addData(cRows.drop(2): _*); views.addData(vRows.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = StreamOps.clickViewJoin(cRows.toDF(), vRows.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected && expected == Set((1L, 1L, 10L), (1L, 2L, 11L)),
+        s"streamed: $got, batch twin: $expected")
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join null-pads only after the watermark, and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EvI]
+    val views = MemoryStream[EvI]
+    val q = StreamOps.clickViewStream(clicks.toDF(), views.toDF(), "left_outer")
+      .writeStream.format("memory").queryName("ssjo_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(EvI(1, ts("2024-01-01 00:00:00"), "click", 0, 1))
+      views.addData(EvI(10, ts("2024-01-01 00:10:00"), "view", 0, 2)) // other user
+      q.processAllAvailable()
+      assert(spark.table("ssjo_t").isEmpty,
+        "null-padded row emitted before the watermark could prove no match")
+      // advance BOTH inputs far past click_ts + 1h (+30m delay)...
+      clicks.addData(EvI(2, ts("2024-01-01 05:00:00"), "click", 0, 3))
+      views.addData(EvI(11, ts("2024-01-01 05:00:00"), "view", 0, 4))
+      q.processAllAvailable()
+      // ...and run one more micro-batch: outer results flush in the
+      // batch AFTER the watermark update that proved them unmatched
+      clicks.addData(EvI(3, ts("2024-01-01 05:01:00"), "click", 0, 5))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows((1L, 1L, -1L)), s"unmatched click not null-padded: $rows")
+      // state eviction: click 1 / view 10 are past the watermark and
+      // must be gone; only the recent rows may remain buffered
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators
+      val buffered = lastState.map(_.numRowsTotal).sum
+      assert(buffered <= 3, s"join state not evicted: $buffered rows buffered")
+    } finally q.stop()
   }
 }
