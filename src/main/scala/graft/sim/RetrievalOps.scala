@@ -222,26 +222,44 @@ object RetrievalOps {
     * norm² and dot products are DECIMAL(18,6) sums of rounded terms
     * (exact, order-free); the cosine divides identical doubles.
     */
+  private val memo = new graft.KeyedMemo
+
+  /** Test hook: drop the memo so ConcurrencySpec can race it cold. */
+  private[graft] def clearRetrievalCache(): Unit = memo.clear()
+
+  /** The df-capped tf-idf bigram postings behind [[sparseCosinePairs]],
+    * memoized per (session, dataset) under the KeyedMemo discipline:
+    * the pair query reads this frame THREE times (norms + both join
+    * sides), and without the memo each read re-tokenizes the corpus.
+    * The compute closure caches its own output (a multi-step
+    * derivation, not a rename), per the memo contract.
+    */
+  private def sparseWeights(s: SparkSession, dir: String): DataFrame =
+    memo("sparse_weights", s, dir) {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val toks = graft.mr.MrJobs.tokenize(t)
+          if (toks.lengthCompare(2) < 0) Nil
+          else toks.sliding(2).map(w => (id, w.mkString(" ")))
+        }
+        .toDF("doc_id", "gram")
+      val tf = grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("tf"))
+      val capped = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .filter(col("df") <= SparseDfCap)
+      val n = docs.agg(count(lit(1)).as("n"))
+      capped.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("gram"),
+          round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1), 6)
+            .as("w"))
+        .cache()
+    }
+
   def sparseCosinePairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val toks = graft.mr.MrJobs.tokenize(t)
-        if (toks.lengthCompare(2) < 0) Nil
-        else toks.sliding(2).map(w => (id, w.mkString(" ")))
-      }
-      .toDF("doc_id", "gram")
-    val tf = grams.groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("tf"))
-    val capped = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("df") <= SparseDfCap)
-    val n = docs.agg(count(lit(1)).as("n"))
-    val w = capped.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("gram"),
-        round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1), 6)
-          .as("w"))
+    val w = sparseWeights(s, dir)
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(18,6)"))
         .cast("double")).as("nrm"))

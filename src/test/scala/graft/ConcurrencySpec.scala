@@ -31,6 +31,15 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("sparse-postings memo races COLD (tf-idf weights substrate)") {
+    // sparse_cosine_pairs reads the memoized df-capped postings frame
+    // three times (norms + both join sides); three concurrent copies
+    // race the cold-miss path of the sparse_weights key
+    graft.sim.RetrievalOps.clearRetrievalCache()
+    runConcurrent(Seq("sparse_cosine_pairs", "bm25_score", "dup_count"),
+      concurrentFirst = true)
+  }
+
   test("dedup substrate memos race COLD (shingle bag + simhash fingerprints)") {
     // dedup_ngram_jaccard and dedup_similarity_histogram both read the
     // memoized (doc, shingle) bag, simhash_pairs the fingerprint memo —
