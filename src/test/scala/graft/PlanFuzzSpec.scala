@@ -9,7 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Randomized differential fuzzing — extends the fixed registry gate
   * with GENERATED plans: a seeded ScalaCheck generator produces ~100
   * random filter/project/distinct/aggregate/join/window/set-op
-  * queries over lineitem×orders, each rendered BOTH as a DataFrame
+  * queries over lineitem×orders (bases: each table alone, inner and
+  * left-outer joins, and EXISTS/NOT-EXISTS semi/anti joins with a
+  * generated right-side predicate), each rendered BOTH as a DataFrame
   * program and as the equivalent ANSI SQL; the SQL runs in DuckDB
   * (tools/fuzz_runner.py, one subprocess for the whole batch) and the
   * row sets must match exactly. Window shapes cover
@@ -68,16 +70,30 @@ class PlanFuzzSpec extends AnyFunSuite {
   private case class SetOp(cols: List[SelCol], extra1: Option[Pred],
       extra2: Option[Pred], op: Int) extends Shape
 
-  private case class Spec(base: String, preds: List[Pred], shape: Shape) {
+  /** rightPred: only for the semi/anti bases ("SJ"/"AJ") — an extra
+    * predicate on the EXISTS subquery's orders side, so the probed
+    * semi-join right side genuinely varies.
+    */
+  private case class Spec(base: String, preds: List[Pred], shape: Shape,
+      rightPred: Option[Pred] = None) {
     def sql: String = {
       val from = base match {
-        case "L"  => "lineitem"
+        case "L" | "SJ" | "AJ" => "lineitem"
         case "O"  => "orders"
         case "J"  => "lineitem JOIN orders ON l_orderkey = o_orderkey"
         case "LJ" => "orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
       }
+      val rp = rightPred.map(" AND " + _.sql).getOrElse("")
+      val existsClause = base match {
+        case "SJ" => List(
+          s"EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey$rp)")
+        case "AJ" => List(
+          s"NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey$rp)")
+        case _ => Nil
+      }
+      val allPreds = preds.map(_.sql) ++ existsClause
       val where =
-        if (preds.isEmpty) "" else " WHERE " + preds.map(_.sql).mkString(" AND ")
+        if (allPreds.isEmpty) "" else " WHERE " + allPreds.mkString(" AND ")
       shape match {
         case GroupAgg(gs, aggs, hav) =>
           val sel = (gs.map(g => s"${g.sql} AS ${g.name}") ++
@@ -122,9 +138,9 @@ class PlanFuzzSpec extends AnyFunSuite {
         case SetOp(cols, e1, e2, op) =>
           val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
           def branch(extra: Option[Pred]) = {
-            val ps = preds ++ extra
+            val ps = (preds ++ extra).map(_.sql) ++ existsClause
             val w = if (ps.isEmpty) ""
-              else " WHERE " + ps.map(_.sql).mkString(" AND ")
+              else " WHERE " + ps.mkString(" AND ")
             s"SELECT $sel FROM $from$w"
           }
           val opSql = Vector("UNION", "UNION ALL", "INTERSECT",
@@ -201,28 +217,28 @@ class PlanFuzzSpec extends AnyFunSuite {
       "CAST(year(o_orderdate) AS BIGINT)"))
 
   private def predPool(base: String) = base match {
-    case "L" => lPreds
+    case "L" | "SJ" | "AJ" => lPreds // semi/anti: only l-columns survive
     case "O" => oPreds
     case _   => lPreds ++ oPreds
   }
   private def gcolPool(base: String) = base match {
-    case "L" => lGCols
+    case "L" | "SJ" | "AJ" => lGCols
     case "O" => oGCols
     case _   => lGCols ++ oGCols
   }
   private def aggPool(base: String) = base match {
-    case "L" => lAggs
+    case "L" | "SJ" | "AJ" => lAggs
     case "O" => oAggs
     case _   => (lAggs ++ oAggs).distinctBy(_.name)
   }
   private def selPool(base: String) = base match {
-    case "L" => lSel
+    case "L" | "SJ" | "AJ" => lSel
     case "O" => oSel
     case _   => lSel ++ oSel
   }
   /** A TOTAL key per base — what makes ORDER BY + LIMIT deterministic. */
   private def sortKeys(base: String): List[String] = base match {
-    case "L" | "J" => List("l_orderkey", "l_linenumber")
+    case "L" | "J" | "SJ" | "AJ" => List("l_orderkey", "l_linenumber")
     case "O"       => List("o_orderkey")
     case "LJ"      => List("o_orderkey", "l_orderkey", "l_linenumber")
   }
@@ -280,11 +296,13 @@ class PlanFuzzSpec extends AnyFunSuite {
     } yield SetOp(cols.toList, e1, e2, op))
 
   private val genSpec: Gen[Spec] = for {
-    base <- Gen.oneOf("L", "O", "J", "LJ")
+    base <- Gen.oneOf("L", "O", "J", "LJ", "SJ", "AJ")
     np <- Gen.choose(0, 2)
     preds <- Gen.pick(np, predPool(base))
     shape <- genShape(base)
-  } yield Spec(base, preds.toList, shape)
+    rp <- if (base == "SJ" || base == "AJ") Gen.option(Gen.oneOf(oPreds))
+      else Gen.const(None)
+  } yield Spec(base, preds.toList, shape, rp)
 
   // ---- execution -----------------------------------------------------
 
@@ -299,6 +317,12 @@ class PlanFuzzSpec extends AnyFunSuite {
       case "LJ" => Tables.orders(spark, fuzzDir)
         .join(Tables.lineitem(spark, fuzzDir),
           col("o_orderkey") === col("l_orderkey"), "left")
+      case semiOrAnti @ ("SJ" | "AJ") =>
+        val right = spec.rightPred
+          .foldLeft(Tables.orders(spark, fuzzDir))((d, p) => d.filter(p.cond))
+        Tables.lineitem(spark, fuzzDir).join(right,
+          col("l_orderkey") === col("o_orderkey"),
+          if (semiOrAnti == "SJ") "left_semi" else "left_anti")
     }
     val filtered = spec.preds.foldLeft(base)((d, p) => d.filter(p.cond))
     spec.shape match {
@@ -413,7 +437,11 @@ class PlanFuzzSpec extends AnyFunSuite {
     }
     // coverage sanity: the batch should exercise every base and shape
     val bases = specs.map(_.base).toSet
-    assert(bases == Set("L", "O", "J", "LJ"), s"bases drawn: $bases")
+    assert(bases == Set("L", "O", "J", "LJ", "SJ", "AJ"), s"bases drawn: $bases")
+    // both semi/anti flavors must draw a right-side predicate at least once
+    assert(specs.exists(s => s.base == "SJ" && s.rightPred.isDefined)
+      && specs.exists(s => s.base == "AJ" && s.rightPred.isDefined),
+      "no semi/anti spec drew a right-side predicate")
     assert(specs.exists(_.shape.isInstanceOf[GroupAgg]))
     assert(specs.exists(_.shape.isInstanceOf[Select]))
     assert(specs.exists(_.shape.isInstanceOf[Win]))
@@ -421,9 +449,9 @@ class PlanFuzzSpec extends AnyFunSuite {
     assert(specs.exists(s => s.shape match {
       case GroupAgg(_, _, h) => h.isDefined; case _ => false }))
     // every window function and every set-op flavor over the batch
-    val winFns = specs.collect { case Spec(_, _, Win(_, fn, _)) => fn }.toSet
+    val winFns = specs.collect { case Spec(_, _, Win(_, fn, _), _) => fn }.toSet
     assert(winFns == Set(0, 1, 2, 3), s"window fns drawn: $winFns")
-    val setOps = specs.collect { case Spec(_, _, SetOp(_, _, _, op)) => op }.toSet
+    val setOps = specs.collect { case Spec(_, _, SetOp(_, _, _, op), _) => op }.toSet
     assert(setOps == Set(0, 1, 2, 3, 4, 5), s"set ops drawn: $setOps")
   }
 
