@@ -68,6 +68,13 @@ object Tables {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(dir.getBytes("UTF-8")).take(4)
       .map("%02x".format(_)).mkString
-    s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$h"
+    // leading "d": an absolute path sanitizes to a LEADING underscore
+    // ("/root/…" → "_root_…"), and Spark's file index treats
+    // underscore-prefixed names as hidden (the _SUCCESS/_metadata
+    // convention) — a staged dir named that way is silently ignored
+    // by DataFrame reads ("All paths were ignored" WARNs in the
+    // bench log). The prefix keeps the key identifier-safe and
+    // injective while never colliding with the hidden-file rule.
+    s"d${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$h"
   }
 }

@@ -121,10 +121,18 @@ object StringFunctions {
     new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
     (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1)))
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", exprs => JaroWinklerSimilarity(exprs.head, exprs(1)),
-      "built-in")
+  def register(spark: SparkSession): Unit = {
+    // register only when absent — same rationale as
+    // VectorFunctions.register: an unconditional replace emits a
+    // SimpleFunctionRegistry WARN per query build, drowning registry
+    // WARNs that matter. A rare concurrent double-register is
+    // harmless (same definition, one redundant WARN).
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("jaro_winkler")))
+      reg.createOrReplaceTempFunction(
+        "jaro_winkler", exprs => JaroWinklerSimilarity(exprs.head, exprs(1)),
+        "built-in")
+  }
 
   /** Codegen'd Jaro–Winkler; caller must have invoked [[register]]. */
   def jaroWinkler(a: Column, b: Column): Column =

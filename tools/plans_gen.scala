@@ -32,7 +32,10 @@ val picks = Seq(
   "entity_resolution" -> "record linkage: blocked hash self-join scores jaro candidates, components resolved iteratively, golden-record rollup on the label equi join — dictionary-sized frames only",
   "psi_drift" -> "drift monitor: reference deciles ride as literals (map-only binning of both snapshots), totals window over the 10-row bucket spectrum",
   "topic_words" -> "per-source tf-idf rank: WindowGroupLimit keeps only K rows per source below the sort; df side aggregates the Heaps-bounded (source,word) frame",
-  "compaction_plan" -> "compaction planner: fact table folds to the per-day file manifest in one partial+final aggregate; the packing window ranges over manifests, never rows")
+  "compaction_plan" -> "compaction planner: fact table folds to the per-day file manifest in one partial+final aggregate; the packing window ranges over manifests, never rows",
+  "cosine_topk_lsh_mp" -> "multi-probe LSH: the query side explodes x(1+B) probe masks (bitwise-xor on the bucket id), the corpus-side index is the SAME bucket frame as single-probe - recall is bought on the probe side, candidates still flow through one (tbl,bucket) equi join",
+  "stream_enrich" -> "stream-static enrichment twin: fact scan joins the broadcast dim then folds into the windowed partial+final aggregate - zero join state, the dim never shuffles the fact side",
+  "stream_interval_join" -> "stream-stream interval join twin: equi join on user_id with the time-range bound as join residual - hash join, never a nested loop; in streaming form the same condition makes both buffers watermark-evictable")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
