@@ -469,6 +469,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stream-stream join buffer survives a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ssj_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ssj_out").resolve("t").toString
+    val clicks = MemoryStream[EvI]
+    val views = MemoryStream[EvI]
+    // memory sink doesn't support recovery; foreachBatch does
+    def start() = StreamOps.clickViewStream(clicks.toDF(), views.toDF())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }.start()
+
+    val q1 = start()
+    // the click is BUFFERED in join state (no matching view yet)
+    clicks.addData(EvI(1, ts("2024-01-01 00:00:00"), "click", 0, 1))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same sources + checkpoint → state store resumes
+    try {
+      // the match arrives only AFTER the restart: the pair can exist
+      // only if the pre-restart join buffer was recovered, not reset
+      views.addData(EvI(10, ts("2024-01-01 00:30:00"), "view", 0, 1))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows((1L, 1L, 10L)),
+        s"buffered click lost across restart: ${rows.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
