@@ -451,11 +451,31 @@ object DedupOps {
     * per-row use in specs.)
     */
   def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    // x64: 64-bit identity for exact set verification (collision-free
-    // in practice); x: its 31-bit residue feeding the permutations
-    val sh = shingleRows(s, dir)
+    val sh = hashedShingles(s, dir)
+    val buckets = minhashBuckets(sh)
+    val cand = buckets.toDF("doc_a", "band", "bkey")
+      .join(buckets.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct() // a pair may collide in many bands
+    verifyJaccard(cand, shingleSets(sh), shingleSets(sh))
+  }
+
+  /** Shingle rows with the two hash forms the MinHash path needs —
+    * x64: 64-bit identity for exact set verification (collision-free
+    * in practice); x: its 31-bit residue feeding the permutations.
+    */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleRows(s, dir)
       .withColumn("x64", xxhash64(col("shingle")))
       .withColumn("x", pmod(col("x64"), lit(P)))
+
+  /** Per-doc (band, bucket-key) rows — the banded LSH index build:
+    * one partial-aggregated hash agg for the [[NumHashes]] minima,
+    * then a [[Bands]]-way explode. (The array-expression form in
+    * [[minhashSignature]] builds a NumHashes-branch expression tree
+    * that overflows whole-stage codegen; kept for per-row spec use.)
+    */
+  private def minhashBuckets(sh: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map(i =>
       min(pmod(lit(hashA(i)) * col("x") + lit(hashB(i)), lit(P))).as(s"m$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
@@ -463,24 +483,69 @@ object DedupOps {
       val slice = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bkey"))
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = buckets.toDF("doc_a", "band", "bkey")
-      .join(buckets.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct() // a pair may collide in many bands
-    // exact verification on hashed shingle sets (same keys the exact
-    // ngramJaccard joins on), gathered once per doc
-    val sets = sh.groupBy(col("doc_id"))
+  }
+
+  /** Per-doc hashed shingle set + size, for exact verification (the
+    * same keys the exact ngramJaccard joins on), gathered once.
+    */
+  private def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(collect_set(col("x64")).as("shset"), first(col("n_sh")).as("n_sh"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("shset").as("sha"), col("n_sh").as("na"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("shset").as("shb"), col("n_sh").as("nb"))
+
+  /** Exact Jaccard ≥ 0.8 verification of a (doc_a, doc_b) candidate
+    * frame against per-side shingle-set frames.
+    */
+  private def verifyJaccard(cand: DataFrame, setsA: DataFrame,
+      setsB: DataFrame): DataFrame = {
+    val a = setsA.select(col("doc_id").as("doc_a"), col("shset").as("sha"), col("n_sh").as("na"))
+    val b = setsB.select(col("doc_id").as("doc_b"), col("shset").as("shb"), col("n_sh").as("nb"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Incremental MinHash maintenance — the banded-LSH ingest path,
+    * completing the per-index-family maintenance set (star-CC:
+    * [[dedupClustersIncremental]]; IVF: SimOps.cosineTopkIvfIncremental):
+    * the settled corpus's band buckets and verification sets are
+    * memoized state (built once per (session, dataset), the 100 TB
+    * analog of a persisted LSH index), and an arriving batch (doc_id
+    * mod 10 == [[IncBatchMod]], as every `*_incr` row) pays only its
+    * own signatures plus a bucket equi-join against the settled
+    * index — O(batch·bands) new work, the corpus is never
+    * re-signatured. Output is the verified cross-boundary pairs in
+    * canonical doc_a < doc_b order; the oracle is the EXACT Jaccard
+    * join filtered to the batch/base boundary (banded recall ≈ 1 at
+    * J ≥ 0.8, same contract as `dedup_minhash`), so the gate checks
+    * the maintenance identity itself. DedupSpec additionally pins
+    * ≡ the full recompute's cross-boundary slice.
+    */
+  def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) === IncBatchMod
+    val settledBuckets = pairMemo("settled_minhash_buckets", s, dir) {
+      val f = minhashBuckets(sh.filter(!isNew)).cache()
+      f.count() // materialize: the settled index is READ thereafter
+      f
+    }
+    val settledSets = pairMemo("settled_minhash_sets", s, dir) {
+      val f = shingleSets(sh.filter(!isNew)).cache()
+      f.count()
+      f
+    }
+    val batch = sh.filter(isNew)
+    val cand = minhashBuckets(batch).toDF("doc_n", "band", "bkey")
+      .join(settledBuckets.toDF("doc_p", "band", "bkey"), Seq("band", "bkey"))
+      .select(col("doc_n"), col("doc_p")).distinct()
+      .select(least(col("doc_n"), col("doc_p")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_p")).as("doc_b"))
+    val allSets = shingleSets(batch).union(settledSets)
+    verifyJaccard(cand, allSets, allSets)
   }
 
   /** The verified near-dup pair set, computed once per (session,
@@ -1481,6 +1546,14 @@ object DedupOps {
     // candidates reach verification — the gate shares the exact oracle
     Q("dedup_ppjoin", jaccardOracle)(ppjoinJaccard),
     Q("dedup_minhash", jaccardOracle)(minhashNeardup),
+    // maintenance path: verified pairs crossing the batch/base
+    // boundary must equal the exact Jaccard join's cross slice (the
+    // gate checks the banded-index maintenance identity itself)
+    Q("dedup_minhash_incr",
+      s"""SELECT doc_a, doc_b, jaccard FROM (
+         |$jaccardOracle)
+         |WHERE (doc_a % 10 = $IncBatchMod) <> (doc_b % 10 = $IncBatchMod)""".stripMargin)(
+      dedupMinhashIncremental),
     // Detector-agreement readout: SimHash's hamming≤3 pairs scored
     // against the exact Jaccard≥0.8 pairs as truth — the one-row
     // precision/recall/F1 harness every near-dup threshold change is

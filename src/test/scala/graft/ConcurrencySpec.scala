@@ -90,6 +90,15 @@ class ConcurrencySpec extends AnyFunSuite {
       concurrentFirst = true)
   }
 
+  test("settled minhash index memos race COLD (banded maintenance path)") {
+    // dedup_minhash_incr reads TWO settled memos (band buckets +
+    // verification sets); three concurrent copies race both keys cold
+    // while full builds (dedup_minhash) run on the same session
+    graft.dedup.DedupOps.clearPairCache()
+    runConcurrent(Seq("dedup_minhash_incr", "dedup_minhash", "dup_count"),
+      concurrentFirst = true)
+  }
+
   test("native as-of races its strategy installation on a fresh session") {
     // asofJoinNative mutates experimental.extraStrategies on first
     // use (a synchronized read-modify-write); race it from a session

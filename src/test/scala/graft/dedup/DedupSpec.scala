@@ -19,6 +19,21 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("incremental minhash equals the full recompute's cross-boundary slice") {
+    // the IVM identity for the banded index: batch-vs-settled pairs
+    // from the memoized index must equal the one-shot build's pairs
+    // restricted to the batch/base boundary
+    val incr = DedupOps.dedupMinhashIncremental(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val m = DedupOps.IncBatchMod
+    val full = DedupOps.minhashNeardup(spark, sfSmall)
+      .filter((pmod(col("doc_a"), lit(10)) === m) =!=
+        (pmod(col("doc_b"), lit(10)) === m))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full)
+    assert(incr.nonEmpty, "fixture should plant cross-boundary near-dups")
+  }
+
   test("minhash signature estimates Jaccard on planted pairs") {
     import spark.implicits._
     val pairs = DedupOps.ngramJaccard(spark, sfSmall)
