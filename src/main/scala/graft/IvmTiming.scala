@@ -35,7 +35,17 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   * the shape real near-dup clusters take: J ≥ 0.8 is near-transitive,
   * so a duplicated page's cluster is almost a clique) where the
   * collapse is visible in wall-clock, not just in the edge counts.
-  * Two JSON lines; recorded in BASELINE.md.
+  * A third line measures the same economics for the OTHER memoized
+  * index family: MinHash banded-LSH maintenance
+  * ([[graft.dedup.DedupOps.dedupMinhashIncremental]]) — oneshot
+  * re-signatures every document and self-joins all band buckets;
+  * the maintenance path signatures only the arriving batch and
+  * equi-joins the memoized settled buckets. Unlike the cluster pair,
+  * this one is wall-clock-visible even at fixture scale because the
+  * avoided work (per-document shingling + 96 hash minima) is
+  * data-proportional, not scheduler-overhead-shaped.
+  *
+  * Three JSON lines; recorded in BASELINE.md.
   */
 object IvmTiming {
   def main(args: Array[String]): Unit = {
@@ -90,6 +100,30 @@ object IvmTiming {
       s""""oneshot_sec":${f3(oneshot)},"incremental_sec":${f3(incremental)},""" +
       s""""oneshot_edges":$oneshotEdges,"incremental_edges":${starEdges + batchEdges},""" +
       s""""oneshot_rounds":$oneshotRounds,"incremental_rounds":$incrRounds}""")
+
+    // MinHash banded-index maintenance pair: both sides warmed once
+    // untimed (JIT + the OS file cache on the oneshot side; the
+    // settled-index memos on the incremental side), then timed on a
+    // second call — so the oneshot number repays ALL its work per
+    // call (nothing in minhashNeardup is memoized) while the
+    // incremental number pays exactly the per-ingest cost: batch
+    // signatures + a bucket join against the settled index.
+    locally {
+      val w = graft.dedup.DedupOps.minhashNeardup(spark, dir)
+      w.count()
+    }
+    val mhOneshot = secs {
+      graft.dedup.DedupOps.minhashNeardup(spark, dir).count()
+    }
+    locally { // settle yesterday's band index untimed
+      graft.dedup.DedupOps.dedupMinhashIncremental(spark, dir).count()
+    }
+    val mhIncr = secs {
+      graft.dedup.DedupOps.dedupMinhashIncremental(spark, dir).count()
+    }
+    println(s"""{"metric":"ivm_minhash_index","sf":"$dir",""" +
+      s""""oneshot_sec":${f3(mhOneshot)},"incremental_sec":${f3(mhIncr)},""" +
+      s""""speedup":${f3(mhOneshot / mhIncr)}}""")
 
     // dense-cluster demonstration: 2000 settled cliques of 50 members
     // (2.45M historical pairs), plus a batch that adds one new member
