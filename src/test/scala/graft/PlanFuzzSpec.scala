@@ -7,10 +7,12 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Randomized differential fuzzing — extends the fixed registry gate
-  * with GENERATED plans: a seeded ScalaCheck generator produces ~100
+  * with GENERATED plans: a seeded ScalaCheck generator produces ~150
   * random filter/project/distinct/aggregate/join/window/set-op
-  * queries over lineitem×orders (bases: each table alone, inner and
-  * left-outer joins, and EXISTS/NOT-EXISTS semi/anti joins with a
+  * queries over lineitem×orders (bases: each table alone, inner,
+  * left-outer and FULL-outer joins — the latter with WHERE predicates
+  * that license the full→left/right/inner outer-join-elimination
+  * rewrites — and EXISTS/NOT-EXISTS semi/anti joins with a
   * generated right-side predicate), each rendered BOTH as a DataFrame
   * program and as the equivalent ANSI SQL; the SQL runs in DuckDB
   * (tools/fuzz_runner.py, one subprocess for the whole batch) and the
@@ -18,7 +20,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * row_number/rank/lag/running-sum with a total-order tiebreak that
   * includes the value column (rows tied on the base key may differ in
   * the value — the grammar's own first catch); set-op shapes cover
-  * the full UNION/INTERSECT/EXCEPT × [ALL] ladder.
+  * the full UNION/INTERSECT/EXCEPT × [ALL] ladder; aggregates draw a
+  * grouping mode (plain / ROLLUP / CUBE — the Expand surface).
   *
   * The grammar is constrained by the repo's cross-engine determinism
   * rules (BASELINE.md): every numeric aggregate is over integer cents
@@ -41,8 +44,16 @@ class PlanFuzzSpec extends AnyFunSuite {
   private case class SelCol(name: String, col: Column, sql: String)
 
   private sealed trait Shape
+  /** mode: 0 = plain GROUP BY, 1 = ROLLUP, 2 = CUBE — the Expand
+    * plan surface. ROLLUP/CUBE require ≥1 grouping column (Spark's
+    * zero-column rollup degenerates to a plain agg); on the FJ base
+    * the grouping columns themselves can be null (unmatched side),
+    * so natural nulls and the rollup-generated subtotal nulls
+    * coexist — both engines follow the same SQL-standard grouping
+    * multiset, so the canonical row sets still match exactly.
+    */
   private case class GroupAgg(gs: List[GCol], aggs: List[Agg],
-      having: Option[Long]) extends Shape
+      having: Option[Long], mode: Int = 0) extends Shape
   /** topk: ORDER BY the base's unique key LIMIT n — deterministic
     * because the sort key is total; NULLS FIRST is rendered
     * explicitly (Spark's ASC default) since DuckDB's ASC default is
@@ -82,6 +93,11 @@ class PlanFuzzSpec extends AnyFunSuite {
         case "O"  => "orders"
         case "J"  => "lineitem JOIN orders ON l_orderkey = o_orderkey"
         case "LJ" => "orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
+        // WHERE predicates over a FULL join are exactly the rewrite
+        // territory being probed: a pred on either side lets the
+        // optimizer degrade full→left/right/inner (Spark's
+        // EliminateOuterJoin), and a wrong degrade changes the row set
+        case "FJ" => "lineitem FULL JOIN orders ON l_orderkey = o_orderkey"
       }
       val rp = rightPred.map(" AND " + _.sql).getOrElse("")
       val existsClause = base match {
@@ -95,11 +111,16 @@ class PlanFuzzSpec extends AnyFunSuite {
       val where =
         if (allPreds.isEmpty) "" else " WHERE " + allPreds.mkString(" AND ")
       shape match {
-        case GroupAgg(gs, aggs, hav) =>
+        case GroupAgg(gs, aggs, hav, mode) =>
           val sel = (gs.map(g => s"${g.sql} AS ${g.name}") ++
             aggs.map(a => s"${a.sql} AS ${a.name}")).mkString(", ")
-          val grp = if (gs.isEmpty) ""
-            else " GROUP BY " + gs.map(_.sql).mkString(", ")
+          val gexprs = gs.map(_.sql).mkString(", ")
+          val grp = mode match {
+            case _ if gs.isEmpty => ""
+            case 1 => s" GROUP BY ROLLUP ($gexprs)"
+            case 2 => s" GROUP BY CUBE ($gexprs)"
+            case _ => s" GROUP BY $gexprs"
+          }
           val having = hav.map(h => s" HAVING count(*) > $h").getOrElse("")
           s"SELECT $sel FROM $from$where$grp$having"
         case Select(cols, dist, topk) =>
@@ -236,11 +257,16 @@ class PlanFuzzSpec extends AnyFunSuite {
     case "O" => oSel
     case _   => lSel ++ oSel
   }
-  /** A TOTAL key per base — what makes ORDER BY + LIMIT deterministic. */
+  /** A TOTAL key per base — what makes ORDER BY + LIMIT deterministic.
+    * On FJ both sides can be null (unmatched rows), but the triple is
+    * still total up to fully-duplicate fixture rows, the same caveat
+    * the L bases carry (and the same fix: output columns join the
+    * sort key where order matters).
+    */
   private def sortKeys(base: String): List[String] = base match {
     case "L" | "J" | "SJ" | "AJ" => List("l_orderkey", "l_linenumber")
-    case "O"       => List("o_orderkey")
-    case "LJ"      => List("o_orderkey", "l_orderkey", "l_linenumber")
+    case "O"         => List("o_orderkey")
+    case "LJ" | "FJ" => List("o_orderkey", "l_orderkey", "l_linenumber")
   }
   /** Window value columns; index 0 is numeric (the only legal running-
     * sum operand), the second exercises lag over strings. On LJ the
@@ -260,7 +286,8 @@ class PlanFuzzSpec extends AnyFunSuite {
 
   private def genShape(base: String): Gen[Shape] = Gen.oneOf(
     for {
-      ng <- Gen.choose(0, 2)
+      mode <- Gen.frequency((2, 0), (1, 1), (1, 2))
+      ng <- if (mode == 0) Gen.choose(0, 2) else Gen.choose(1, 2)
       gs <- Gen.pick(ng, gcolPool(base))
       na <- Gen.choose(1, 3)
       aggs <- Gen.pick(na, aggPool(base))
@@ -269,7 +296,7 @@ class PlanFuzzSpec extends AnyFunSuite {
       val as = aggs.toList.distinctBy(_.name)
       val withCnt =
         if (hav.isDefined && !as.exists(_.name == "cnt")) cntAgg :: as else as
-      GroupAgg(gs.toList, withCnt, hav)
+      GroupAgg(gs.toList, withCnt, hav, mode)
     },
     for {
       ns <- Gen.choose(1, 4)
@@ -296,7 +323,7 @@ class PlanFuzzSpec extends AnyFunSuite {
     } yield SetOp(cols.toList, e1, e2, op))
 
   private val genSpec: Gen[Spec] = for {
-    base <- Gen.oneOf("L", "O", "J", "LJ", "SJ", "AJ")
+    base <- Gen.oneOf("L", "O", "J", "LJ", "FJ", "SJ", "AJ")
     np <- Gen.choose(0, 2)
     preds <- Gen.pick(np, predPool(base))
     shape <- genShape(base)
@@ -317,6 +344,9 @@ class PlanFuzzSpec extends AnyFunSuite {
       case "LJ" => Tables.orders(spark, fuzzDir)
         .join(Tables.lineitem(spark, fuzzDir),
           col("o_orderkey") === col("l_orderkey"), "left")
+      case "FJ" => Tables.lineitem(spark, fuzzDir)
+        .join(Tables.orders(spark, fuzzDir),
+          col("l_orderkey") === col("o_orderkey"), "full")
       case semiOrAnti @ ("SJ" | "AJ") =>
         val right = spec.rightPred
           .foldLeft(Tables.orders(spark, fuzzDir))((d, p) => d.filter(p.cond))
@@ -326,12 +356,16 @@ class PlanFuzzSpec extends AnyFunSuite {
     }
     val filtered = spec.preds.foldLeft(base)((d, p) => d.filter(p.cond))
     spec.shape match {
-      case GroupAgg(gs, aggs, hav) =>
+      case GroupAgg(gs, aggs, hav, mode) =>
         val aggCols = aggs.map(a => a.col.as(a.name))
+        val gcols = gs.map(g => g.col.as(g.name))
         val agged =
           if (gs.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-          else filtered.groupBy(gs.map(g => g.col.as(g.name)): _*)
-            .agg(aggCols.head, aggCols.tail: _*)
+          else (mode match {
+            case 1 => filtered.rollup(gcols: _*)
+            case 2 => filtered.cube(gcols: _*)
+            case _ => filtered.groupBy(gcols: _*)
+          }).agg(aggCols.head, aggCols.tail: _*)
         hav.map(h => agged.filter(col("cnt") > h)).getOrElse(agged)
       case Select(cols, dist, topk) =>
         val ordered = topk match {
@@ -384,11 +418,11 @@ class PlanFuzzSpec extends AnyFunSuite {
       }.mkString("")
     }.sorted.toSeq
 
-  test("100 generated plans match DuckDB row-for-row (seeded)") {
+  test("150 generated plans match DuckDB row-for-row (seeded)") {
     val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
     // GRAFT_FUZZ_SF overrides the fixture dir (e.g. sf0.01) for
     // larger-scale fuzz sweeps; default stays the fast tiny fixture
-    val n = 100
+    val n = 150
     val specs = Gen.listOfN(n, genSpec)
       .pureApply(Gen.Parameters.default, Seed(seed))
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzz")
@@ -435,9 +469,14 @@ class PlanFuzzSpec extends AnyFunSuite {
             }
       }
     }
-    // coverage sanity: the batch should exercise every base and shape
+    // coverage sanity: the batch should exercise every base and shape.
+    // Pinned on the DEFAULT seed only — an override seed's job is to
+    // explore a different differential corner, and whether its 150
+    // draws happen to hit every enum value is luck, not a defect
+    if (sys.env.get("GRAFT_FUZZ_SEED").isEmpty) {
     val bases = specs.map(_.base).toSet
-    assert(bases == Set("L", "O", "J", "LJ", "SJ", "AJ"), s"bases drawn: $bases")
+    assert(bases == Set("L", "O", "J", "LJ", "FJ", "SJ", "AJ"),
+      s"bases drawn: $bases")
     // both semi/anti flavors must draw a right-side predicate at least once
     assert(specs.exists(s => s.base == "SJ" && s.rightPred.isDefined)
       && specs.exists(s => s.base == "AJ" && s.rightPred.isDefined),
@@ -447,12 +486,17 @@ class PlanFuzzSpec extends AnyFunSuite {
     assert(specs.exists(_.shape.isInstanceOf[Win]))
     assert(specs.exists(_.shape.isInstanceOf[SetOp]))
     assert(specs.exists(s => s.shape match {
-      case GroupAgg(_, _, h) => h.isDefined; case _ => false }))
+      case GroupAgg(_, _, h, _) => h.isDefined; case _ => false }))
+    // every grouping mode over the batch (plain / ROLLUP / CUBE)
+    val gModes = specs.collect {
+      case Spec(_, _, GroupAgg(_, _, _, m), _) => m }.toSet
+    assert(gModes == Set(0, 1, 2), s"grouping modes drawn: $gModes")
     // every window function and every set-op flavor over the batch
     val winFns = specs.collect { case Spec(_, _, Win(_, fn, _), _) => fn }.toSet
     assert(winFns == Set(0, 1, 2, 3), s"window fns drawn: $winFns")
     val setOps = specs.collect { case Spec(_, _, SetOp(_, _, _, op), _) => op }.toSet
     assert(setOps == Set(0, 1, 2, 3, 4, 5), s"set ops drawn: $setOps")
+    }
   }
 
   test("generated plans are shuffle-partition invariant (seeded)") {
