@@ -527,18 +527,8 @@ object DedupOps {
     */
   def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(s, dir)
-    val isNew = pmod(col("doc_id"), lit(10)) === IncBatchMod
-    val settledBuckets = pairMemo("settled_minhash_buckets", s, dir) {
-      val f = minhashBuckets(sh.filter(!isNew)).cache()
-      f.count() // materialize: the settled index is READ thereafter
-      f
-    }
-    val settledSets = pairMemo("settled_minhash_sets", s, dir) {
-      val f = shingleSets(sh.filter(!isNew)).cache()
-      f.count()
-      f
-    }
-    val batch = sh.filter(isNew)
+    val (settledBuckets, settledSets) = settledMinhashIndex(s, dir)
+    val batch = sh.filter(pmod(col("doc_id"), lit(10)) === IncBatchMod)
     val cand = minhashBuckets(batch).toDF("doc_n", "band", "bkey")
       .join(settledBuckets.toDF("doc_p", "band", "bkey"), Seq("band", "bkey"))
       .select(col("doc_n"), col("doc_p")).distinct()
@@ -546,6 +536,119 @@ object DedupOps {
         greatest(col("doc_n"), col("doc_p")).as("doc_b"))
     val allSets = shingleSets(batch).union(settledSets)
     verifyJaccard(cand, allSets, allSets)
+  }
+
+  /** The settled corpus's banded index as (band buckets, verification
+    * sets), memoized per (session, dataset) — "yesterday's index",
+    * shared by [[dedupMinhashIncremental]] and the streaming ingest
+    * twin [[neardupIngest]]. Both frames are cached+materialized at
+    * build so every later read is index-lookup-shaped.
+    */
+  private[graft] def settledMinhashIndex(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val settled = hashedShingles(s, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= IncBatchMod)
+    val buckets = pairMemo("settled_minhash_buckets", s, dir) {
+      val f = minhashBuckets(settled).cache()
+      f.count() // materialize: the settled index is READ thereafter
+      f
+    }
+    val sets = pairMemo("settled_minhash_sets", s, dir) {
+      val f = shingleSets(settled).cache()
+      f.count()
+      f
+    }
+    (buckets, sets)
+  }
+
+  /** Streaming ingest-time near-dup flagging — [[dedupMinhashIncremental]]
+    * re-expressed so the arriving documents can be a STREAM: every
+    * per-document step is a per-ROW expression (shingle set →
+    * [[minhashSignature]] → band keys → hashed verification set), so
+    * the stream side needs no aggregation at all; candidates come
+    * from a stream-static equi-join against the memoized settled band
+    * buckets, verification from a second stream-static join against
+    * the settled shingle sets, and the only streaming state is the
+    * pair dedup (a pair can match in several bands), bounded by the
+    * event-time watermark the caller sets on `docs.ts` —
+    * `dropDuplicatesWithinWatermark` evicts a pair's key once the
+    * watermark passes it. At 100 TB/day: the settled side is never
+    * re-SIGNATURED (that is what the memo buys — the corpus pass);
+    * the join exchange itself re-runs per trigger, so at production
+    * scale the settled buckets would be persisted pre-partitioned by
+    * (band, bkey) (the bucketed-table pattern of `join_bucketed`) so
+    * each trigger's probe is co-located, leaving per-event cost at
+    * O(bands) lookups and state at horizon × match rate. The per-row
+    * expression form trades whole-stage codegen
+    * (the NumHashes-branch tree falls back to interpreted lambdas)
+    * for zero shuffle — the right trade on a stream, where the
+    * alternative is a stateful signature aggregation.
+    *
+    * Works identically on a batch frame (the watermark node is
+    * optimizer-eliminated and the pair dedup runs as a plain
+    * dropDuplicates), which is what the
+    * registry's `stream_neardup` entry oracles — the same
+    * cross-boundary exact-Jaccard oracle as `dedup_minhash_incr` —
+    * while StreamingSpec runs the SAME function under MemoryStream
+    * and pins result equality across micro-batch splits.
+    *
+    * `docs` must carry (doc_id, text, ts).
+    */
+  def neardupIngest(docs: DataFrame, settledBuckets: DataFrame,
+      settledSets: DataFrame): DataFrame = {
+    val withSh = docs
+      .withColumn("sh", shingleSet(graft.text.TextOps.tokens(col("text"))))
+      .withColumn("sig", minhashSignature(col("sh")))
+      .withColumn("shn", transform(col("sh"), x => xxhash64(x)))
+      .withColumn("nn", size(col("sh")))
+    // element_at is 1-indexed; band keys hash the SAME slice values as
+    // minhashBuckets' m-columns, so stream-side and settled-side keys
+    // agree bit-for-bit
+    val bandKeys = (0 until Bands).map { bnd =>
+      val slice = (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), bnd * RowsPerBand + r + 1))
+      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bkey"))
+    }
+    val exploded = withSh
+      .select(col("doc_id").as("doc_n"), col("ts"), col("shn"), col("nn"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_n"), col("ts"), col("shn"), col("nn"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val p = settledSets.select(col("doc_id").as("doc_p"),
+      col("shset").as("shp"), col("n_sh").as("np"))
+    val verified = exploded
+      .join(settledBuckets.toDF("doc_p", "band", "bkey"), Seq("band", "bkey"))
+      .join(p, Seq("doc_p"))
+      .withColumn("inter", size(array_intersect(col("shn"), col("shp"))))
+      .withColumn("j", col("inter") / (col("nn") + col("np") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(least(col("doc_n"), col("doc_p")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_p")).as("doc_b"),
+        round(col("j"), 6).as("jaccard"), col("ts"))
+    // a pair's duplicate rows (one per colliding band) are
+    // value-identical, so the watermark-bounded streaming dedup and
+    // the plain batch dedup keep the same row; the within-watermark
+    // form is streaming-only API, hence the branch
+    val deduped =
+      if (verified.isStreaming)
+        verified.dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      else verified.dropDuplicates("doc_a", "doc_b")
+    deduped.select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** [[neardupIngest]] over the batch slice of the fixture (the same
+    * arriving batch as `dedup_minhash_incr`), with a synthetic
+    * event-time column — the oracled batch twin of the streaming
+    * ingest path.
+    */
+  def streamNeardup(s: SparkSession, dir: String): DataFrame = {
+    val (buckets, sets) = settledMinhashIndex(s, dir)
+    val batch = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === IncBatchMod)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id")).as("ts"))
+      .withWatermark("ts", "1 hour")
+    neardupIngest(batch, buckets, sets)
   }
 
   /** The verified near-dup pair set, computed once per (session,
@@ -1554,6 +1657,14 @@ object DedupOps {
          |$jaccardOracle)
          |WHERE (doc_a % 10 = $IncBatchMod) <> (doc_b % 10 = $IncBatchMod)""".stripMargin)(
       dedupMinhashIncremental),
+    // the streaming ingest twin, oracled on its batch form: per-row
+    // signatures + stream-static joins against the settled index must
+    // flag exactly the cross-boundary near-dup pairs
+    Q("stream_neardup",
+      s"""SELECT doc_a, doc_b, jaccard FROM (
+         |$jaccardOracle)
+         |WHERE (doc_a % 10 = $IncBatchMod) <> (doc_b % 10 = $IncBatchMod)""".stripMargin)(
+      streamNeardup),
     // Detector-agreement readout: SimHash's hamming≤3 pairs scored
     // against the exact Jaccard≥0.8 pairs as truth — the one-row
     // precision/recall/F1 harness every near-dup threshold change is

@@ -15,6 +15,9 @@ case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
 case class EvI(event_id: Long, ts: Timestamp, event_type: String,
     value: Double, user_id: Long)
 
+/** An arriving document, for the streaming near-dup ingest spec. */
+case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
+
 /** Streaming semantics the batch-twin oracles can't see: incremental
   * processing over MemoryStream, watermark advancement, and late-data
   * drop. The transforms under test are the same functions the oracled
@@ -717,6 +720,47 @@ class StreamingSpec extends AnyFunSuite {
         .find(_.stateOperators.nonEmpty).get.stateOperators
       val buffered = lastState.map(_.numRowsTotal).sum
       assert(buffered <= 3, s"join state not evicted: $buffered rows buffered")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup ingest equals the batch twin, dedups at-least-once redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    // the settled index is the SAME memoized state the oracled batch
+    // twin (stream_neardup) reads — yesterday's corpus
+    val (buckets, sets) =
+      graft.dedup.DedupOps.settledMinhashIndex(spark, sfTiny)
+    val m = graft.dedup.DedupOps.IncBatchMod
+    val batchDocs = graft.Tables.documents(spark, sfTiny)
+      .filter(pmod(col("doc_id"), lit(10)) === m)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(batchDocs.nonEmpty)
+    val docs = batchDocs.zipWithIndex.map { case ((id, t), i) =>
+      NewDoc(id, t, ts(f"2024-01-01 00:${i % 50}%02d:00")) }
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[NewDoc]
+    val q = graft.dedup.DedupOps.neardupIngest(
+        stream.toDF().withWatermark("ts", "1 hour"), buckets, sets)
+      .writeStream.format("memory").queryName("neardup_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      // at-least-once upstream: the first half arrives AGAIN within
+      // the watermark horizon — the within-watermark pair state must
+      // drop every redelivered pair, so the comparison below is on
+      // MULTISETS (a duplicate emission would fail it)
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val expected = graft.dedup.DedupOps.streamNeardup(spark, sfTiny)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(got == expected)
+      assert(got.nonEmpty, "fixture should plant cross-boundary near-dups")
     } finally q.stop()
   }
 }
