@@ -413,8 +413,8 @@ object DedupOps {
     */
   private val P = 2147483647L // 2^31 − 1
   val NumHashes = 96
-  private val Bands = 24
-  private val RowsPerBand = NumHashes / Bands
+  private[dedup] val Bands = 24
+  private[dedup] val RowsPerBand = NumHashes / Bands
   private val (hashA, hashB) = {
     val rnd = new scala.util.Random(42)
     val a = Array.fill(NumHashes)(1L + 2L * rnd.nextInt(1 << 30)) // odd, < 2^31
@@ -436,6 +436,49 @@ object DedupOps {
         lit(P))
     }
     array(mins: _*)
+  }
+
+  /** JVM twin of SQL `xxhash64(shingle)` — same algorithm, same
+    * default seed 42 — so rows hashed on the executor in a typed pass
+    * join SQL-built frames keyed on `xxhash64` output.
+    */
+  private[dedup] def hashShingle(sh: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sh),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** JVM twin of the MinHash signature: per-permutation minima over
+    * 31-bit residues (pmod == `%` here — every operand is
+    * non-negative, and products stay under 2⁶² so Long arithmetic
+    * matches the SQL expressions exactly). Empty input → the
+    * all-[[P]] sentinel, same as [[minhashSignature]].
+    */
+  private[dedup] def signatureOf(xs: Array[Long]): Array[Long] =
+    Array.tabulate(NumHashes) { i =>
+      var m = P
+      var j = 0
+      while (j < xs.length) {
+        val h = (hashA(i) * xs(j) + hashB(i)) % P
+        if (h < m) m = h
+        j += 1
+      }
+      m
+    }
+
+  /** JVM twin of the band key: SQL `xxhash64(m0, m1, ..)` seed-chains
+    * the arguments (each value hashed with the running hash as seed,
+    * starting from 42) — replicated here so JVM-computed keys land in
+    * the same buckets as [[minhashBuckets]]'s.
+    */
+  private[dedup] def bandKey(sig: Array[Long], band: Int): Long = {
+    var h = 42L
+    var r = 0
+    while (r < RowsPerBand) {
+      h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        sig(band * RowsPerBand + r), org.apache.spark.sql.types.LongType, h)
+      r += 1
+    }
+    h
   }
 
   /** Banded-LSH candidate pairs verified by exact Jaccard ≥ 0.8 —
@@ -562,27 +605,31 @@ object DedupOps {
   }
 
   /** Streaming ingest-time near-dup flagging — [[dedupMinhashIncremental]]
-    * re-expressed so the arriving documents can be a STREAM: every
-    * per-document step is a per-ROW expression (shingle set →
-    * [[minhashSignature]] → band keys → hashed verification set), so
-    * the stream side needs no aggregation at all; candidates come
-    * from a stream-static equi-join against the memoized settled band
+    * re-expressed so the arriving documents can be a STREAM: each
+    * document's shingles, signature, band keys and hashed
+    * verification set are computed in ONE stateless typed pass on the
+    * executor ([[hashShingle]]/[[signatureOf]]/[[bandKey]] — JVM
+    * twins of the SQL expressions, bit-for-bit), so the stream side
+    * needs no aggregation at all; candidates come from a
+    * stream-static equi-join against the memoized settled band
     * buckets, verification from a second stream-static join against
     * the settled shingle sets, and the only streaming state is the
-    * pair dedup (a pair can match in several bands), bounded by the
-    * event-time watermark the caller sets on `docs.ts` —
-    * `dropDuplicatesWithinWatermark` evicts a pair's key once the
+    * pair dedup (a pair can match in several bands) — the event-time
+    * watermark (set here, after the flatMap: a typed map re-creates
+    * attributes, which strips upstream event-time metadata) lets
+    * `dropDuplicatesWithinWatermark` evict a pair's key once the
     * watermark passes it. At 100 TB/day: the settled side is never
     * re-SIGNATURED (that is what the memo buys — the corpus pass);
     * the join exchange itself re-runs per trigger, so at production
     * scale the settled buckets would be persisted pre-partitioned by
     * (band, bkey) (the bucketed-table pattern of `join_bucketed`) so
     * each trigger's probe is co-located, leaving per-event cost at
-    * O(bands) lookups and state at horizon × match rate. The per-row
-    * expression form trades whole-stage codegen
-    * (the NumHashes-branch tree falls back to interpreted lambdas)
-    * for zero shuffle — the right trade on a stream, where the
-    * alternative is a stateful signature aggregation.
+    * O(bands) lookups and state at horizon × match rate. The typed
+    * pass replaced a Catalyst array-lambda form whose
+    * CodegenFallback interpretation cost ~4 ms/document — the JVM
+    * loop is ~10× cheaper and keeps ingest cost linear in the BATCH
+    * with a constant that survives a 100× batch (slope table in
+    * BASELINE.md).
     *
     * Works identically on a batch frame (the watermark node is
     * optimizer-eliminated and the pair dedup runs as a plain
@@ -596,24 +643,23 @@ object DedupOps {
     */
   def neardupIngest(docs: DataFrame, settledBuckets: DataFrame,
       settledSets: DataFrame): DataFrame = {
-    val withSh = docs
-      .withColumn("sh", shingleSet(graft.text.TextOps.tokens(col("text"))))
-      .withColumn("sig", minhashSignature(col("sh")))
-      .withColumn("shn", transform(col("sh"), x => xxhash64(x)))
-      .withColumn("nn", size(col("sh")))
-    // element_at is 1-indexed; band keys hash the SAME slice values as
-    // minhashBuckets' m-columns, so stream-side and settled-side keys
-    // agree bit-for-bit
-    val bandKeys = (0 until Bands).map { bnd =>
-      val slice = (0 until RowsPerBand)
-        .map(r => element_at(col("sig"), bnd * RowsPerBand + r + 1))
-      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bkey"))
-    }
-    val exploded = withSh
-      .select(col("doc_id").as("doc_n"), col("ts"), col("shn"), col("nn"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_n"), col("ts"), col("shn"), col("nn"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val s = docs.sparkSession
+    import s.implicits._
+    // one JVM pass per document: shingles → 64-bit hashes → signature
+    // → band keys, emitted as Bands rows. [[hashShingle]]/[[bandKey]]
+    // replicate SQL xxhash64 bit-for-bit (seed 42, seed-chained for
+    // multi-argument), so the stream-side keys agree with the
+    // settled index the SQL aggregation built — the property the
+    // oracle gate checks end-to-end (a parity break empties the join)
+    val exploded = docs.select(col("doc_id"), col("text"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, t) =>
+        val x64 = shingleStrings(text).map(hashShingle).toArray
+        val sig = signatureOf(x64.map(v => ((v % P) + P) % P))
+        (0 until Bands).map(b => (id, t, x64, x64.length, b, bandKey(sig, b)))
+      }
+      .toDF("doc_n", "ts", "shn", "nn", "band", "bkey")
+      .withWatermark("ts", "1 hour")
     val p = settledSets.select(col("doc_id").as("doc_p"),
       col("shset").as("shp"), col("n_sh").as("np"))
     val verified = exploded
@@ -647,7 +693,6 @@ object DedupOps {
       .filter(pmod(col("doc_id"), lit(10)) === IncBatchMod)
       .select(col("doc_id"), col("text"),
         timestamp_seconds(col("doc_id")).as("ts"))
-      .withWatermark("ts", "1 hour")
     neardupIngest(batch, buckets, sets)
   }
 

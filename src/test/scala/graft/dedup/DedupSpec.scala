@@ -19,6 +19,48 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("typed JVM hashing matches the SQL expression forms bit-for-bit") {
+    // the streaming ingest path hashes on the executor in a typed
+    // pass; its keys must land in the SAME buckets as the SQL-built
+    // settled index — pin hashShingle/signatureOf/bandKey against
+    // the expression forms on real fixture documents
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .limit(40).collect()
+    val sqlSide = docs.toSeq.toDF("doc_id", "text")
+      .withColumn("sh",
+        DedupOps.shingleSet(graft.text.TextOps.tokens(col("text"))))
+      .withColumn("x64", transform(col("sh"), x => xxhash64(x)))
+      .withColumn("sig", DedupOps.minhashSignature(col("sh")))
+    val bandCols = (0 until DedupOps.Bands).map { b =>
+      xxhash64((0 until DedupOps.RowsPerBand)
+        .map(r => element_at(col("sig"), b * DedupOps.RowsPerBand + r + 1)): _*)
+    }
+    val got = sqlSide
+      .select(col("doc_id") +: col("x64") +: col("sig") +: bandCols: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[Long](2),
+          (0 until DedupOps.Bands).map(b => r.getLong(3 + b))))
+      .toMap
+    var nonTrivial = 0
+    docs.foreach { case (id, text) =>
+      val x64 = DedupOps.shingleStrings(text).map(DedupOps.hashShingle).toArray
+      val sig = DedupOps.signatureOf(
+        x64.map(v => ((v % 2147483647L) + 2147483647L) % 2147483647L))
+      val (sqlX64, sqlSig, sqlBands) = got(id)
+      assert(x64.toSeq == sqlX64, s"doc $id shingle hashes diverge")
+      assert(sig.toSeq == sqlSig, s"doc $id signature diverges")
+      (0 until DedupOps.Bands).foreach { b =>
+        assert(DedupOps.bandKey(sig, b) == sqlBands(b),
+          s"doc $id band $b key diverges")
+      }
+      if (x64.nonEmpty) nonTrivial += 1
+    }
+    assert(nonTrivial > 10, "fixture slice should have shingled docs")
+  }
+
   test("incremental minhash equals the full recompute's cross-boundary slice") {
     // the IVM identity for the banded index: batch-vs-settled pairs
     // from the memoized index must equal the one-shot build's pairs

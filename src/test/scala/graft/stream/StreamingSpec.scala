@@ -738,8 +738,10 @@ class StreamingSpec extends AnyFunSuite {
       NewDoc(id, t, ts(f"2024-01-01 00:${i % 50}%02d:00")) }
     val (b1, b2) = docs.splitAt(docs.length / 2)
     val stream = MemoryStream[NewDoc]
-    val q = graft.dedup.DedupOps.neardupIngest(
-        stream.toDF().withWatermark("ts", "1 hour"), buckets, sets)
+    // the watermark is set INSIDE neardupIngest (after its typed
+    // pass — a flatMap re-creates attributes and would strip
+    // upstream event-time metadata), so the raw stream is passed
+    val q = graft.dedup.DedupOps.neardupIngest(stream.toDF(), buckets, sets)
       .writeStream.format("memory").queryName("neardup_t")
       .outputMode("append").start()
     try {
