@@ -35,7 +35,9 @@ val picks = Seq(
   "compaction_plan" -> "compaction planner: fact table folds to the per-day file manifest in one partial+final aggregate; the packing window ranges over manifests, never rows",
   "cosine_topk_lsh_mp" -> "multi-probe LSH: the query side explodes x(1+B) probe masks (bitwise-xor on the bucket id), the corpus-side index is the SAME bucket frame as single-probe - recall is bought on the probe side, candidates still flow through one (tbl,bucket) equi join",
   "stream_enrich" -> "stream-static enrichment twin: fact scan joins the broadcast dim then folds into the windowed partial+final aggregate - zero join state, the dim never shuffles the fact side",
-  "stream_interval_join" -> "stream-stream interval join twin: equi join on user_id with the time-range bound as join residual - hash join, never a nested loop; in streaming form the same condition makes both buffers watermark-evictable")
+  "stream_interval_join" -> "stream-stream interval join twin: equi join on user_id with the time-range bound as join residual - hash join, never a nested loop; in streaming form the same condition makes both buffers watermark-evictable",
+  "dedup_minhash_incr" -> "incremental MinHash maintenance: BOTH settled frames read from the session cache (InMemoryRelation - the persisted band index), batch signatures aggregate over the batch slice only, candidates from one (band,bkey) equi join against the settled buckets",
+  "stream_neardup" -> "streaming ingest twin: the arriving docs run ONE typed pass (DeserializeToObject/MapPartitions - per-row signatures, no aggregation), then two equi joins against the cached settled index; the only other operator is the pair dedup - in streaming form that is the watermark-bounded state")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
