@@ -21,7 +21,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * includes the value column (rows tied on the base key may differ in
   * the value — the grammar's own first catch); set-op shapes cover
   * the full UNION/INTERSECT/EXCEPT × [ALL] ladder; aggregates draw a
-  * grouping mode (plain / ROLLUP / CUBE — the Expand surface).
+  * grouping mode (plain / ROLLUP / CUBE — the Expand surface); and a
+  * correlated-scalar-subquery shape probes Spark's decorrelation
+  * (DataFrame subquery API: `Column.outer()` + `Dataset.scalar()`),
+  * count(*)-over-empty-group corner included.
   *
   * The grammar is constrained by the repo's cross-engine determinism
   * rules (BASELINE.md): every numeric aggregate is over integer cents
@@ -80,6 +83,16 @@ class PlanFuzzSpec extends AnyFunSuite {
     */
   private case class SetOp(cols: List[SelCol], extra1: Option[Pred],
       extra2: Option[Pred], op: Int) extends Shape
+  /** Correlated scalar subquery in the projection (base L only):
+    * `(SELECT agg FROM orders WHERE o_orderkey = l_orderkey [AND
+    * extra]) AS ssub` — rendered on the Spark side through the
+    * DataFrame subquery API (`Column.outer()` + `Dataset.scalar()`),
+    * so what's probed is Spark's own decorrelation rewrite, COUNT
+    * bug included (count(*) over an empty correlated group is 0, the
+    * other aggregates are NULL — both engines must agree row by row).
+    */
+  private case class ScalarSub(cols: List[SelCol], agg: Agg,
+      extra: Option[Pred]) extends Shape
 
   /** rightPred: only for the semi/anti bases ("SJ"/"AJ") — an extra
     * predicate on the EXISTS subquery's orders side, so the probed
@@ -156,6 +169,12 @@ class PlanFuzzSpec extends AnyFunSuite {
           val keySel = sortKeys(base).zipWithIndex
             .map { case (k, i) => s"$k AS k${i + 1}" }.mkString(", ")
           s"SELECT ${part.sql} AS g, $keySel, $fnSql AS w FROM $from$where"
+        case ScalarSub(cols, agg, extra) =>
+          val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
+          val inner = s"SELECT ${agg.sql} FROM orders " +
+            "WHERE o_orderkey = l_orderkey" +
+            extra.map(" AND " + _.sql).getOrElse("")
+          s"SELECT $sel, ($inner) AS ssub FROM $from$where"
         case SetOp(cols, e1, e2, op) =>
           val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
           def branch(extra: Option[Pred]) = {
@@ -284,7 +303,17 @@ class PlanFuzzSpec extends AnyFunSuite {
 
   // ---- generator -----------------------------------------------------
 
-  private def genShape(base: String): Gen[Shape] = Gen.oneOf(
+  private def genScalarSub: Gen[Shape] = for {
+    ns <- Gen.choose(1, 3)
+    cols <- Gen.pick(ns, lSel)
+    // count(*) drawn with extra weight: it is the COUNT-bug corner
+    // (0 on an empty correlated group where every other agg is NULL)
+    agg <- Gen.frequency((1, Gen.const(cntAgg)), (1, Gen.oneOf(oAggs)))
+    extra <- Gen.option(Gen.oneOf(oPreds))
+  } yield ScalarSub(cols.toList, agg, extra)
+
+  private def genShape(base: String): Gen[Shape] = {
+    val core = List[Gen[Shape]](
     for {
       mode <- Gen.frequency((2, 0), (1, 1), (1, 2))
       ng <- if (mode == 0) Gen.choose(0, 2) else Gen.choose(1, 2)
@@ -321,6 +350,12 @@ class PlanFuzzSpec extends AnyFunSuite {
       e2 <- Gen.option(Gen.oneOf(predPool(base)))
       op <- Gen.choose(0, 5)
     } yield SetOp(cols.toList, e1, e2, op))
+    // the correlated subquery names both tables' columns, so it only
+    // composes with the bare-lineitem base; weight 2 keeps it drawn
+    // reliably despite the single eligible base
+    val gens = core ++ (if (base == "L") List(genScalarSub, genScalarSub) else Nil)
+    Gen.choose(0, gens.length - 1).flatMap(gens)
+  }
 
   private val genSpec: Gen[Spec] = for {
     base <- Gen.oneOf("L", "O", "J", "LJ", "FJ", "SJ", "AJ")
@@ -394,6 +429,17 @@ class PlanFuzzSpec extends AnyFunSuite {
         filtered.select((part.col.as("g") +:
           keys.zipWithIndex.map { case (k, i) => col(k).as(s"k${i + 1}") }) :+
           wcol.as("w"): _*)
+      case ScalarSub(cols, agg, extra) =>
+        val corr = extra.foldLeft(
+          col("o_orderkey") === col("l_orderkey").outer())((c, p) => c && p.cond)
+        // select(aggFn), not .agg(...): the eager per-step analysis of
+        // an Aggregate node rejects the still-lazy outer reference,
+        // while the Project-with-aggregate form defers to the full
+        // query's analysis (the form Spark's own subquery suite uses)
+        val sub = Tables.orders(spark, fuzzDir).where(corr)
+          .select(agg.col.as(agg.name))
+        filtered.select(
+          cols.map(c => c.col.as(c.name)) :+ sub.scalar().as("ssub"): _*)
       case SetOp(cols, e1, e2, op) =>
         def branch(extra: Option[Pred]) =
           extra.fold(filtered)(p => filtered.filter(p.cond))
@@ -485,6 +531,11 @@ class PlanFuzzSpec extends AnyFunSuite {
     assert(specs.exists(_.shape.isInstanceOf[Select]))
     assert(specs.exists(_.shape.isInstanceOf[Win]))
     assert(specs.exists(_.shape.isInstanceOf[SetOp]))
+    assert(specs.exists(_.shape.isInstanceOf[ScalarSub]))
+    // the COUNT-bug corner specifically: a count(*) correlated
+    // subquery must be drawn (0 on empty group, where sum/max are NULL)
+    assert(specs.exists(s => s.shape match {
+      case ScalarSub(_, a, _) => a.name == "cnt"; case _ => false }))
     assert(specs.exists(s => s.shape match {
       case GroupAgg(_, _, h, _) => h.isDefined; case _ => false }))
     // every grouping mode over the batch (plain / ROLLUP / CUBE)

@@ -723,6 +723,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup pair-dedup state survives a checkpoint restart (no re-flag on redelivery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (buckets, sets) =
+      graft.dedup.DedupOps.settledMinhashIndex(spark, sfTiny)
+    val m = graft.dedup.DedupOps.IncBatchMod
+    val batchDocs = graft.Tables.documents(spark, sfTiny)
+      .filter(pmod(col("doc_id"), lit(10)) === m)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .zipWithIndex.map { case ((id, t), i) =>
+        NewDoc(id, t, ts(f"2024-01-01 00:${i % 50}%02d:00")) }
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("nd_out").resolve("t").toString
+    val stream = MemoryStream[NewDoc]
+    def start() = graft.dedup.DedupOps
+      .neardupIngest(stream.toDF(), buckets, sets)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }.start()
+
+    val q1 = start()
+    stream.addData(batchDocs.toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same source + checkpoint → dedup state resumes
+    try {
+      // the ENTIRE batch is redelivered after the restart (the
+      // at-least-once crash-recovery shape): every pair is already in
+      // the recovered dedup state, so nothing may re-emit — if the
+      // state had reset, the parquet would hold each pair twice
+      stream.addData(batchDocs.toSeq: _*)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val expected = graft.dedup.DedupOps.streamNeardup(spark, sfTiny)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(got == expected,
+        s"pairs re-flagged across restart: ${got.size} vs ${expected.size}")
+      assert(got.nonEmpty)
+    } finally q2.stop()
+  }
+
   test("streaming near-dup ingest equals the batch twin, dedups at-least-once redelivery") {
     implicit val sqlCtx = spark.sqlContext
     // the settled index is the SAME memoized state the oracled batch
