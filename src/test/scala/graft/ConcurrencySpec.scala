@@ -95,7 +95,8 @@ class ConcurrencySpec extends AnyFunSuite {
     // verification sets); three concurrent copies race both keys cold
     // while full builds (dedup_minhash) run on the same session
     graft.dedup.DedupOps.clearPairCache()
-    runConcurrent(Seq("dedup_minhash_incr", "dedup_minhash", "dup_count"),
+    runConcurrent(
+      Seq("dedup_minhash_incr", "stream_neardup", "dedup_minhash"),
       concurrentFirst = true)
   }
 
