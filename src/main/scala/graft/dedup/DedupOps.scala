@@ -97,7 +97,7 @@ object DedupOps {
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     substrate("shingles", s, dir) {
       import s.implicits._
-      Tables.documents(s, dir)
+      val bag = Tables.documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
           val sh = shingleStrings(text)
@@ -105,6 +105,12 @@ object DedupOps {
         }
         .toDF("doc_id", "n_sh", "shingle")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize NOW: the first consumer is usually a self-join whose
+      // independent map stages would otherwise cold-compute the same
+      // blocks concurrently — the flatMap runs ~3× and BlockManager
+      // logs "already exists" per duplicate. One count() job runs it once.
+      bag.count()
+      bag
     }
 
   /** Document-frequency cap shared by the exact pair joins: every
@@ -494,13 +500,13 @@ object DedupOps {
     * per-row use in specs.)
     */
   def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(s, dir)
-    val buckets = minhashBuckets(sh)
+    val buckets = minhashBucketsTyped(s, dir, None)
     val cand = buckets.toDF("doc_a", "band", "bkey")
       .join(buckets.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct() // a pair may collide in many bands
-    verifyJaccard(cand, shingleSets(sh), shingleSets(sh))
+    val sets = shingleSetsTyped(s, dir, None)
+    verifyJaccard(cand, sets, sets)
   }
 
   /** Shingle rows with the two hash forms the MinHash path needs —
@@ -529,6 +535,59 @@ object DedupOps {
     sigs
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Typed twin of [[minhashBuckets]]∘[[hashedShingles]]: signatures
+    * and band keys computed per document in ONE stateless JVM pass —
+    * zero shuffle (the agg form shuffles the whole shingle bag through
+    * a 96-column hash agg whose serialized stage sits just above the
+    * 1 MiB task-binary WARN threshold). Bit-for-bit the SQL keys
+    * ([[hashShingle]]/[[signatureOf]]/[[bandKey]] — the parity
+    * [[neardupIngest]]'s stream-static join already depends on and
+    * DedupSpec pins), and a doc with no shingles emits nothing, same
+    * as the agg form where the doc simply has no shingle rows.
+    */
+  private def minhashBucketsTyped(
+      s: SparkSession, dir: String, batchOnly: Option[Boolean]): DataFrame = {
+    import s.implicits._
+    val docs = batchOnly match {
+      case Some(inBatch) => Tables.documents(s, dir).filter(
+        if (inBatch) pmod(col("doc_id"), lit(10)) === IncBatchMod
+        else pmod(col("doc_id"), lit(10)) =!= IncBatchMod)
+      case None => Tables.documents(s, dir)
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val x64 = shingleStrings(text).map(hashShingle).toArray
+        if (x64.isEmpty) Nil
+        else {
+          val sig = signatureOf(x64.map(v => ((v % P) + P) % P))
+          (0 until Bands).map(b => (id, b, bandKey(sig, b)))
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
+  }
+
+  /** Typed twin of [[shingleSets]]∘[[hashedShingles]]: the per-doc
+    * hashed verification set is document-local, so it never needed the
+    * collect_set shuffle. Same rows (array order differs; every
+    * consumer is array_intersect/size — set semantics).
+    */
+  private def shingleSetsTyped(
+      s: SparkSession, dir: String, batchOnly: Option[Boolean]): DataFrame = {
+    import s.implicits._
+    val docs = batchOnly match {
+      case Some(inBatch) => Tables.documents(s, dir).filter(
+        if (inBatch) pmod(col("doc_id"), lit(10)) === IncBatchMod
+        else pmod(col("doc_id"), lit(10)) =!= IncBatchMod)
+      case None => Tables.documents(s, dir)
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val x64 = shingleStrings(text).map(hashShingle).toArray
+        if (x64.isEmpty) Nil else Seq((id, x64, x64.length))
+      }
+      .toDF("doc_id", "shset", "n_sh")
   }
 
   /** Per-doc hashed shingle set + size, for exact verification (the
@@ -569,15 +628,13 @@ object DedupOps {
     * ≡ the full recompute's cross-boundary slice.
     */
   def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(s, dir)
     val (settledBuckets, settledSets) = settledMinhashIndex(s, dir)
-    val batch = sh.filter(pmod(col("doc_id"), lit(10)) === IncBatchMod)
-    val cand = minhashBuckets(batch).toDF("doc_n", "band", "bkey")
+    val cand = minhashBucketsTyped(s, dir, Some(true)).toDF("doc_n", "band", "bkey")
       .join(settledBuckets.toDF("doc_p", "band", "bkey"), Seq("band", "bkey"))
       .select(col("doc_n"), col("doc_p")).distinct()
       .select(least(col("doc_n"), col("doc_p")).as("doc_a"),
         greatest(col("doc_n"), col("doc_p")).as("doc_b"))
-    val allSets = shingleSets(batch).union(settledSets)
+    val allSets = shingleSetsTyped(s, dir, Some(true)).union(settledSets)
     verifyJaccard(cand, allSets, allSets)
   }
 
@@ -589,15 +646,13 @@ object DedupOps {
     */
   private[graft] def settledMinhashIndex(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val settled = hashedShingles(s, dir)
-      .filter(pmod(col("doc_id"), lit(10)) =!= IncBatchMod)
     val buckets = pairMemo("settled_minhash_buckets", s, dir) {
-      val f = minhashBuckets(settled).cache()
+      val f = minhashBucketsTyped(s, dir, Some(false)).cache()
       f.count() // materialize: the settled index is READ thereafter
       f
     }
     val sets = pairMemo("settled_minhash_sets", s, dir) {
-      val f = shingleSets(settled).cache()
+      val f = shingleSetsTyped(s, dir, Some(false)).cache()
       f.count()
       f
     }
@@ -655,8 +710,15 @@ object DedupOps {
       .as[(Long, String, java.sql.Timestamp)]
       .flatMap { case (id, text, t) =>
         val x64 = shingleStrings(text).map(hashShingle).toArray
-        val sig = signatureOf(x64.map(v => ((v % P) + P) % P))
-        (0 until Bands).map(b => (id, t, x64, x64.length, b, bandKey(sig, b)))
+        // shingle-less doc → NOTHING, matching the batch index builders
+        // (a doc with no shingle rows never aggregates a signature);
+        // the all-P sentinel rows previously emitted here could never
+        // verify (J = 0) but wasted join work and pair-dedup state
+        if (x64.isEmpty) Nil
+        else {
+          val sig = signatureOf(x64.map(v => ((v % P) + P) % P))
+          (0 until Bands).map(b => (id, t, x64, x64.length, b, bandKey(sig, b)))
+        }
       }
       .toDF("doc_n", "ts", "shn", "nn", "band", "bkey")
       .withWatermark("ts", "1 hour")
@@ -713,7 +775,14 @@ object DedupOps {
   private[graft] def clearPairCache(): Unit = pairMemo.clear()
 
   def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairMemo("verified_pairs", s, dir)(ngramJaccard(s, dir).cache())
+    pairMemo("verified_pairs", s, dir) {
+      // cache + materialize: consumers fan the pair set out through a
+      // self-union (dedupIncremental's cross frame), whose two legs
+      // would otherwise cold-compute the join concurrently.
+      val pairs = ngramJaccard(s, dir).cache()
+      pairs.count()
+      pairs
+    }
 
   /** Edit-distance verification over the near-dup candidate pairs:
     * Levenshtein is O(len²) per pair, so it only ever runs on the
@@ -877,6 +946,31 @@ object DedupOps {
     *   cache-only path: near-dup clusters are shallow in practice and
     *   fixture-scale runs shouldn't pay checkpoint I/O.
     */
+  /** Checkpoint files backing a `checkpoint()`ed frame (empty for
+    * cached frames). Used to reclaim superseded checkpoints: reliable
+    * checkpoint files otherwise live for the whole SparkContext, and
+    * `unpersist()` on a checkpointed frame is a no-op, so a deep
+    * contraction would leak one stable-storage dir per interval.
+    */
+  private def checkpointFilesOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
+  /** Best-effort delete of superseded checkpoint dirs. Safe the moment
+    * a NEWER eager reliable checkpoint exists: that one is
+    * self-contained on stable storage, so no live lineage can reach
+    * the older files. The NEWEST checkpoint is never deleted here —
+    * it may back the frame returned to the caller.
+    */
+  private def deleteCheckpoints(s: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).delete(path, true)
+      } catch { case _: Throwable => () }
+    }
+
   def connectedComponents(pairs: DataFrame, checkpointInterval: Int = 0): DataFrame = {
     // coalesce: sum over an empty frame is NULL (no pairs → no nodes).
     // decimal(38,0), not long: node ids may be full-width content
@@ -895,6 +989,7 @@ object DedupOps {
     var prevSum = labelSum(labels) // action: materializes the cache
     var round = 0
     var converged = false
+    var liveCkpts: Seq[String] = Nil // newest-last; all but newest reclaimable
     while (!converged) {
       round += 1
       val prev = labels
@@ -913,6 +1008,16 @@ object DedupOps {
         else next.cache()
       val newSum = labelSum(labels)
       prev.unpersist()
+      // once this round's eager checkpoint is on stable storage, every
+      // earlier checkpoint is unreachable — reclaim its files now (the
+      // newest stays: it may back the frame we return). Gated on the
+      // round actually checkpointing: later CACHED rounds' plans still
+      // contain the newest checkpoint's LogicalRDD leaf.
+      if (checkpointInterval > 0 && round % checkpointInterval == 0) {
+        val ck = checkpointFilesOf(labels)
+        deleteCheckpoints(pairs.sparkSession, liveCkpts.filterNot(ck.toSet))
+        liveCkpts = ck
+      }
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
     }
@@ -976,11 +1081,19 @@ object DedupOps {
     // setting for deep contractions, exactly as in
     // [[connectedComponents]].
     var rounds = 0
+    var liveCkpts: Seq[String] = Nil // newest-last; all but newest reclaimable
     def freshen(df: DataFrame, old: Option[DataFrame]): DataFrame = {
       val fresh =
-        if (checkpointInterval > 0 && rounds > 0 && rounds % checkpointInterval == 0)
-          df.checkpoint() // eager: runs the job, rereads from stable storage
-        else {
+        if (checkpointInterval > 0 && rounds > 0 && rounds % checkpointInterval == 0) {
+          val ckd = df.checkpoint() // eager: runs the job, rereads from stable storage
+          // this checkpoint is self-contained — earlier ones are now
+          // unreachable; reclaim their files (newest kept: it may back
+          // the labels frame we return)
+          val ck = checkpointFilesOf(ckd)
+          deleteCheckpoints(s, liveCkpts.filterNot(ck.toSet))
+          liveCkpts = ck
+          ckd
+        } else {
           val f = s.createDataFrame(df.rdd, df.schema).cache()
           f.count() // materialize before releasing the prior round
           f
@@ -1234,7 +1347,7 @@ object DedupOps {
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
     substrate("simhash_fp", s, dir) {
       import s.implicits._
-      Tables.documents(s, dir)
+      val fp = Tables.documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -1243,6 +1356,11 @@ object DedupOps {
         }
         .toDF("doc_id", "simhash") // one 8-byte word per doc: tiny
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialized on build for the same reason as [[shingleRows]]:
+      // the banded self-join's two map stages otherwise cold-compute
+      // the fingerprint blocks concurrently (MD5 per doc, twice).
+      fp.count()
+      fp
     }
 
   // ---- Embedding cosine near-dup ------------------------------------

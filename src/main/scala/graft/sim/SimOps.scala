@@ -186,6 +186,16 @@ object SimOps {
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
+    // Fixture artifact, documented: the fixed centroid model
+    // (vec_id < 16) includes vec_id 7, which the incremental fixtures
+    // also place in the "arriving batch" (doc_id % 10 == 7). The
+    // maintenance identity the gate checks is unaffected — both sides
+    // of the oracle use the same centroids — but strictly the settled
+    // index is built against a model that has seen one batch vector.
+    // A production deployment trains centroids on settled data only;
+    // here the model must be a deterministic slice both engines can
+    // name, and re-slicing around the batch would ripple through every
+    // IVF oracle for no semantic gain.
     val cents = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("vcent"),
         col("nrm").as("nrmcent"))
@@ -496,7 +506,15 @@ object SimOps {
     */
   private[sim] val RecallCurveProbes = Seq(1, 4, 8)
 
-  def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+  def ivfRecallCurve(s: SparkSession, dir: String): DataFrame =
+    annMemo("ivf_recall_curve", s, dir) { ivfRecallCurveBuild(s, dir) }
+
+  /** The curve computation proper — memoized because the returned
+    * 3-row frame must stay cached (its inputs are unpersisted below),
+    * and re-caching an identical plan per invocation both leaks a
+    * storage entry and trips CacheManager's already-cached WARN.
+    */
+  private def ivfRecallCurveBuild(s: SparkSession, dir: String): DataFrame = {
     // materialize the shared subtrees ONCE: Spark unions do not dedupe
     // common subplans, so without these caches every probe leg would
     // re-run the brute-force baseline and the centroid substrate
@@ -506,6 +524,13 @@ object SimOps {
     val stc = simToCent
       .withColumn("prn", row_number().over(wAssign))
       .select(col("vec_id"), col("cent_id"), col("prn")).cache()
+    // Materialize both shared caches BEFORE the probe legs: the final
+    // union evaluates all three legs in one job, and each leg reads
+    // both frames — cold, they'd be recomputed ~3× concurrently, with
+    // every task shipping the full brute-force/substrate plan tree
+    // (the 4–5 MiB task-binary WARNs of rounds ≤7).
+    exact.count()
+    stc.count()
     val assign = stc.filter(col("prn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id"))
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("vq"),

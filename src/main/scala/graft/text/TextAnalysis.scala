@@ -69,20 +69,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Term-frequency substrate of [[tfidf]]: (doc_id, term, tf),
+    * memoized per (session, dataset) under the KeyedMemo discipline —
+    * the df table and the final join BOTH read it, and without the
+    * memo the tokenize+explode+agg would run twice per call.
+    */
+  private val tfMemo = new graft.KeyedMemo
+  /** Test hook: drop the tf memo (cold-path races). */
+  private[graft] def clearTfCache(): Unit = tfMemo.clear()
+
+  private def termFreqs(s: SparkSession, dir: String): DataFrame =
+    tfMemo("tfidf_tf", s, dir) {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tf.count() // materialize: two consumers read it in one job below
+      tf
+    }
+
   /** Smoothed tf-idf per (document, term):
     * tf · (ln((1+N)/(1+df)) + 1). One shuffle for the (doc, term)
-    * counts; df comes from a window over the term partition of that
-    * same aggregate; N is a broadcast scalar.
+    * counts; df is a separate groupBy(term) count over that aggregate,
+    * broadcast-joined back (NOT a window over the term partition: a
+    * window puts a hot term's entire posting list — "the" at corpus
+    * scale — into ONE partition's sort buffer, where the groupBy's
+    * partial aggregation reduces the same key map-side and the
+    * resulting (term, df) table is vocabulary-sized, broadcastable,
+    * and skew-immune); N is a broadcast scalar.
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-    val n = docs.agg(count(lit(1)).as("n"))
-    withDf.crossJoin(broadcast(n))
+    val tf = termFreqs(s, dir)
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    tf.join(broadcast(dfTable), Seq("term"))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1), 6)
           .as("tfidf"))

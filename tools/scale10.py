@@ -56,6 +56,14 @@ def scale_embeddings(src, out, copies):
     t = pq.read_table(f"{src}/embeddings.parquet").to_pylist()
     shift = max(r["vec_id"] for r in t) + 1
     rows = []
+    # rotation+sign-flip repeats with period 2*dim: copy 2*dim+k is
+    # vector-identical to copy k, which would reintroduce the
+    # cross-copy cosine-1 pairs the transform exists to avoid.
+    # Every documented fixture (10x, 100x) sits far below the bound.
+    dim = len(t[0]["embedding"])
+    assert copies <= 2 * dim, (
+        f"copies={copies} exceeds the distinctness period 2*dim={2*dim}; "
+        "add a third per-cycle transform before scaling this far")
     for k in range(copies):
         for r in t:
             v = r["embedding"]
