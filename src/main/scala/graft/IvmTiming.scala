@@ -49,8 +49,14 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   */
 object IvmTiming {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // one or more fixture dirs: with several (e.g. sf0.1, the 10×-docs
+    // and 100×-docs fixtures) the per-fixture lines record how the
+    // maintenance economics SCALE — the oneshot/incremental ratio
+    // should grow with corpus size since oneshot re-signatures the
+    // whole corpus while the batch stays a fixed fraction
+    val dirs: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else Seq(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,6 +71,9 @@ object IvmTiming {
     def secs(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    val f3 = (d: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    for (dir <- dirs) {
     val pairs = graft.dedup.DedupOps.verifiedPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     pairs.count() // warm the pair memo — not part of either side
@@ -94,8 +103,6 @@ object IvmTiming {
       cc.count(); cc.unpersist()
       incrRounds = r
     }
-    val f3 = (d: Double) =>
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(s"""{"metric":"ivm_cluster_maintenance","sf":"$dir",""" +
       s""""oneshot_sec":${f3(oneshot)},"incremental_sec":${f3(incremental)},""" +
       s""""oneshot_edges":$oneshotEdges,"incremental_edges":${starEdges + batchEdges},""" +
@@ -124,6 +131,7 @@ object IvmTiming {
     println(s"""{"metric":"ivm_minhash_index","sf":"$dir",""" +
       s""""oneshot_sec":${f3(mhOneshot)},"incremental_sec":${f3(mhIncr)},""" +
       s""""speedup":${f3(mhOneshot / mhIncr)}}""")
+    } // per-fixture lines
 
     // dense-cluster demonstration: 2000 settled cliques of 50 members
     // (2.45M historical pairs), plus a batch that adds one new member

@@ -362,17 +362,87 @@ object DedupOps {
     * Same output contract and oracle as the df-capped baseline; the
     * gate checks completeness, PrefixFilterSpec checks equality.
     */
-  def containmentPrefixFilter(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+  def containmentPrefixFilter(s: SparkSession, dir: String): DataFrame =
+    verifyContainmentPairs(s, dir, containmentPrefixCandidates(s, dir))
+
+  /** Asymmetric prefix candidate generation: the contained side's
+    * rarity prefix (t = 0.9 → |A| − ⌈0.9|A|⌉ + 1 rarest shingles)
+    * against the containing side's FULL bag. Exposed so
+    * PrefixFilterSpec and the candidate-economy instrumentation can
+    * compare the ladder's rungs.
+    */
+  private[graft] def containmentPrefixCandidates(
+      s: SparkSession, dir: String): DataFrame = {
     // t = 0.9: ⌈9n/10⌉ = (9n + 9) div 10
     val prefixA = rarityRanked(s, dir)
       .filter(col("rnk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
       .select(col("doc_id").as("doc_a"), col("sh_h"))
-    val fullB = sh.select(col("doc_id").as("doc_b"), col("sh_h"))
-    val cand = prefixA.join(fullB, Seq("sh_h"))
+    val fullB = shingleRows(s, dir)
+      .select(col("doc_id").as("doc_b"), xxhash64(col("shingle")).as("sh_h"))
+    prefixA.join(fullB, Seq("sh_h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** [[containmentPrefixFilter]] plus the ASYMMETRIC analogs of
+    * PPJoin's length and positional filters — the directional
+    * counterpart of [[ppjoinJaccard]], added because the plain
+    * containment prefix was the one scale path whose second measured
+    * decade ran near-linear (its prefix joins the containing side's
+    * FULL bag, so candidate fan-out tracks corpus growth):
+    *
+    *  - Length filter: C(A→B) ≥ t needs |A∩B| ≥ ⌈t·|A|⌉, and
+    *    |A∩B| ≤ |B|, so |B| ≥ ⌈t·|A|⌉ — at t = 9/10 the integer form
+    *    is 10·nb ≥ 9·na. There is deliberately NO upper bound on |B|:
+    *    containment is indifferent to how much larger the containing
+    *    doc is. Applied on the prefix⋈bag join itself.
+    *  - Positional filter: both rank columns restrict the SAME global
+    *    rarity order ([[rarityRanked]] is corpus-wide), so for a
+    *    candidate pair the struct-min of (ra, rb) over joined rows IS
+    *    the globally-first key shared between A's prefix and B — and
+    *    no key of A∩B precedes it (an earlier common key would rank
+    *    below ra in A, hence inside A's prefix, hence itself a joined
+    *    row with a smaller struct). Every other common key therefore
+    *    ranks after it in BOTH bags: |A∩B| ≤ 1 + min(na−ra, nb−rb),
+    *    pruned when that bound is < ⌈t·na⌉ — before any set lookup.
+    *
+    * Same output contract and the SAME oracle as [[containmentPairs]]
+    * / [[containmentPrefixFilter]]: the differential gate checks that
+    * the extra filters lose nothing, PrefixFilterSpec asserts the
+    * candidate set is a strict subset of the plain asymmetric
+    * prefix's.
+    */
+  def containmentPpjoin(s: SparkSession, dir: String): DataFrame =
+    verifyContainmentPairs(s, dir, containmentPpjoinCandidates(s, dir))
+
+  private[graft] def containmentPpjoinCandidates(
+      s: SparkSession, dir: String): DataFrame = {
+    val rr = rarityRanked(s, dir)
+    val a = rr
+      .filter(col("rnk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("rnk").as("ra"), col("sh_h"))
+    val b = rr.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+      col("rnk").as("rb"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // length filter: |B| ≥ ⌈0.9·|A|⌉, before the pair aggregation
+      .filter(lit(10) * col("nb") >= lit(9) * col("na"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(min(struct(col("ra"), col("rb"))).as("f"))
+      .filter(lit(1) + least(col("na") - col("f.ra"), col("nb") - col("f.rb"))
+        >= expr("(9 * na + 9) div 10"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact verification of directed candidate pairs against the full
+    * hashed shingle sets — shared by the asymmetric prefix family;
+    * same output contract and rounding as [[containmentPairs]].
+    */
+  private def verifyContainmentPairs(
+      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
     cand
@@ -1795,6 +1865,25 @@ object DedupOps {
          |SELECT doc_a, doc_b, round(inter / sa.n, 6) AS containment
          |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
          |WHERE inter / sa.n >= 0.9""".stripMargin)(containmentPrefixFilter),
+    // asymmetric length+positional filters on top, same oracle again:
+    // the gate proves the extra pruning loses no qualifying pair
+    Q("dedup_containment_ppjoin",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(inter / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |WHERE inter / sa.n >= 0.9""".stripMargin)(containmentPpjoin),
     Q("dup_count",
       s"""WITH pr AS (
          |$jaccardOracle),

@@ -12,8 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * queries over lineitem×orders (bases: each table alone, inner,
   * left-outer and FULL-outer joins — the latter with WHERE predicates
   * that license the full→left/right/inner outer-join-elimination
-  * rewrites — and EXISTS/NOT-EXISTS semi/anti joins with a
-  * generated right-side predicate), each rendered BOTH as a DataFrame
+  * rewrites — EXISTS/NOT-EXISTS semi/anti joins with a
+  * generated right-side predicate, and NULL-KEY-heavy inner/full
+  * joins whose join condition itself nulls a fifth of the left
+  * keys), each rendered BOTH as a DataFrame
   * program and as the equivalent ANSI SQL; the SQL runs in DuckDB
   * (tools/fuzz_runner.py, one subprocess for the whole batch) and the
   * row sets must match exactly. Window shapes cover
@@ -24,7 +26,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * grouping mode (plain / ROLLUP / CUBE — the Expand surface); and a
   * correlated-scalar-subquery shape probes Spark's decorrelation
   * (DataFrame subquery API: `Column.outer()` + `Dataset.scalar()`),
-  * count(*)-over-empty-group corner included.
+  * count(*)-over-empty-group corner included. A generator shape
+  * (explode/posexplode × inner/outer over sequence / split /
+  * emptyable arrays — the Generate/LATERAL plan surface) and
+  * natural-null grouping keys round out the grammar.
   *
   * The grammar is constrained by the repo's cross-engine determinism
   * rules (BASELINE.md): every numeric aggregate is over integer cents
@@ -93,6 +98,23 @@ class PlanFuzzSpec extends AnyFunSuite {
     */
   private case class ScalarSub(cols: List[SelCol], agg: Agg,
       extra: Option[Pred]) extends Shape
+  /** Generator / LATERAL shape: explode an array expression derived
+    * from the base's own columns — the UDTF plan surface (Generate
+    * node) the registry covers only with fixed queries. All four
+    * flavors: explode / posexplode × inner / outer. The DuckDB
+    * rendering differs by flavor: inner = unnest in the SELECT list
+    * (two same-length unnests ZIP, giving posexplode's 0-based
+    * ordinal), outer = LEFT JOIN LATERAL so an empty array yields one
+    * null-extended row, exactly Spark's `*_outer` semantics. The
+    * array pool per base includes an emptyable CASE array — the
+    * corner where inner and outer genuinely differ. Restricted to
+    * bases whose columns are non-null (no LJ/FJ/NFJ): an array built
+    * over a null input diverges between engines (Spark sequence
+    * propagates null, DuckDB generate_series differs) and is not the
+    * surface under test.
+    */
+  private case class Explode(cols: List[SelCol], arrIdx: Int,
+      outer: Boolean, withPos: Boolean) extends Shape
 
   /** rightPred: only for the semi/anti bases ("SJ"/"AJ") — an extra
     * predicate on the EXISTS subquery's orders side, so the probed
@@ -111,6 +133,13 @@ class PlanFuzzSpec extends AnyFunSuite {
         // optimizer degrade full→left/right/inner (Spark's
         // EliminateOuterJoin), and a wrong degrade changes the row set
         case "FJ" => "lineitem FULL JOIN orders ON l_orderkey = o_orderkey"
+        // null-key-heavy joins: ~1/5 of lineitem keys become NULL in
+        // the join condition itself. NULL = x is UNKNOWN, so those
+        // rows silently drop from the inner join and come back
+        // null-extended in the full one — the null-key surface the
+        // fixed bases (never-null TPC-H keys) cannot reach
+        case "NJ" => "lineitem JOIN orders ON o_orderkey = " + NullKeyExpr
+        case "NFJ" => "lineitem FULL JOIN orders ON o_orderkey = " + NullKeyExpr
       }
       val rp = rightPred.map(" AND " + _.sql).getOrElse("")
       val existsClause = base match {
@@ -186,6 +215,20 @@ class PlanFuzzSpec extends AnyFunSuite {
           val opSql = Vector("UNION", "UNION ALL", "INTERSECT",
             "INTERSECT ALL", "EXCEPT", "EXCEPT ALL")(op)
           s"${branch(e1)} $opSql ${branch(e2)}"
+        case Explode(cols, ai, outer, withPos) =>
+          val arr = arrPool(base)(ai)._2
+          val sel = cols.map(c => s"${c.sql} AS ${c.name}").mkString(", ")
+          val posSql = s"unnest(generate_series(0, len($arr) - 1)) AS pos"
+          if (!outer) {
+            val ex = (if (withPos) s"$posSql, " else "") +
+              s"unnest($arr) AS ex"
+            s"SELECT $sel, $ex FROM $from$where"
+          } else {
+            val lat = "(SELECT " + (if (withPos) s"$posSql, " else "") +
+              s"unnest($arr) AS ex)"
+            val outCols = (if (withPos) "u.pos, " else "") + "u.ex"
+            s"SELECT $sel, $outCols FROM $from LEFT JOIN LATERAL $lat AS u ON true$where"
+          }
       }
     }
   }
@@ -194,6 +237,44 @@ class PlanFuzzSpec extends AnyFunSuite {
 
   private def cents(c: String): Column = round(col(c) * 100).cast("long")
   private def centsSql(c: String): String = s"CAST(ROUND($c * 100) AS BIGINT)"
+
+  /** The NJ/NFJ join key: every l_orderkey ≡ 2 (mod 5) becomes NULL
+    * inside the join condition — selectivity stays equi-join (at most
+    * one orders match per lineitem row), but a fifth of the left keys
+    * exercise three-valued-logic matching.
+    */
+  private val NullKeyExpr =
+    "CASE WHEN l_orderkey % 5 = 2 THEN NULL ELSE l_orderkey END"
+  private val nullKeyCol: Column =
+    when(expr("l_orderkey % 5") === 2, lit(null)).otherwise(col("l_orderkey"))
+
+  /** Array expressions per base for the Explode shape (Spark column,
+    * DuckDB SQL): a size-varying integer sequence, a string split,
+    * and an emptyable CASE array (the inner-vs-outer corner). Only
+    * over non-null inputs — see [[Explode]].
+    */
+  private def arrPool(base: String): List[(Column, String)] = base match {
+    case "O" => List(
+      (sequence(lit(1), expr("CAST(o_orderkey % 3 AS INT) + 1")),
+        "generate_series(1, o_orderkey % 3 + 1)"),
+      (split(col("o_orderpriority"), "-"),
+        "string_split(o_orderpriority, '-')"),
+      (when(col("o_totalprice") > 100000, sequence(lit(1), lit(3)))
+        .otherwise(typedLit(Array.empty[Int])),
+        "CASE WHEN o_totalprice > 100000 THEN generate_series(1, 3) ELSE [] END"))
+    case _ => List(
+      (sequence(lit(1), col("l_linenumber").cast("int")),
+        "generate_series(1, l_linenumber)"),
+      (split(concat_ws("-", col("l_returnflag"), col("l_linestatus")), "-"),
+        "string_split(l_returnflag || '-' || l_linestatus, '-')"),
+      (when(col("l_quantity") > 25, sequence(lit(1), lit(3)))
+        .otherwise(typedLit(Array.empty[Int])),
+        "CASE WHEN l_quantity > 25 THEN generate_series(1, 3) ELSE [] END"))
+  }
+  /** Bases whose referenced columns are never null (Explode
+    * eligibility; LJ/FJ/NFJ can null out either side).
+    */
+  private val explodeBases = Set("L", "O", "J", "SJ", "AJ", "NJ")
 
   private val lPreds = List(
     Pred(col("l_quantity") <= 23, "l_quantity <= 23"),
@@ -214,11 +295,21 @@ class PlanFuzzSpec extends AnyFunSuite {
   private val lGCols = List(
     GCol("rf", col("l_returnflag"), "l_returnflag"),
     GCol("ls", col("l_linestatus"), "l_linestatus"),
-    GCol("lkmod", expr("l_orderkey % 3"), "l_orderkey % 3"))
+    GCol("lkmod", expr("l_orderkey % 3"), "l_orderkey % 3"),
+    // a natural-null grouping/partition key on EVERY base (not just
+    // the outer joins): NULL groups collate together in GROUP BY /
+    // DISTINCT / window partitioning on both engines, and under
+    // ROLLUP/CUBE the natural nulls coexist with subtotal nulls
+    GCol("nrf",
+      expr("CASE WHEN l_orderkey % 7 = 3 THEN NULL ELSE l_returnflag END"),
+      "CASE WHEN l_orderkey % 7 = 3 THEN NULL ELSE l_returnflag END"))
   private val oGCols = List(
     GCol("os", col("o_orderstatus"), "o_orderstatus"),
     GCol("op", col("o_orderpriority"), "o_orderpriority"),
-    GCol("ckmod", expr("o_custkey % 5"), "o_custkey % 5"))
+    GCol("ckmod", expr("o_custkey % 5"), "o_custkey % 5"),
+    GCol("nos",
+      expr("CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE o_orderstatus END"),
+      "CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE o_orderstatus END"))
 
   private val cntAgg = Agg("cnt", count(lit(1)), "count(*)")
   private val lAggs = List(cntAgg,
@@ -283,9 +374,9 @@ class PlanFuzzSpec extends AnyFunSuite {
     * sort key where order matters).
     */
   private def sortKeys(base: String): List[String] = base match {
-    case "L" | "J" | "SJ" | "AJ" => List("l_orderkey", "l_linenumber")
-    case "O"         => List("o_orderkey")
-    case "LJ" | "FJ" => List("o_orderkey", "l_orderkey", "l_linenumber")
+    case "L" | "J" | "SJ" | "AJ" | "NJ" => List("l_orderkey", "l_linenumber")
+    case "O"                  => List("o_orderkey")
+    case "LJ" | "FJ" | "NFJ"  => List("o_orderkey", "l_orderkey", "l_linenumber")
   }
   /** Window value columns; index 0 is numeric (the only legal running-
     * sum operand), the second exercises lag over strings. On LJ the
@@ -350,15 +441,24 @@ class PlanFuzzSpec extends AnyFunSuite {
       e2 <- Gen.option(Gen.oneOf(predPool(base)))
       op <- Gen.choose(0, 5)
     } yield SetOp(cols.toList, e1, e2, op))
+    val genExplode: Gen[Shape] = for {
+      ns <- Gen.choose(1, 3)
+      cols <- Gen.pick(ns, selPool(base))
+      ai <- Gen.choose(0, 2)
+      outer <- Gen.oneOf(true, false)
+      wp <- Gen.oneOf(true, false)
+    } yield Explode(cols.toList, ai, outer, wp)
     // the correlated subquery names both tables' columns, so it only
     // composes with the bare-lineitem base; weight 2 keeps it drawn
     // reliably despite the single eligible base
-    val gens = core ++ (if (base == "L") List(genScalarSub, genScalarSub) else Nil)
+    val gens = core ++
+      (if (explodeBases(base)) List(genExplode) else Nil) ++
+      (if (base == "L") List(genScalarSub, genScalarSub) else Nil)
     Gen.choose(0, gens.length - 1).flatMap(gens)
   }
 
   private val genSpec: Gen[Spec] = for {
-    base <- Gen.oneOf("L", "O", "J", "LJ", "FJ", "SJ", "AJ")
+    base <- Gen.oneOf("L", "O", "J", "LJ", "FJ", "SJ", "AJ", "NJ", "NFJ")
     np <- Gen.choose(0, 2)
     preds <- Gen.pick(np, predPool(base))
     shape <- genShape(base)
@@ -388,6 +488,10 @@ class PlanFuzzSpec extends AnyFunSuite {
         Tables.lineitem(spark, fuzzDir).join(right,
           col("l_orderkey") === col("o_orderkey"),
           if (semiOrAnti == "SJ") "left_semi" else "left_anti")
+      case nullKey @ ("NJ" | "NFJ") =>
+        Tables.lineitem(spark, fuzzDir).join(Tables.orders(spark, fuzzDir),
+          col("o_orderkey") === nullKeyCol,
+          if (nullKey == "NJ") "inner" else "full")
     }
     val filtered = spec.preds.foldLeft(base)((d, p) => d.filter(p.cond))
     spec.shape match {
@@ -440,6 +544,17 @@ class PlanFuzzSpec extends AnyFunSuite {
           .select(agg.col.as(agg.name))
         filtered.select(
           cols.map(c => c.col.as(c.name)) :+ sub.scalar().as("ssub"): _*)
+      case Explode(cols, ai, outer, withPos) =>
+        val arr = arrPool(spec.base)(ai)._1
+        val gen = (outer, withPos) match {
+          case (false, false) => explode(arr)
+          case (false, true)  => posexplode(arr)
+          case (true, false)  => explode_outer(arr)
+          case (true, true)   => posexplode_outer(arr)
+        }
+        val genCol =
+          if (withPos) gen.as(Seq("pos", "ex")) else gen.as("ex")
+        filtered.select(cols.map(c => c.col.as(c.name)) :+ genCol: _*)
       case SetOp(cols, e1, e2, op) =>
         def branch(extra: Option[Pred]) =
           extra.fold(filtered)(p => filtered.filter(p.cond))
@@ -521,7 +636,7 @@ class PlanFuzzSpec extends AnyFunSuite {
     // draws happen to hit every enum value is luck, not a defect
     if (sys.env.get("GRAFT_FUZZ_SEED").isEmpty) {
     val bases = specs.map(_.base).toSet
-    assert(bases == Set("L", "O", "J", "LJ", "FJ", "SJ", "AJ"),
+    assert(bases == Set("L", "O", "J", "LJ", "FJ", "SJ", "AJ", "NJ", "NFJ"),
       s"bases drawn: $bases")
     // both semi/anti flavors must draw a right-side predicate at least once
     assert(specs.exists(s => s.base == "SJ" && s.rightPred.isDefined)
@@ -547,6 +662,23 @@ class PlanFuzzSpec extends AnyFunSuite {
     assert(winFns == Set(0, 1, 2, 3), s"window fns drawn: $winFns")
     val setOps = specs.collect { case Spec(_, _, SetOp(_, _, _, op), _) => op }.toSet
     assert(setOps == Set(0, 1, 2, 3, 4, 5), s"set ops drawn: $setOps")
+    // every explode flavor (explode/posexplode × inner/outer) and
+    // every array kind (sequence / split / emptyable CASE)
+    val exFlavors = specs.collect {
+      case Spec(_, _, Explode(_, _, o, p), _) => (o, p) }.toSet
+    assert(exFlavors ==
+      Set((false, false), (false, true), (true, false), (true, true)),
+      s"explode flavors drawn: $exFlavors")
+    val exArrs = specs.collect {
+      case Spec(_, _, Explode(_, ai, _, _), _) => ai }.toSet
+    assert(exArrs == Set(0, 1, 2), s"explode array kinds drawn: $exArrs")
+    // a null-partition window and a null-key grouping must be drawn
+    assert(specs.exists(s => s.shape match {
+      case Win(p, _, _) => p.name == "nrf" || p.name == "nos"
+      case GroupAgg(gs, _, _, _) => gs.exists(g =>
+        g.name == "nrf" || g.name == "nos")
+      case _ => false
+    }), "no spec drew a natural-null grouping/partition key")
     }
   }
 

@@ -152,6 +152,79 @@ class PrefixFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("containment ppjoin equals the df-capped baseline exactly") {
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val base = pairs(DedupOps.containmentPairs(spark, dir))
+      val pp = pairs(DedupOps.containmentPpjoin(spark, dir))
+      assert(pp == base, s"containment ppjoin result diverged at $dir")
+      assert(pp.nonEmpty, s"no containment pairs at $dir")
+    }
+  }
+
+  test("asymmetric length+positional filters prune candidates but never results") {
+    for (dir <- Seq(sfTiny, sfSmall)) {
+      val prefixCand = DedupOps.containmentPrefixCandidates(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ppCand = DedupOps.containmentPpjoinCandidates(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ppCand.subsetOf(prefixCand),
+        s"containment ppjoin candidates not a subset at $dir")
+      val results = pairs(DedupOps.containmentPairs(spark, dir))
+        .map(p => (p._1, p._2))
+      assert(results.subsetOf(ppCand),
+        s"a qualifying directed pair was pruned at $dir — completeness broken")
+    }
+  }
+
+  test("asymmetric positional filter prunes a deep-suffix candidate; C = 0.9 boundary survives") {
+    import spark.implicits._
+    // Doc 1 (A): [shared window sa sb sc] + 29 boilerplate tokens →
+    // 30 shingles: the shared 3-gram (df 2: docs 1 and 2 only), two
+    // A-unique bridge shingles (df 1), 27 boilerplate (df 4: docs
+    // 1,3,4,5). Rarity order: [bridge, bridge, shared, boiler...], so
+    // A's t=0.9 prefix (30 − 27 + 1 = 4 keys) contains the shared key
+    // at rank 3 → (1→2) IS a plain asymmetric-prefix candidate (and
+    // passes the length filter: nb = 30 ≥ ⌈0.9·30⌉ = 27). Doc 2 (B)
+    // buries the shared window at the END of 29 unique tokens, so the
+    // shared key ranks LAST of B's 30 (29 df-1 keys first): the
+    // positional bound 1 + min(30−3, 30−30) = 1 < 27 prunes it with
+    // no set lookup — C(1→2) = 1/30 anyway. Docs 3,4,5 = boilerplate
+    // only (27 shingles): C(3→1) = 27/27 = 1.0 and C(1→3) = 27/30 =
+    // exactly 0.9 — the threshold boundary — whose positional bound
+    // 1 + min(30−4, 27−1) = 27 ≥ 27 must survive.
+    val shared = Seq("sa", "sb", "sc")
+    val boiler = ('a' to 'z').map("b" + _) ++ Seq("bza", "bzb", "bzc")
+    val uniq = ('a' to 'z').map("u" + _) ++ Seq("uza", "uzb", "uzc")
+    assert(boiler.length == 29 && uniq.length == 29)
+    val docs = Seq(
+      (1L, (shared ++ boiler).mkString(" ")),
+      (2L, (uniq ++ shared).mkString(" ")),
+      (3L, boiler.mkString(" ")),
+      (4L, boiler.mkString(" ")),
+      (5L, boiler.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpos").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prefixCand = DedupOps.containmentPrefixCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ppCand = DedupOps.containmentPpjoinCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixCand.contains((1L, 2L)),
+      s"plain prefix lost the planted deep-suffix candidate: $prefixCand")
+    assert(!ppCand.contains((1L, 2L)),
+      s"positional filter failed to prune the C=1/30 candidate: $ppCand")
+    val expect = Set(
+      (3L, 4L), (4L, 3L), (3L, 5L), (5L, 3L), (4L, 5L), (5L, 4L),
+      (3L, 1L), (4L, 1L), (5L, 1L)).map(p => (p._1, p._2, 1.0)) ++
+      Set((1L, 3L), (1L, 4L), (1L, 5L)).map(p => (p._1, p._2, 0.9))
+    val got = pairs(DedupOps.containmentPpjoin(spark, dir))
+    assert(got == expect, s"boundary containment pairs mangled: $got")
+    assert(got == pairs(DedupOps.containmentPairs(spark, dir)),
+      "ppjoin diverged from the baseline on the crafted fixture")
+  }
+
   test("the prefix bag is a small fraction of the full shingle bag (candidate economy)") {
     // the economy claim behind the operator: at t = 0.8 each doc
     // contributes ~20% of its shingles as join keys, so the candidate
