@@ -215,11 +215,22 @@ object DedupOps {
     * candidate economies across the filter ladder.
     */
   private[graft] def prefixFilterCandidates(
-      s: SparkSession, dir: String): DataFrame = {
-    // prefix length |A| − ⌈0.8·|A|⌉ + 1, in integer arithmetic:
-    // ⌈4n/5⌉ = (4n + 4) div 5 for n ≥ 0
+      s: SparkSession, dir: String): DataFrame =
+    prefixFilterCandidatesAt(s, dir, 4, 5)
+
+  /** [[prefixFilterCandidates]] at threshold t = p/q — the rational
+    * form keeps the prefix-length ceiling exact at ANY threshold
+    * (⌈p·n/q⌉ = (p·n + q − 1) div q), which is what DedupFuzzSpec
+    * sweeps: the completeness theorem is threshold-generic, so the
+    * property must hold at every sampled t, not only the registered
+    * 0.8. The canonical entry point delegates with (4, 5).
+    */
+  private[graft] def prefixFilterCandidatesAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame = {
+    // prefix length |A| − ⌈t·|A|⌉ + 1, in integer arithmetic
     val prefix = rarityRanked(s, dir)
-      .filter(col("rnk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
+      .filter(col("rnk") <=
+        col("n_sh") - expr(s"($p * n_sh + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("sh_h"))
     prefix.toDF("doc_a", "sh_h")
       .join(prefix.toDF("doc_b", "sh_h"), Seq("sh_h"))
@@ -232,7 +243,8 @@ object DedupOps {
     * same output contract and rounding as [[ngramJaccard]].
     */
   private def verifyJaccardPairs(
-      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+      s: SparkSession, dir: String, cand: DataFrame,
+      t: Double = 0.8): DataFrame = {
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val sets = sh.groupBy(col("doc_id"))
@@ -245,9 +257,29 @@ object DedupOps {
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("j") >= 0.8)
+      .filter(col("j") >= t)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
+
+  /** Fuzz-sweep entry points: the full filter-then-verify pipelines at
+    * an arbitrary rational threshold t = p/q. DedupFuzzSpec compares
+    * them against an independent in-JVM brute-force ground truth at
+    * every sampled threshold — the completeness theorems are
+    * threshold-generic and so must the code be. (The double-valued
+    * verification filter is exact here: |∩|/|∪| is a rational with a
+    * denominator ≤ a few thousand, so it either equals p/q — where
+    * both sides round to the same double — or differs from it by far
+    * more than double epsilon.)
+    */
+  private[graft] def prefixFilterJaccardAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame =
+    verifyJaccardPairs(s, dir, prefixFilterCandidatesAt(s, dir, p, q),
+      p.toDouble / q)
+
+  private[graft] def ppjoinJaccardAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame =
+    verifyJaccardPairs(s, dir, ppjoinCandidatesAt(s, dir, p, q),
+      p.toDouble / q)
 
   /** [[prefixFilterJaccard]] plus PPJoin's LENGTH and POSITIONAL
     * filters (Xiao et al., WWW'08) — the next rung on the AllPairs
@@ -284,9 +316,19 @@ object DedupOps {
     verifyJaccardPairs(s, dir, ppjoinCandidates(s, dir))
 
   private[graft] def ppjoinCandidates(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    ppjoinCandidatesAt(s, dir, 4, 5)
+
+  /** [[ppjoinCandidates]] at threshold t = p/q (see
+    * [[prefixFilterCandidatesAt]]): length filter q·min ≥ p·max and
+    * positional overlap requirement ⌈t/(1+t)·(na+nb)⌉ =
+    * (p·(na+nb) + p+q−1) div (p+q), both exact at any rational t.
+    */
+  private[graft] def ppjoinCandidatesAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame = {
     val pr = rarityRanked(s, dir)
-      .filter(col("rnk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
+      .filter(col("rnk") <=
+        col("n_sh") - expr(s"($p * n_sh + ${q - 1}) div $q") + 1)
     val a = pr.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
       col("rnk").as("ra"), col("sh_h"))
     val b = pr.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
@@ -294,15 +336,15 @@ object DedupOps {
     a.join(b, Seq("sh_h"))
       .filter(col("doc_a") < col("doc_b"))
       // length filter before the pair aggregation
-      .filter(lit(5) * least(col("na"), col("nb")) >=
-        lit(4) * greatest(col("na"), col("nb")))
+      .filter(lit(q) * least(col("na"), col("nb")) >=
+        lit(p) * greatest(col("na"), col("nb")))
       // first shared prefix key = lexicographic min of (ra, rb): both
       // rank orders restrict the same global order, so the key with
       // the smallest ra also has the smallest rb among shared keys
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(min(struct(col("ra"), col("rb"))).as("f"))
       .filter(lit(1) + least(col("na") - col("f.ra"), col("nb") - col("f.rb"))
-        >= expr("(4 * (na + nb) + 8) div 9"))
+        >= expr(s"($p * (na + nb) + ${p + q - 1}) div ${p + q}"))
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -372,10 +414,18 @@ object DedupOps {
     * compare the ladder's rungs.
     */
   private[graft] def containmentPrefixCandidates(
-      s: SparkSession, dir: String): DataFrame = {
-    // t = 0.9: ⌈9n/10⌉ = (9n + 9) div 10
+      s: SparkSession, dir: String): DataFrame =
+    containmentPrefixCandidatesAt(s, dir, 9, 10)
+
+  /** [[containmentPrefixCandidates]] at threshold t = p/q (see
+    * [[prefixFilterCandidatesAt]] for why the fuzzer needs the
+    * rational form).
+    */
+  private[graft] def containmentPrefixCandidatesAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame = {
     val prefixA = rarityRanked(s, dir)
-      .filter(col("rnk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
+      .filter(col("rnk") <=
+        col("n_sh") - expr(s"($p * n_sh + ${q - 1}) div $q") + 1)
       .select(col("doc_id").as("doc_a"), col("sh_h"))
     val fullB = shingleRows(s, dir)
       .select(col("doc_id").as("doc_b"), xxhash64(col("shingle")).as("sh_h"))
@@ -385,53 +435,92 @@ object DedupOps {
   }
 
   /** [[containmentPrefixFilter]] plus the ASYMMETRIC analogs of
-    * PPJoin's length and positional filters — the directional
-    * counterpart of [[ppjoinJaccard]], added because the plain
-    * containment prefix was the one scale path whose second measured
-    * decade ran near-linear (its prefix joins the containing side's
-    * FULL bag, so candidate fan-out tracks corpus growth):
+    * PPJoin's length and positional filters AND a multi-witness
+    * extended-prefix requirement (the asymmetric analog of PPJoin+'s
+    * suffix-side tightening, in the aggregate-friendly form of
+    * adaptive prefix filtering, Wang et al. VLDB'12) — the
+    * directional counterpart of [[ppjoinJaccard]], added because the
+    * plain containment prefix was the one scale path whose second
+    * measured decade ran near-linear (its prefix joins the containing
+    * side's FULL bag, so candidate fan-out tracks corpus growth).
+    * With T = ⌈t·|A|⌉ the overlap a qualifying pair must reach:
     *
-    *  - Length filter: C(A→B) ≥ t needs |A∩B| ≥ ⌈t·|A|⌉, and
-    *    |A∩B| ≤ |B|, so |B| ≥ ⌈t·|A|⌉ — at t = 9/10 the integer form
-    *    is 10·nb ≥ 9·na. There is deliberately NO upper bound on |B|:
-    *    containment is indifferent to how much larger the containing
-    *    doc is. Applied on the prefix⋈bag join itself.
-    *  - Positional filter: both rank columns restrict the SAME global
-    *    rarity order ([[rarityRanked]] is corpus-wide), so for a
-    *    candidate pair the struct-min of (ra, rb) over joined rows IS
-    *    the globally-first key shared between A's prefix and B — and
-    *    no key of A∩B precedes it (an earlier common key would rank
-    *    below ra in A, hence inside A's prefix, hence itself a joined
-    *    row with a smaller struct). Every other common key therefore
-    *    ranks after it in BOTH bags: |A∩B| ≤ 1 + min(na−ra, nb−rb),
-    *    pruned when that bound is < ⌈t·na⌉ — before any set lookup.
+    *  - Length filter: |A∩B| ≥ T and |A∩B| ≤ |B| force |B| ≥ T — at
+    *    t = 9/10 the integer form is 10·nb ≥ 9·na. There is
+    *    deliberately NO upper bound on |B|: containment is
+    *    indifferent to how much larger the containing doc is. Applied
+    *    on the prefix⋈bag join itself.
+    *  - Row-level positional filters: both rank columns restrict the
+    *    SAME global rarity order ([[rarityRanked]] is corpus-wide),
+    *    so for a qualifying pair the j-th globally-rarest common key
+    *    has at most j−1 commons before it in EITHER bag (j ≤ ra and
+    *    j ≤ rb) and at least T−j commons after it in BOTH. Hence
+    *    every common key of a qualifying pair satisfies
+    *    rb ≤ nb − T + ra and ra ≤ na − T + rb — checked per joined
+    *    row, BEFORE the pair aggregation, so pruned rows never
+    *    shuffle. (This subsumes the r8 pair-level min-struct bound:
+    *    at the globally-first joined row it reduces to exactly
+    *    1 + min(na−ra, nb−rb) ≥ T.)
+    *  - Multi-witness extended prefix: any T-subset of A must put at
+    *    least k of its members among A's first |A| − T + k
+    *    rarity-ranked keys (pigeonhole: fewer than k witnesses there
+    *    would leave more than T − k commons for the T − k remaining
+    *    slots). So the A side emits the first |A| − T + 2 keys
+    *    (one more than the classic prefix) and a pair must collect
+    *    ≥ min(2, T) surviving joined rows. This is the filter with
+    *    teeth against the dominant candidate class — pairs sharing
+    *    exactly ONE rare shingle — which the positional bounds alone
+    *    cannot touch when that shingle ranks early in both docs.
     *
     * Same output contract and the SAME oracle as [[containmentPairs]]
     * / [[containmentPrefixFilter]]: the differential gate checks that
     * the extra filters lose nothing, PrefixFilterSpec asserts the
     * candidate set is a strict subset of the plain asymmetric
-    * prefix's.
+    * prefix's (any pair with ≥ 2 distinct witness ranks ≤ na−T+2 has
+    * one with rank ≤ na−T+1, i.e. in the classic prefix) and pins
+    * crafted boundary fixtures for every bound above.
     */
   def containmentPpjoin(s: SparkSession, dir: String): DataFrame =
     verifyContainmentPairs(s, dir, containmentPpjoinCandidates(s, dir))
 
   private[graft] def containmentPpjoinCandidates(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    containmentPpjoinCandidatesAt(s, dir, 9, 10)
+
+  /** [[containmentPpjoinCandidates]] at threshold t = p/q (see
+    * [[prefixFilterCandidatesAt]]): every bound below is stated in
+    * terms of T = ⌈t·|A|⌉, so the rational form generalizes directly.
+    */
+  private[graft] def containmentPpjoinCandidatesAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame = {
     val rr = rarityRanked(s, dir)
+      // ta = T(A) = ⌈t·|A|⌉ in integer arithmetic
+      .withColumn("ta", expr(s"($p * n_sh + ${q - 1}) div $q"))
     val a = rr
-      .filter(col("rnk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
+      // extended prefix: one key beyond the classic |A| − T + 1
+      .filter(col("rnk") <=
+        least(col("n_sh"), col("n_sh") - col("ta") + 2))
       .select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
-        col("rnk").as("ra"), col("sh_h"))
+        col("ta"), col("rnk").as("ra"), col("sh_h"))
     val b = rr.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
       col("rnk").as("rb"), col("sh_h"))
     a.join(b, Seq("sh_h"))
       .filter(col("doc_a") =!= col("doc_b"))
-      // length filter: |B| ≥ ⌈0.9·|A|⌉, before the pair aggregation
-      .filter(lit(10) * col("nb") >= lit(9) * col("na"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(min(struct(col("ra"), col("rb"))).as("f"))
+      // length filter: |B| ≥ ⌈t·|A|⌉, before the pair aggregation
+      .filter(lit(q) * col("nb") >= lit(p) * col("na"))
+      // row-level positional bounds (see doc) — prune before shuffle
+      .filter(col("rb") <= col("nb") - col("ta") + col("ra"))
+      .filter(col("ra") <= col("na") - col("ta") + col("rb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("ta"))
+      .agg(min(struct(col("ra"), col("rb"))).as("f"),
+        count(lit(1)).as("wit"))
+      // multi-witness requirement; min(2, T) handles one-shingle docs
+      .filter(col("wit") >= least(lit(2), col("ta")))
+      // pair-level positional bound kept from the r8 rung (redundant
+      // given the row-level form, but free at pair granularity and it
+      // keeps the rung's candidate set ⊆ the r8 rung's by construction)
       .filter(lit(1) + least(col("na") - col("f.ra"), col("nb") - col("f.rb"))
-        >= expr("(9 * na + 9) div 10"))
+        >= col("ta"))
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -440,7 +529,8 @@ object DedupOps {
     * same output contract and rounding as [[containmentPairs]].
     */
   private def verifyContainmentPairs(
-      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+      s: SparkSession, dir: String, cand: DataFrame,
+      t: Double = 0.9): DataFrame = {
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val sets = sh.groupBy(col("doc_id"))
@@ -451,10 +541,23 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
         Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-      .filter(col("inter") / col("na") >= 0.9)
+      .filter(col("inter") / col("na") >= t)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / col("na"), 6).as("containment"))
   }
+
+  /** Containment fuzz-sweep entry points at t = p/q — see
+    * [[prefixFilterJaccardAt]].
+    */
+  private[graft] def containmentPrefixFilterAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame =
+    verifyContainmentPairs(s, dir,
+      containmentPrefixCandidatesAt(s, dir, p, q), p.toDouble / q)
+
+  private[graft] def containmentPpjoinAt(
+      s: SparkSession, dir: String, p: Int, q: Int): DataFrame =
+    verifyContainmentPairs(s, dir,
+      containmentPpjoinCandidatesAt(s, dir, p, q), p.toDouble / q)
 
   private val jaccardOracle =
     s"""WITH toks AS (
@@ -546,15 +649,47 @@ object DedupOps {
     * starting from 42) — replicated here so JVM-computed keys land in
     * the same buckets as [[minhashBuckets]]'s.
     */
-  private[dedup] def bandKey(sig: Array[Long], band: Int): Long = {
+  private[dedup] def bandKey(sig: Array[Long], band: Int,
+      rows: Int = RowsPerBand): Long = {
     var h = 42L
     var r = 0
-    while (r < RowsPerBand) {
+    while (r < rows) {
       h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        sig(band * RowsPerBand + r), org.apache.spark.sql.types.LongType, h)
+        sig(band * rows + r), org.apache.spark.sql.types.LongType, h)
       r += 1
     }
     h
+  }
+
+  /** Banded LSH candidate pairs at an ARBITRARY band split of the
+    * [[NumHashes]]-long signature (bands must divide it) — the
+    * fuzz-sweep form of [[minhashNeardup]]'s candidate stage.
+    * DedupFuzzSpec checks the deterministic pigeonhole guarantee at
+    * every sampled split: two docs whose signatures disagree in FEWER
+    * than `bands` positions cannot spoil every band, so they MUST
+    * collide in at least one — in particular identical shingle sets
+    * (identical signatures) are candidates under any split.
+    */
+  private[graft] def minhashBandedCandidatesAt(
+      s: SparkSession, dir: String, bands: Int): DataFrame = {
+    require(NumHashes % bands == 0, s"bands=$bands must divide $NumHashes")
+    import s.implicits._
+    val rows = NumHashes / bands
+    val buckets = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val x64 = shingleStrings(text).map(hashShingle).toArray
+        if (x64.isEmpty) Nil
+        else {
+          val sig = signatureOf(x64.map(v => ((v % P) + P) % P))
+          (0 until bands).map(b => (id, b, bandKey(sig, b, rows)))
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
+    buckets.toDF("doc_a", "band", "bkey")
+      .join(buckets.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Banded-LSH candidate pairs verified by exact Jaccard ≥ 0.8 —

@@ -225,6 +225,50 @@ class PrefixFilterSpec extends AnyFunSuite {
       "ppjoin diverged from the baseline on the crafted fixture")
   }
 
+  test("multi-witness filter prunes single-shared-shingle pairs the positional bound keeps") {
+    import spark.implicits._
+    // The dominant spurious-candidate class: two docs sharing exactly
+    // ONE rare shingle that ranks early in both — the positional
+    // bounds CANNOT touch it (first common key at ra=rb=3 gives bound
+    // 1 + min(27, 27) = 28 ≥ T = 27), only the witness count can.
+    // A = [sa sb sc] + boiler1 (29 toks shared with docs 3,4), so A's
+    // 30 shingles rank: 2 df-1 bridges, the df-2 shared window, then
+    // 27 df-3 boiler. B mirrors it over boiler2 (docs 5,6). The pair
+    // (A→B) shares only the (sa sb sc) shingle — C = 1/30 — passes
+    // length + both positional bounds, and MUST die on witnesses < 2.
+    // Meanwhile C(A→3) = 27/30 = 0.9 exactly (threshold boundary,
+    // witnesses = the 2 boiler keys at ext-prefix ranks 4 and 5, row
+    // bounds holding with EQUALITY: ra = 3+i, rb = i, na−T = 3) must
+    // survive — the same fixture exercises both edges.
+    val shared = Seq("sa", "sb", "sc")
+    val boiler1 = ('a' to 'z').map("b" + _) ++ Seq("bza", "bzb", "bzc")
+    val boiler2 = ('a' to 'z').map("c" + _) ++ Seq("cza", "czb", "czc")
+    val docs = Seq(
+      (1L, (shared ++ boiler1).mkString(" ")),
+      (2L, (shared ++ boiler2).mkString(" ")),
+      (3L, boiler1.mkString(" ")), (4L, boiler1.mkString(" ")),
+      (5L, boiler2.mkString(" ")), (6L, boiler2.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wit").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prefixCand = DedupOps.containmentPrefixCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ppCand = DedupOps.containmentPpjoinCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixCand.contains((1L, 2L)) && prefixCand.contains((2L, 1L)),
+      s"plain prefix lost the planted one-witness candidate: $prefixCand")
+    assert(!ppCand.contains((1L, 2L)) && !ppCand.contains((2L, 1L)),
+      s"witness filter failed to prune the C=1/30 pair: $ppCand")
+    // the C = 0.9 boundary pairs survive and the rung stays exact
+    val got = pairs(DedupOps.containmentPpjoin(spark, dir))
+    val boundary = Set((1L, 3L, 0.9), (1L, 4L, 0.9), (2L, 5L, 0.9), (2L, 6L, 0.9))
+    assert(boundary.subsetOf(got), s"C=0.9 boundary pair lost: $got")
+    assert(got == pairs(DedupOps.containmentPairs(spark, dir)),
+      "witness-filtered rung diverged from the baseline")
+  }
+
   test("the prefix bag is a small fraction of the full shingle bag (candidate economy)") {
     // the economy claim behind the operator: at t = 0.8 each doc
     // contributes ~20% of its shingles as join keys, so the candidate
