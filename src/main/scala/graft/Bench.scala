@@ -57,16 +57,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = MainSession.build(defaultCpus = "32")
 
     // Optional subset filter (comma-separated names) for targeted
     // slope runs — e.g. timing four queries at three scale points

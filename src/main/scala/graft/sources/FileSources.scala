@@ -196,38 +196,119 @@ object FileSources {
     * differential gate. `createTableColumnTypes` pins event_type to
     * VARCHAR — Derby's default mapping for StringType is CLOB, which
     * cannot be grouped on.
+    *
+    * Multi-JVM execution (round 9): an embedded on-disk Derby
+    * database is single-JVM by design — under `local-cluster` every
+    * executor JVM racing to boot the same database dies on the db
+    * lock (found by the round-9 local-cluster gate; a real cluster
+    * would hit the same wall). So after seeding, the database is
+    * SHUT DOWN and archived into a jar, and ALL reads — every master
+    * mode, so the gate exercises one code path — go through Derby's
+    * documented multi-JVM read-only form `jdbc:derby:jar:(file)db`:
+    * each range-partition task boots its own read-only instance from
+    * the archive. This is the legitimate cluster shape for an
+    * embedded store: ship an immutable snapshot, never a live lock.
     */
-  private def derbyUrl(dir: String): String =
-    s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft-src/derby/${Tables.dirKey(dir)}"
+  private def derbyDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-src/derby/${Tables.dirKey(dir)}"
 
   private[sources] val JdbcReadPartitions = 8
 
   def jdbcEvents(s: SparkSession, dir: String): DataFrame = {
-    val url = derbyUrl(dir)
+    val dbDir = derbyDir(dir)
+    val dbJar = s"$dbDir.jar"
+    val dbName = new java.io.File(dbDir).getName
     synchronized {
-      if (!written.contains(url)) {
-        Tables.events(s, dir)
+      if (!written.contains(dbJar)) {
+        // Seed on the DRIVER through plain JDBC: Spark's JDBC sink
+        // writes from tasks, i.e. from several executor JVMs, and an
+        // embedded Derby database admits exactly one booting JVM —
+        // under local-cluster the concurrent boots deadlock on the db
+        // lock. Seeding is fixture scaffolding (the stand-in for the
+        // RDBMS a real deployment already has), so a driver-side
+        // batch insert is the honest shape; the DISTRIBUTED part of
+        // the operator is the partitioned range read below.
+        val rows = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), unix_micros(col("ts")).as("ts_us"))
-          .write.mode("overwrite")
-          .option("createTableColumnTypes", "event_type VARCHAR(64)")
-          .format("jdbc")
-          .option("url", s"$url;create=true")
-          .option("dbtable", "events_jdbc")
-          .save()
-        written += url
+          .collect()
+        val conn = java.sql.DriverManager
+          .getConnection(s"jdbc:derby:$dbDir;create=true")
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try { st.execute("DROP TABLE events_jdbc"); () }
+          catch { case _: java.sql.SQLException => () } // first run
+          st.execute("""CREATE TABLE events_jdbc (
+            event_id BIGINT, user_id BIGINT, event_type VARCHAR(64),
+            value DOUBLE, ts_us BIGINT)""")
+          st.close()
+          val ps = conn.prepareStatement(
+            "INSERT INTO events_jdbc VALUES (?, ?, ?, ?, ?)")
+          var n = 0
+          rows.foreach { r =>
+            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
+            ps.setString(3, r.getString(2)); ps.setDouble(4, r.getDouble(3))
+            ps.setLong(5, r.getLong(4))
+            ps.addBatch()
+            n += 1
+            if (n % 10000 == 0) { ps.executeBatch(); () }
+          }
+          ps.executeBatch()
+          ps.close()
+          conn.commit()
+        } finally conn.close()
+        // release the embedded instance (flushes the log; a booted
+        // database's files are not guaranteed archive-consistent)
+        try {
+          java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+          ()
+        } catch {
+          // 08006 IS the success signal for single-database shutdown
+          case e: java.sql.SQLException if e.getSQLState == "08006" => ()
+        }
+        jarDirectory(dbDir, dbJar, dbName)
+        written += dbJar
       }
     }
     val maxId = Tables.events(s, dir) // range bound: a scalar, not data
       .agg(max(col("event_id"))).head.getLong(0)
     rollup(s.read.format("jdbc")
-      .option("url", url)
+      .option("url", s"jdbc:derby:jar:($dbJar)$dbName")
       .option("dbtable", "events_jdbc")
       .option("partitionColumn", "event_id")
       .option("lowerBound", "0")
       .option("upperBound", (maxId + 1).toString)
       .option("numPartitions", JdbcReadPartitions.toString)
       .load())
+  }
+
+  /** Archive a seeded Derby database directory as `<top>/...` entries
+    * in a jar, atomically (write to .tmp, move over). Lock files and
+    * the scratch dir are excluded — they are instance state, not
+    * database content, and a read-only boot must not see them.
+    */
+  private def jarDirectory(srcDir: String, jarPath: String,
+      top: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(jarPath + ".tmp")
+    val base = Paths.get(srcDir)
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(tmp))
+    try {
+      val files = Files.walk(base).iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        if (Files.isRegularFile(f)) {
+          val rel = base.relativize(f).toString.replace('\\', '/')
+          if (!rel.endsWith(".lck") && !rel.startsWith("tmp/")) {
+            out.putNextEntry(new java.util.zip.ZipEntry(s"$top/$rel"))
+            Files.copy(f, out)
+            out.closeEntry()
+          }
+        }
+      }
+    } finally out.close()
+    Files.move(tmp, Paths.get(jarPath), StandardCopyOption.REPLACE_EXISTING)
   }
 
   private val rollupOracle =
