@@ -26,62 +26,119 @@ import re
 import sys
 import duckdb
 
+def copy_suffix(k):
+    """Copy-unique token suffix. k ∈ [1, 676]: the original "zz" +
+    two-letter base-26 form (kept byte-identical so the 10x/100x
+    fixtures reproduce across rounds). k ≥ 677: "qq" + three letters —
+    a DIFFERENT marker, so the two forms can never collide: a suffixed
+    token t1+"zz"+xy equal to t2+"qq"+uvw would need a 'z' to equal a
+    'q' at some aligned position. ("qq" itself is as absent from the
+    generator vocabulary as "zz".) Bound: 676 + 26³ = 18,252 copies.
+    """
+    if k == 0:
+        return ""
+    if k <= 676:
+        return "zz" + chr(ord('a') + (k - 1) // 26) + chr(ord('a') + (k - 1) % 26)
+    j = k - 677
+    assert j < 26 ** 3, f"copy {k} exceeds the 18,252-copy suffix space"
+    return ("qq" + chr(ord('a') + j // 676) + chr(ord('a') + (j // 26) % 26)
+            + chr(ord('a') + j % 26))
+
 def scale_documents(src, out, copies):
     import pyarrow as pa
     import pyarrow.parquet as pq
+    schema = pq.read_schema(f"{src}/documents.parquet")
     t = pq.read_table(f"{src}/documents.parquet").to_pylist()
     shift = max(r["doc_id"] for r in t) + 1
-    rows = []
+    # stream copies to the writer in modest batches: at 1000x the full
+    # row list would be tens of GB of Python objects
+    writer = pq.ParquetWriter(f"{out}/documents.parquet", schema)
+    rows, total = [], 0
     for k in range(copies):
-        # two-letter base-26 suffix: unique for up to 677 copies (a
-        # single letter repeats after 26, which would make copy 27
-        # token-identical to copy 1 and flood the fixture with
-        # cross-copy near-dups the slope must not contain)
-        suf = "" if k == 0 else "zz" + \
-            chr(ord('a') + (k - 1) // 26) + chr(ord('a') + (k - 1) % 26)
+        suf = copy_suffix(k)
         for r in t:
             text = r["text"] if k == 0 else re.sub(
                 r"[a-zA-Z]+", lambda m: m.group(0) + suf, r["text"])
             rows.append({"doc_id": r["doc_id"] + k * shift, "text": text,
                          "lang": r["lang"], "source": r["source"],
                          "n_chars": len(text)})
-    pq.write_table(pa.Table.from_pylist(
-        rows, schema=pq.read_schema(f"{src}/documents.parquet")),
-        f"{out}/documents.parquet")
-    return len(rows)
+        if len(rows) >= 100_000 or k == copies - 1:
+            writer.write_table(pa.Table.from_pylist(rows, schema=schema))
+            total += len(rows)
+            rows = []
+    writer.close()
+    return total
 
 def scale_embeddings(src, out, copies):
     import pyarrow as pa
     import pyarrow.parquet as pq
+    schema = pq.read_schema(f"{src}/embeddings.parquet")
     t = pq.read_table(f"{src}/embeddings.parquet").to_pylist()
     shift = max(r["vec_id"] for r in t) + 1
-    rows = []
-    # rotation+sign-flip repeats with period 2*dim: copy 2*dim+k is
-    # vector-identical to copy k, which would reintroduce the
-    # cross-copy cosine-1 pairs the transform exists to avoid.
-    # Every documented fixture (10x, 100x) sits far below the bound.
     dim = len(t[0]["embedding"])
-    assert copies <= 2 * dim, (
-        f"copies={copies} exceeds the distinctness period 2*dim={2*dim}; "
-        "add a third per-cycle transform before scaling this far")
+    # Per-copy transform: a SIGNED STRIDE PERMUTATION of the
+    # coordinates — pure index shuffling, so norms (and intra-copy
+    # geometry) are preserved EXACTLY with zero float arithmetic.
+    #   copy k:  w[j] = ±v[(s·j + r) mod dim]
+    # with rotation r = k mod dim, a global sign flip on odd rotation
+    # cycles, and stride s = the (k div 2·dim)-th odd number (s=1 for
+    # k < 2·dim, so the 10x and 100x fixtures are byte-identical to
+    # the pre-round-9 rotation+flip scheme). Odd s is coprime to the
+    # power-of-two dim, so the map is a bijection; distinct
+    # (s, r, flip) triples give distinct transforms for up to
+    # 2·dim·(dim/2) copies (dim 64 → 4096). Cross-copy similarity of
+    # same-base vectors is |Σ ±v_i·v_σ(i)| for the fixed-point-free
+    # relative permutation σ — scrambled for the fixture's spread
+    # vectors (checked empirically below), while cross-BASE pairs were
+    # never similar to begin with.
+    assert copies <= 2 * dim * (dim // 2), (
+        f"copies={copies} exceeds the transform space 2*dim*(dim/2)="
+        f"{2 * dim * (dim // 2)}; add a fourth per-cycle transform")
+
+    def transform(v, k):
+        rot = k % dim
+        s = 1 + 2 * (k // (2 * dim))
+        w = [v[(s * j + rot) % dim] for j in range(dim)]
+        if (k // dim) % 2 == 1:
+            w = [-x for x in w]
+        return w
+
+    # Empirical fixture-quality check: sample relative transforms and
+    # assert no same-base cross-copy pair lands near cosine 1 — the
+    # invariant the whole doc-axis slope methodology rests on (a
+    # cross-copy near-dup would make pair outputs superlinear in
+    # copies). Sampled, not exhaustive: cost is vectors × samples.
+    if copies > 2 * dim:
+        import random
+        rnd = random.Random(9)
+        sample_ks = [rnd.randrange(1, copies) for _ in range(40)]
+        worst = 0.0
+        for k in sample_ks:
+            for r in t[:200]:
+                v = r["embedding"]
+                n2 = sum(x * x for x in v)
+                if n2 == 0:
+                    continue
+                w = transform(v, k)
+                c = abs(sum(a * b for a, b in zip(v, w))) / n2
+                worst = max(worst, c)
+        assert worst < 0.8, (
+            f"sampled cross-copy cosine {worst:.3f} — transform too weak "
+            "for this vector distribution")
+
+    writer = pq.ParquetWriter(f"{out}/embeddings.parquet", schema)
+    rows, total = [], 0
     for k in range(copies):
         for r in t:
-            v = r["embedding"]
-            # rotation repeats after dim copies (copy dim+1 would be
-            # vector-identical to copy 1 → cross-copy cosine-1 pairs);
-            # compose with a global sign flip per rotation cycle —
-            # norms still preserved exactly, cycle-apart copies land
-            # at cosine −1 (far below every similarity threshold)
-            rot = k % len(v)
-            w = v[rot:] + v[:rot]
-            if (k // len(v)) % 2 == 1:
-                w = [-x for x in w]
             rows.append({"vec_id": r["vec_id"] + k * shift,
-                         "embedding": w, "label": r["label"]})
-    pq.write_table(pa.Table.from_pylist(
-        rows, schema=pq.read_schema(f"{src}/embeddings.parquet")),
-        f"{out}/embeddings.parquet")
-    return len(rows)
+                         "embedding": transform(r["embedding"], k),
+                         "label": r["label"]})
+        if len(rows) >= 100_000 or k == copies - 1:
+            writer.write_table(pa.Table.from_pylist(rows, schema=schema))
+            total += len(rows)
+            rows = []
+    writer.close()
+    return total
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
