@@ -96,8 +96,13 @@ object Joins {
     * handles this automatically at runtime, this is the explicit form
     * for engines/plans where it can't.
     */
-  def joinSalted(s: SparkSession, dir: String): DataFrame = {
-    val R = 8
+  def joinSalted(s: SparkSession, dir: String, saltR: Int = 8): DataFrame = {
+    // Size R from the observed skew: a key holding fraction f of the
+    // probe rows needs R ≥ f · shufflePartitions for its salted
+    // pieces to shrink to the average partition (SkewBench measures
+    // the 7%-hot-key Zipf fixture at R=8 vs 32). The cost of R is
+    // build-side replication — dims are broadcast-sized, so ~free.
+    val R = saltR
     val li = Tables.lineitem(s, dir)
       .withColumn("salt", pmod(col("l_orderkey"), lit(R)).cast("int"))
     val p = Tables.part(s, dir)
@@ -475,7 +480,7 @@ object Joins {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand""".stripMargin)(joinSalted),
+        |GROUP BY p_brand""".stripMargin)(joinSalted(_, _)),
     Q("join_theta",
       """SELECT c_nationkey, COUNT(*) AS n_pairs
         |FROM customer JOIN supplier
