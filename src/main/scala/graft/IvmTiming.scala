@@ -124,51 +124,55 @@ object IvmTiming {
       s""""speedup":${f3(mhOneshot / mhIncr)}}""")
     } // per-fixture lines
 
-    // dense-cluster demonstration: 2000 settled cliques of 50 members
-    // (2.45M historical pairs), plus a batch that adds one new member
-    // to each cluster. Oneshot re-contracts all pairs; maintenance
-    // contracts 98k star edges + the 2k batch pairs. Deterministic —
-    // no RNG — and executed through the same starContraction code.
+    // dense-cluster demonstration: k settled cliques of m members,
+    // plus a batch that adds one new member to each cluster. Oneshot
+    // re-contracts all k·m·(m−1)/2 pairs; maintenance contracts the
+    // k·(m−1) star edges + the k batch pairs. Deterministic — no RNG
+    // — and executed through the same starContraction code. Two scale
+    // points: 2000×50 (2.45M pairs — the round-7/8 line, which stays
+    // scheduler-dominated at one JVM) and 20000×50 (24.5M pairs, a
+    // decade up, where the avoided work is wall-clock-visible).
     import spark.implicits._
-    val k = 2000
-    val m = 50
-    val cliquePairs = spark.range(k.toLong).as[Long].flatMap { cl =>
-      val base = cl * 1000L
-      for (i <- 0 until m; j <- (i + 1) until m)
-        yield (base + i, base + j)
-    }.toDF("a", "b").cache()
-    val nPairs = cliquePairs.count()
-    val newMember = spark.range(k.toLong).as[Long]
-      .map(cl => (cl * 1000L, cl * 1000L + m))
-      .toDF("a", "b").cache()
-    val nBatch = newMember.count()
-    locally { // warm-up for the bigger shuffle sizes
-      val (w, _) = graft.dedup.DedupOps.starContraction(cliquePairs)
-      w.count(); w.unpersist()
+    for ((k, m) <- Seq((2000, 50), (20000, 50))) {
+      val cliquePairs = spark.range(k.toLong).as[Long].flatMap { cl =>
+        val base = cl * 1000L
+        for (i <- 0 until m; j <- (i + 1) until m)
+          yield (base + i, base + j)
+      }.toDF("a", "b").cache()
+      val nPairs = cliquePairs.count()
+      val newMember = spark.range(k.toLong).as[Long]
+        .map(cl => (cl * 1000L, cl * 1000L + m))
+        .toDF("a", "b").cache()
+      val nBatch = newMember.count()
+      locally { // warm-up for the bigger shuffle sizes
+        val (w, _) = graft.dedup.DedupOps.starContraction(cliquePairs)
+        w.count(); w.unpersist()
+      }
+      var denseOneRounds = 0
+      val denseOneshot = secs {
+        val (cc, r) = graft.dedup.DedupOps.starContraction(
+          cliquePairs.union(newMember))
+        cc.count(); cc.unpersist()
+        denseOneRounds = r
+      }
+      val (settled, _) = graft.dedup.DedupOps.starContraction(cliquePairs)
+      val denseStars = settled.filter(col("node") =!= col("label")).cache()
+      val nStars = denseStars.count()
+      settled.unpersist()
+      var denseIncrRounds = 0
+      val denseIncr = secs {
+        val (cc, r) = graft.dedup.DedupOps.starContraction(
+          denseStars.union(newMember.toDF("node", "label")))
+        cc.count(); cc.unpersist()
+        denseIncrRounds = r
+      }
+      println(s"""{"metric":"ivm_dense_clusters","cliques":$k,"members":$m,""" +
+        s""""oneshot_sec":${f3(denseOneshot)},"incremental_sec":${f3(denseIncr)},""" +
+        s""""oneshot_edges":${nPairs + nBatch},"incremental_edges":${nStars + nBatch},""" +
+        s""""oneshot_rounds":$denseOneRounds,"incremental_rounds":$denseIncrRounds,""" +
+        s""""speedup":${f3(denseOneshot / denseIncr)}}""")
+      cliquePairs.unpersist(); newMember.unpersist(); denseStars.unpersist()
     }
-    var denseOneRounds = 0
-    val denseOneshot = secs {
-      val (cc, r) = graft.dedup.DedupOps.starContraction(
-        cliquePairs.union(newMember))
-      cc.count(); cc.unpersist()
-      denseOneRounds = r
-    }
-    val (settled, _) = graft.dedup.DedupOps.starContraction(cliquePairs)
-    val denseStars = settled.filter(col("node") =!= col("label")).cache()
-    val nStars = denseStars.count()
-    settled.unpersist()
-    var denseIncrRounds = 0
-    val denseIncr = secs {
-      val (cc, r) = graft.dedup.DedupOps.starContraction(
-        denseStars.union(newMember.toDF("node", "label")))
-      cc.count(); cc.unpersist()
-      denseIncrRounds = r
-    }
-    println(s"""{"metric":"ivm_dense_clusters","cliques":$k,"members":$m,""" +
-      s""""oneshot_sec":${f3(denseOneshot)},"incremental_sec":${f3(denseIncr)},""" +
-      s""""oneshot_edges":${nPairs + nBatch},"incremental_edges":${nStars + nBatch},""" +
-      s""""oneshot_rounds":$denseOneRounds,"incremental_rounds":$denseIncrRounds,""" +
-      s""""speedup":${f3(denseOneshot / denseIncr)}}""")
     spark.stop()
   }
 }
