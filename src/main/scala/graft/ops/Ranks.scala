@@ -38,6 +38,11 @@ object Ranks {
       .repartitionByRange(parts, col("cnt").desc, col("tok"))
       .sortWithinPartitions(col("cnt").desc, col("tok"))
       .rdd
+    // INVARIANT: this collect ships one (count, sum) pair PER RANGE
+    // PARTITION — O(parts), bounded by the `parts` argument, never by
+    // data volume. At cluster scale `parts` is the range-partition
+    // count (thousands), so the driver holds a few KB of offsets; the
+    // rows themselves never leave the executors.
     val stats = sorted
       .mapPartitionsWithIndex { (i, it) =>
         var n = 0L; var sm = 0L
