@@ -14,7 +14,7 @@ val picks = Seq(
   "sample_per_group" -> "rank<=k under a window engages WindowGroupLimit before the sort",
   "dedup_minhash" -> "banded LSH: the band index is ONE stateless typed pass per document (DeserializeToObject/MapPartitions, no 96-column aggregate, sub-MiB task binary); candidate generation is an equi join on band keys, never all-pairs",
   "tfidf" -> "tf-idf: df is a groupBy(term) table broadcast-joined back onto the memoized tf frame - NO Window in the plan, so a hot term ('the') never lands one partition",
-  "dedup_containment_ppjoin" -> "asymmetric PPJoin rung: length filter (10*nb >= 9*na) inside the prefix-bag equi join, first-shared-key positional bound at the pair aggregate - strictly fewer candidates than the plain containment prefix reach the full-set verify",
+  "dedup_containment_ppjoin" -> "asymmetric PPJoin rung (r9): length + ROW-LEVEL positional filters inside the prefix-bag equi join (pruned rows never shuffle), then the multi-witness count at the pair aggregate - 119x fewer candidates than the plain containment prefix reach the full-set verify",
   "cosine_topk_ivf" -> "IVF: broadcast centroid cross, inverted-list equi join, windowed top-k",
   "global_row_ids" -> "range partition + sortWithinPartitions; ordinals stamped map-side via zipWithIndex",
   "q2_min_cost_supplier" -> "correlated min as ONE per-part window over the derived partsupp: single shuffle, no self-join re-derivation",
