@@ -65,6 +65,13 @@ object IvmTiming {
     val f3 = (d: Double) =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     for (dir <- dirs) {
+    // cross-fixture isolation (see Bench): fixture N's pinned
+    // substrates must not compete with fixture N+1's storage memory
+    if (dirs.size > 1) {
+      KeyedMemo.clearAll()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     val pairs = graft.dedup.DedupOps.verifiedPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     pairs.count() // warm the pair memo — not part of either side

@@ -31,7 +31,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     properties. Any other derivation (filter, join, agg) must
   *     cache + materialize its own output and release inner frames.
   */
+private[graft] object KeyedMemo {
+  private val instances = scala.collection.mutable.ArrayBuffer[KeyedMemo]()
+  private def register(m: KeyedMemo): Unit = synchronized { instances += m }
+
+  /** Drop (and unpersist) every entry of every memo in the JVM — the
+    * cross-fixture isolation hook Bench uses between the dirs of a
+    * multi-scale sweep, so fixture N+1 never competes with fixture
+    * N's pinned substrates for storage memory. (Instances are
+    * module-singletons; this buffer only ever holds a handful.)
+    */
+  def clearAll(): Unit = {
+    val snapshot = synchronized { instances.toVector }
+    snapshot.foreach(_.clear())
+  }
+}
+
 private[graft] final class KeyedMemo {
+  KeyedMemo.register(this)
   private val cache =
     scala.collection.mutable.Map[(String, SparkSession, String), DataFrame]()
 
