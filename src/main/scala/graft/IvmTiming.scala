@@ -140,6 +140,11 @@ object IvmTiming {
     // scheduler-dominated at one JVM) and 20000×50 (24.5M pairs, a
     // decade up, where the avoided work is wall-clock-visible).
     import spark.implicits._
+    // same isolation before the synthetic section: the last fixture's
+    // spilled substrates must not shape the clique measurements
+    KeyedMemo.clearAll()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     for ((k, m) <- Seq((2000, 50), (20000, 50))) {
       val cliquePairs = spark.range(k.toLong).as[Long].flatMap { cl =>
         val base = cl * 1000L
