@@ -36,6 +36,19 @@ object CandidateEconomy {
       println(s"""{"metric":"candidate_economy","family":"containment",""" +
         s""""sf":"$dir","prefix_candidates":$cPlain,""" +
         s""""ppjoin_candidates":$cPp,"result_pairs":$cRes}""")
+      // Histogram family (t = 1/2): what the r10 prefix-filter rewrite
+      // of similarityHistogram buys over the raw shingle self-join it
+      // replaced. raw_pairs = distinct pairs sharing ANY shingle (the
+      // old candidate space, Θ(Σ df²) to enumerate); prefix_candidates
+      // = the t = 1/2 prefix filter's space; result_pairs = pairs at
+      // j ≥ 0.5 (the histogram's total mass).
+      val hRaw = DedupOps.rawSharingPairs(spark, dir).count()
+      val hPrefix = DedupOps.prefixFilterCandidatesAt(spark, dir, 1, 2).count()
+      val hRes = DedupOps.similarityHistogram(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum("n_pairs")).collect()(0).getLong(0)
+      println(s"""{"metric":"candidate_economy","family":"histogram",""" +
+        s""""sf":"$dir","raw_pairs":$hRaw,"prefix_candidates":$hPrefix,""" +
+        s""""result_pairs":$hRes}""")
     }
     spark.stop()
   }

@@ -48,9 +48,12 @@ private[graft] object KeyedMemo {
 }
 
 private[graft] final class KeyedMemo {
-  KeyedMemo.register(this)
+  // cache MUST initialize before this instance is published to the
+  // global registry: a clearAll() racing a KeyedMemo mid-construction
+  // would otherwise NPE in clear() on the not-yet-assigned field
   private val cache =
     scala.collection.mutable.Map[(String, SparkSession, String), DataFrame]()
+  KeyedMemo.register(this)
 
   /** Test hook: drop (and unpersist) all entries so a spec can race
     * the cold-miss path deliberately.

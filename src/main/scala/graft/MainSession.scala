@@ -31,7 +31,13 @@ private[graft] object MainSession {
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .config("spark.ui.enabled", "false")
     val configured = if (master.startsWith("local-cluster")) {
-      val cp = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+      // via toURI, not getPath: the URL form is percent-encoded (a
+      // path with spaces/non-ASCII would %20-mangle and silently break
+      // the executor classpath). Note this ships ONLY the graft
+      // classes dir/jar — everything else (including Derby) must be
+      // Spark-provided from $SPARK_HOME/jars, which holds today.
+      val cp = java.nio.file.Paths.get(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
       b.config("spark.executor.extraClassPath", cp)
         // sized for the canonical local-cluster[4,8,4096] worker;
         // SPARK_GRAFT_EXECUTOR_MEM overrides for other shapes

@@ -1776,20 +1776,46 @@ object DedupOps {
     * j ≥ 0.5. Picking 0.8 as the near-dup cut is a claim about this
     * histogram (a valley between the boilerplate hump and the planted
     * near-dups); shipping the histogram makes the claim inspectable.
-    * Same inverted shingle equi-join as [[ngramJaccard]] — computing
-    * j for all candidate pairs costs the same join either way; only
-    * the final filter differs. Bucket arithmetic is floor(j·10)/10 —
-    * floor is the rounding both engines define identically.
+    * Candidates come from [[prefixFilterCandidatesAt]] at t = 1/2 —
+    * provably complete for every pair with J ≥ 0.5 (the
+    * threshold-generic prefix theorem DedupFuzzSpec checks), so the
+    * histogram is exact while the candidate space stays bounded. The
+    * raw shingle self-join this replaced is Θ(Σ df²): one boilerplate
+    * shingle with df = k generates k²/2 pair rows before the j ≥ 0.5
+    * filter can drop any of them — the all-pairs blowup [[ngramJaccard]]
+    * caps with dfCapped, which the histogram (being unthresholded
+    * below 0.5 only) cannot use without losing pairs. Bucket
+    * arithmetic is floor(j·10)/10 over the UNROUNDED j — floor is the
+    * rounding both engines define identically, and rounding j first
+    * could flip a bucket at a 0.1 boundary.
     */
+  /** Evidence-only (CandidateEconomy): the raw uncapped shingle
+    * self-join's candidate space — distinct doc pairs sharing ANY
+    * shingle. This is the Θ(Σ df²) shape [[similarityHistogram]] used
+    * before round 10; kept so the economy of the t = 1/2 prefix
+    * filter is measurable, never on a query path.
+    */
+  private[graft] def rawSharingPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    sh.select(col("doc_id").as("doc_a"), col("sh_h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_h")), Seq("sh_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   def similarityHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cand = prefixFilterCandidatesAt(s, dir, 1, 2)
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh_h"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh_h"))
-    a.join(b, Seq("sh_h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+      col("n_sh").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+      col("n_sh").as("nb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.5)
       .groupBy((floor(col("j") * 10) / 10).as("bucket"))

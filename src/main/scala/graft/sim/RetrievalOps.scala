@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions
@@ -247,9 +246,16 @@ object RetrievalOps {
         .toDF("doc_id", "gram")
       val tf = grams.groupBy(col("doc_id"), col("gram"))
         .agg(count(lit(1)).as("tf"))
-      val capped = tf
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      // df via groupBy + broadcast join, NOT a window over the gram
+      // partition: a window puts a hot bigram's entire posting list
+      // ("of the" at corpus scale) into ONE partition's sort buffer
+      // BEFORE the df ≤ cap filter can drop it; the groupBy partial-
+      // aggregates the same key map-side, and after the cap filter the
+      // (gram, df) table holds only rare grams — broadcastable and
+      // skew-immune (same shape tfidf uses, TextAnalysis.scala:103).
+      val dfTable = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= SparseDfCap)
+      val capped = tf.join(broadcast(dfTable), Seq("gram"))
       val n = docs.agg(count(lit(1)).as("n"))
       capped.crossJoin(broadcast(n))
         .select(col("doc_id"), col("gram"),

@@ -228,10 +228,14 @@ object FileSources {
         // RDBMS a real deployment already has), so a driver-side
         // batch insert is the honest shape; the DISTRIBUTED part of
         // the operator is the partitioned range read below.
+        // toLocalIterator, not collect(): streams one partition at a
+        // time to the driver, so a larger fixture degrades to slower
+        // seeding instead of an opaque driver-heap blowup inside this
+        // synchronized block
         val rows = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), unix_micros(col("ts")).as("ts_us"))
-          .collect()
+          .toLocalIterator()
         val conn = java.sql.DriverManager
           .getConnection(s"jdbc:derby:$dbDir;create=true")
         try {
@@ -251,7 +255,8 @@ object FileSources {
           val ps = conn.prepareStatement(
             "INSERT INTO events_jdbc VALUES (?, ?, ?, ?, ?)")
           var n = 0
-          rows.foreach { r =>
+          while (rows.hasNext) {
+            val r = rows.next()
             ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
             ps.setString(3, r.getString(2)); ps.setDouble(4, r.getDouble(3))
             ps.setLong(5, r.getLong(4))
@@ -300,7 +305,11 @@ object FileSources {
     val base = Paths.get(srcDir)
     val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(tmp))
     try {
-      val files = Files.walk(base).iterator()
+      // the walk stream owns directory handles — close it, not just
+      // drain its iterator
+      val walk = Files.walk(base)
+      try {
+      val files = walk.iterator()
       while (files.hasNext) {
         val f = files.next()
         if (Files.isRegularFile(f)) {
@@ -324,6 +333,7 @@ object FileSources {
           }
         }
       }
+      } finally walk.close()
     } finally out.close()
     Files.move(tmp, Paths.get(jarPath), StandardCopyOption.REPLACE_EXISTING)
   }

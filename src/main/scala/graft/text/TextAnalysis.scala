@@ -476,17 +476,21 @@ object TextAnalysis {
     * / diversity telemetry a curation pipeline tracks per source (a
     * collapsing source shows up as falling entropy before any
     * eyeballing of samples would catch it). One (source, token)
-    * aggregate, totals via a window over the same partitioning — a
-    * single shuffle; output is one row per source.
+    * aggregate; per-source totals come from a SECOND groupBy over that
+    * aggregate, broadcast-joined back (n_sources rows) — NOT a window
+    * partitioned by source: sources are few and raw web-text
+    * vocabulary is 10⁸–10⁹ rows, so a per-source window sorts a
+    * vocab-sized input in one task (the exact hazard [[vocabTop]]'s
+    * comment names). Output is one row per source.
     */
   def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
-    val n = sum(col("c")).over(Window.partitionBy(col("source")))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val p = col("c") / col("n").cast("double")
-    counts.withColumn("n", n)
+    counts.join(broadcast(totals), Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct"),
         max(col("n")).as("n_tokens"),

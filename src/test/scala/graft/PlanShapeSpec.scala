@@ -324,6 +324,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(capAt > joinAt, s"df cap not below the join:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"pair top-K is not a TakeOrdered:\n${p.take(2000)}")
+    // r10: df itself must come from a groupBy + broadcast join, never
+    // a per-gram window — a window sorts a hot bigram's ("of the")
+    // whole posting list in ONE task BEFORE the cap filter can drop it
+    assert(!p.contains("Window"),
+      s"sparse weights funnel a gram's postings through a window:\n${p.take(2000)}")
+  }
+
+  test("token_entropy totals come from a broadcast join, not a per-source window") {
+    // sources are few and raw web-text vocabulary is 10⁸–10⁹ rows; a
+    // window partitioned by source sorts a vocab-sized input in one
+    // task. Totals must be a second groupBy broadcast-joined back.
+    val p = plan("token_entropy")
+    assert(!p.contains("Window"),
+      s"token_entropy funnels the vocabulary through a window:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals not broadcast-joined:\n${p.take(2000)}")
+  }
+
+  test("dedup_similarity_histogram verifies prefix-filtered candidates, not raw postings") {
+    // the j ≥ 0.5 histogram must ride the t = 1/2 prefix filter
+    // (complete by the theorem DedupFuzzSpec checks at this exact
+    // threshold); the raw uncapped shingle self-join it replaced is
+    // Θ(Σ df²) on real web text. The verification path's
+    // array_intersect over collected sets is the shape witness.
+    val p = plan("dedup_similarity_histogram")
+    assert(p.contains("array_intersect"),
+      s"histogram lost its candidate-verify shape:\n${p.take(2000)}")
   }
 
   test("kneser_ney broadcasts every model table onto the bigram stream") {

@@ -121,6 +121,36 @@ class DedupFuzzSpec extends AnyFunSuite {
     assert(totalPairs > 0, "every sampled threshold returned zero pairs — vacuous sweep")
   }
 
+  test("similarity histogram (prefix-driven, t = 1/2) equals brute-force buckets") {
+    // r10: similarityHistogram now drives from prefixFilterCandidatesAt
+    // at t = 1/2 — the one threshold the seeded sweep above excludes by
+    // construction (its range is (1/2, 1)), and the histogram's
+    // completeness depends on it. Check the candidate theorem AND the
+    // exact floor-bucket counts against in-JVM brute force.
+    val ids = sets.keys.toArray.sorted
+    val brutePairs = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      sa = sets(ids(i)); sb = sets(ids(j))
+      inter = (sa & sb).size
+      if 2L * inter >= (sa.size + sb.size - inter) // j ≥ 1/2, integer-exact
+    } yield (ids(i), ids(j))).toSet
+    assert(brutePairs.nonEmpty, "no j ≥ 0.5 pairs in fixture — vacuous")
+    val cand = pairsOf(DedupOps.prefixFilterCandidatesAt(spark, sfTiny, 1, 2))
+    assert(brutePairs.subsetOf(cand),
+      "t=1/2: completeness broken — a j ≥ 0.5 pair missing from prefix candidates")
+    val bruteBuckets = brutePairs.toSeq.map { case (a, b) =>
+      val sa = sets(a); val sb = sets(b)
+      val inter = (sa & sb).size
+      val jac = inter.toDouble / (sa.size + sb.size - inter)
+      math.floor(jac * 10) / 10
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val got = DedupOps.similarityHistogram(spark, sfTiny).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(got == bruteBuckets,
+      s"histogram diverged from brute force: got $got, want $bruteBuckets")
+  }
+
   test("banded minhash pigeonhole holds at every sampled band split") {
     // in-JVM signatures via the same twins the streaming path pins
     // against SQL (DedupSpec); the property under test is the BANDING:

@@ -108,19 +108,32 @@ def scale_embeddings(src, out, copies):
     # invariant the whole doc-axis slope methodology rests on (a
     # cross-copy near-dup would make pair outputs superlinear in
     # copies). Sampled, not exhaustive: cost is vectors × samples.
+    # Pairs are (k1, k2) with k1 ≠ k2 INCLUDING nonzero k1: the
+    # relative transform between two nonzero copies (composed stride/
+    # rotation/flip) lies in the same signed-stride group but largely
+    # outside the k-vs-identity set, so sampling only k-vs-0 could
+    # miss a high-cosine pair between copies k1,k2 > 0.
     if copies > 2 * dim:
         import random
         rnd = random.Random(9)
-        sample_ks = [rnd.randrange(1, copies) for _ in range(40)]
+        sample_pairs = []
+        while len(sample_pairs) < 40:
+            k1 = rnd.randrange(0, copies)
+            k2 = rnd.randrange(0, copies)
+            if k1 != k2:
+                sample_pairs.append((k1, k2))
         worst = 0.0
-        for k in sample_ks:
+        for k1, k2 in sample_pairs:
             for r in t[:200]:
                 v = r["embedding"]
                 n2 = sum(x * x for x in v)
                 if n2 == 0:
                     continue
-                w = transform(v, k)
-                c = abs(sum(a * b for a, b in zip(v, w))) / n2
+                w1 = transform(v, k1)
+                w2 = transform(v, k2)
+                # transforms are signed permutations: norm-preserving,
+                # so n2 is the right normalizer for both sides
+                c = abs(sum(a * b for a, b in zip(w1, w2))) / n2
                 worst = max(worst, c)
         assert worst < 0.8, (
             f"sampled cross-copy cosine {worst:.3f} — transform too weak "
