@@ -129,6 +129,48 @@ object IvmTiming {
     println(s"""{"metric":"ivm_minhash_index","sf":"$dir",""" +
       s""""oneshot_sec":${f3(mhOneshot)},"incremental_sec":${f3(mhIncr)},""" +
       s""""speedup":${f3(mhOneshot / mhIncr)}}""")
+
+    // DURABLE-table maintenance (round 10): the settled index as a
+    // bucketed+sorted table on disk instead of a cached memo — the
+    // answer to the round-9 residency-boundary finding (the memo win
+    // destabilized to 0.8×–1.9× once settled state outgrew storage
+    // memory). Build the tables untimed (state settles once), then
+    // time maintenance TWICE, each run from fully cold Spark state
+    // (all memos, cached frames and persisted RDDs dropped): the two
+    // readings should agree — the cache-state variance is the thing
+    // this design removes — and each should beat the oneshot.
+    def coldClear(): Unit = {
+      KeyedMemo.clearAll()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    graft.dedup.DedupOps.settledMinhashTables(spark, dir)
+    val mhDur = (1 to 2).map { _ =>
+      coldClear()
+      secs {
+        graft.dedup.DedupOps.dedupMinhashIncrementalDurable(spark, dir).count()
+      }
+    }
+    println(s"""{"metric":"ivm_minhash_durable","sf":"$dir",""" +
+      s""""oneshot_sec":${f3(mhOneshot)},""" +
+      s""""durable_cold_sec":[${f3(mhDur(0))},${f3(mhDur(1))}],""" +
+      s""""speedup":[${f3(mhOneshot / mhDur(0))},${f3(mhOneshot / mhDur(1))}]}""")
+
+    // cluster-state sibling: yesterday's components from the durable
+    // star table. Batch-pair generation (verifiedPairs) is warmed
+    // untimed after each cold clear — identical work on both sides of
+    // the comparison, per this file's standing convention.
+    graft.dedup.DedupOps.settledStarsTable(spark, dir)
+    val ccDur = (1 to 2).map { _ =>
+      coldClear()
+      graft.dedup.DedupOps.verifiedPairs(spark, dir).count()
+      secs {
+        graft.dedup.DedupOps.dedupClustersIncrementalDurable(spark, dir).count()
+      }
+    }
+    println(s"""{"metric":"ivm_cluster_durable","sf":"$dir",""" +
+      s""""oneshot_sec":${f3(oneshot)},""" +
+      s""""durable_cold_sec":[${f3(ccDur(0))},${f3(ccDur(1))}]}""")
     } // per-fixture lines
 
     // dense-cluster demonstration: k settled cliques of m members,

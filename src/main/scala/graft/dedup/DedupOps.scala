@@ -864,6 +864,138 @@ object DedupOps {
     (buckets, sets)
   }
 
+  // ---- durable settled state (round 10) ----------------------------
+
+  /** Bucket count for the durable settled tables. At fixture scale it
+    * matches the session's shuffle width; a 100 TB corpus would use
+    * thousands (each bucket file a few hundred MB).
+    */
+  private val IvmBuckets = 32
+
+  /** The settled MinHash index as DURABLE bucketed+sorted TABLES —
+    * the storage-residency answer to the round-9 finding that the
+    * cache-backed [[settledMinhashIndex]] wins 3–6× over recompute
+    * only while settled state fits in storage memory (at 5M docs
+    * ~20 GB of settled state vs ~14 GB of storage memory the ratio
+    * destabilized to 0.8×–1.9×, cache-state-dependent). A long-lived
+    * corpus keeps its index on disk:
+    *
+    *  - band buckets (doc_id, band, bkey), bucketed+sorted by bkey —
+    *    the probe join's key, so each ingest's candidate join reads
+    *    the settled side with NO exchange and NO sort (broadcast of
+    *    the batch keys or a zero-exchange merge, whichever AQE
+    *    picks): a streaming columnar scan of three long columns,
+    *    whose cost is disk-bandwidth-linear in settled state with a
+    *    constant ~100× below re-signaturing the corpus, and — the
+    *    point — INDEPENDENT of what happens to be cache-resident.
+    *  - verification sets (doc_id, shset, n_sh), bucketed by doc_id —
+    *    the candidate pairs' set-lookup side.
+    *
+    * Written once per (JVM, fixture dir) through the session catalog
+    * (the [[graft.sources.Bucketed]] discipline — bucket metadata
+    * lives in the catalog, so only `spark.table` reads recover the
+    * layout). True O(batch) PAGE reads would need a point-lookup
+    * store (the B-tree shape `source_jdbc` demonstrates); for a
+    * daily-crawl batch whose band keys hash uniformly over the key
+    * space that rung only pays when batch ≪ page count — below that
+    * crossover the streaming scan here reads every page exactly once,
+    * which is also what a B-tree would do.
+    */
+  private[graft] def settledMinhashTables(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val key = graft.Tables.dirKey(dir)
+    val bucketsName = s"graft_ivm_mh_buckets_$key"
+    val setsName = s"graft_ivm_mh_sets_$key"
+    if (!s.catalog.tableExists(bucketsName)) {
+      minhashBucketsTyped(s, dir, Some(false))
+        .write.mode("overwrite")
+        .bucketBy(IvmBuckets, "bkey").sortBy("bkey")
+        .option("path",
+          s"${sys.props("java.io.tmpdir")}/graft-src/ivm/$bucketsName")
+        .saveAsTable(bucketsName)
+    }
+    if (!s.catalog.tableExists(setsName)) {
+      shingleSetsTyped(s, dir, Some(false))
+        .write.mode("overwrite")
+        .bucketBy(IvmBuckets, "doc_id").sortBy("doc_id")
+        .option("path",
+          s"${sys.props("java.io.tmpdir")}/graft-src/ivm/$setsName")
+        .saveAsTable(setsName)
+    }
+    (s.table(bucketsName), s.table(setsName))
+  }
+
+  /** [[dedupMinhashIncremental]] against the DURABLE settled index —
+    * same maintenance identity (verified cross-boundary pairs ≡ the
+    * exact Jaccard join's cross slice; the registry entry shares the
+    * oracle), but the settled buckets and verification sets are read
+    * from the bucketed tables, never a cached memo, so the
+    * maintenance cost is stable from cold storage (IvmTiming's
+    * `ivm_minhash_durable` line measures exactly that, twice
+    * back-to-back with all Spark caches dropped).
+    *
+    * The candidate join is on bkey ALONE (not (band, bkey)): bkey
+    * seed-chains its band's signature rows through xxhash64, so a
+    * cross-band key collision is a 2⁻⁶⁴ accident that the exact
+    * Jaccard verification removes anyway — and the single-column key
+    * is exactly the table's bucket+sort column, which keeps the
+    * settled side exchange-free AND sort-free under the merge join.
+    */
+  def dedupMinhashIncrementalDurable(s: SparkSession, dir: String): DataFrame = {
+    val (settledBuckets, settledSets) = settledMinhashTables(s, dir)
+    val cand = minhashBucketsTyped(s, dir, Some(true))
+      .select(col("doc_id").as("doc_n"), col("bkey"))
+      .join(settledBuckets.select(col("doc_id").as("doc_p"), col("bkey")),
+        Seq("bkey"))
+      .select(col("doc_n"), col("doc_p")).distinct()
+      .select(least(col("doc_n"), col("doc_p")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_p")).as("doc_b"))
+    val allSets = shingleSetsTyped(s, dir, Some(true)).union(settledSets)
+    verifyJaccard(cand, allSets, allSets)
+  }
+
+  /** The settled component structure ([[settledStars]]) as a DURABLE
+    * bucketed table — the cluster-state sibling of
+    * [[settledMinhashTables]]: star edges are node-count-sized state
+    * a daily pipeline owns for months, which is storage, not cache.
+    * Bucketed+sorted by node (the contraction's join key).
+    */
+  private[graft] def settledStarsTable(
+      s: SparkSession, dir: String): DataFrame = synchronized {
+    val name = s"graft_ivm_stars_${graft.Tables.dirKey(dir)}"
+    if (!s.catalog.tableExists(name)) {
+      settledStars(s, dir)
+        .write.mode("overwrite")
+        .bucketBy(IvmBuckets, "node").sortBy("node")
+        .option("path", s"${sys.props("java.io.tmpdir")}/graft-src/ivm/$name")
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  /** [[dedupClustersIncremental]] against the DURABLE star table —
+    * same recompute identity (labels ≡ the full transitive-closure
+    * oracle), with yesterday's components read from disk instead of a
+    * memo. The RESULT is memoized like every clustering entry (the
+    * registry discipline — repeated sweeps must not pin a fresh
+    * labels frame per call); the SETTLED STATE is the table. IvmTiming
+    * clears all memos and caches before each timed run, so its
+    * durable line still measures the cold path.
+    */
+  def dedupClustersIncrementalDurable(s: SparkSession, dir: String): DataFrame =
+    pairMemo("clusters_incr_durable", s, dir) {
+      val isNew = (d: org.apache.spark.sql.Column) =>
+        pmod(d, lit(10)) === IncBatchMod
+      val batchPairs = verifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      // rename-only projection of the contraction's cached output —
+      // shares its cache entry and unpersists through
+      connectedComponentsStar(
+        settledStarsTable(s, dir).union(batchPairs.toDF("node", "label")))
+        .toDF("doc_id", "canonical")
+    }
+
   /** Streaming ingest-time near-dup flagging — [[dedupMinhashIncremental]]
     * re-expressed so the arriving documents can be a STREAM: each
     * document's shingles, signature, band keys and hashed
@@ -2070,6 +2202,14 @@ object DedupOps {
          |$jaccardOracle)
          |WHERE (doc_a % 10 = $IncBatchMod) <> (doc_b % 10 = $IncBatchMod)""".stripMargin)(
       dedupMinhashIncremental),
+    // same maintenance identity with the settled index as a DURABLE
+    // bucketed table instead of a cached memo — the storage-residency
+    // answer measured by IvmTiming's durable line
+    Q("dedup_minhash_incr_durable",
+      s"""SELECT doc_a, doc_b, jaccard FROM (
+         |$jaccardOracle)
+         |WHERE (doc_a % 10 = $IncBatchMod) <> (doc_b % 10 = $IncBatchMod)""".stripMargin)(
+      dedupMinhashIncrementalDurable),
     // the streaming ingest twin, oracled on its batch form: per-row
     // signatures + stream-static joins against the settled index must
     // flag exactly the cross-boundary near-dup pairs
@@ -2135,6 +2275,10 @@ object DedupOps {
     // incremental maintenance must equal the full recompute exactly —
     // one more algorithm under the same transitive-closure oracle
     Q("dedup_clusters_incr", clustersOracle)(dedupClustersIncremental),
+    // yesterday's components read from the durable star table (disk,
+    // not memo); identical recompute-equality oracle
+    Q("dedup_clusters_incr_durable", clustersOracle)(
+      dedupClustersIncrementalDurable),
     Q("dedup_keep_best",
       s"""WITH RECURSIVE pairs AS (
          |$jaccardOracle),

@@ -342,6 +342,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-source totals not broadcast-joined:\n${p.take(2000)}")
   }
 
+  test("dedup_minhash_incr_durable probes the settled index as a bucketed table scan") {
+    // the durable-IVM contract: the settled band index is read from
+    // its bucketed table (never a cached memo), and the corpus side
+    // of the candidate join carries NO exchange — at fixture scale
+    // AQE broadcasts the batch keys onto the table scan; at corpus
+    // scale the bucket layout satisfies the join's distribution. The
+    // scan string is the witness for both.
+    val p = plan("dedup_minhash_incr_durable")
+    assert(p.contains("graft_ivm_mh_buckets_"),
+      s"settled index not read from the durable table:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"),
+      s"durable index scan lost its bucket layout:\n${p.take(2000)}")
+  }
+
   test("dedup_similarity_histogram verifies prefix-filtered candidates, not raw postings") {
     // the j ≥ 0.5 histogram must ride the t = 1/2 prefix filter
     // (complete by the theorem DedupFuzzSpec checks at this exact

@@ -74,6 +74,12 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(incr == full)
     assert(incr.nonEmpty, "fixture should plant cross-boundary near-dups")
+    // r10: the DURABLE-table variant (settled index on disk, not in a
+    // memo) must return the identical pair set
+    val durable = DedupOps.dedupMinhashIncrementalDurable(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(durable == full,
+      "durable-table maintenance diverged from the recompute slice")
   }
 
   test("minhash signature estimates Jaccard on planted pairs") {

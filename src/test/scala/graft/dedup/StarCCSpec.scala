@@ -56,6 +56,10 @@ class StarCCSpec extends AnyFunSuite {
       val full = labelsOf(DedupOps.dedupClusters(spark, dir))
       val incr = labelsOf(DedupOps.dedupClustersIncremental(spark, dir))
       assert(incr == full, s"incremental diverged from full recompute at $dir")
+      // r10: the DURABLE star-table variant must produce the same labels
+      val durable = labelsOf(DedupOps.dedupClustersIncrementalDurable(spark, dir))
+      assert(durable == full,
+        s"durable star-table maintenance diverged from full recompute at $dir")
       // the split must actually exercise the merge: some pair crosses
       // the old/new boundary, else the test proves nothing
       val pairs = DedupOps.verifiedPairs(spark, dir)
