@@ -29,6 +29,14 @@ private[graft] object MainSession {
       // so the first events read doesn't depend on loader ordering.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
+      // long-lived evidence sessions cycle corpus-sized shuffles
+      // (multi-fixture sweeps, cold-restart IVM timing): shuffle files
+      // are reclaimed by the ContextCleaner only when the driver GCs
+      // the dependency, and the default 30 min periodic GC lets tens
+      // of GB of dead spill accumulate inside one app — the r10
+      // IvmTiming 1000×-docs sweep filled the disk exactly this way.
+      // One driver GC a minute is noise next to any Spark job.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
     val configured = if (master.startsWith("local-cluster")) {
       // via toURI, not getPath: the URL form is percent-encoded (a

@@ -12,12 +12,13 @@ import graft.{Q, Tables}
   * The scale structure is what matters: the corpus collapses to the
   * DISTINCT word vocabulary with counts FIRST (one aggregation —
   * tokenizer training is vocab-sized, never corpus-sized), then each
-  * round is (a) a map-side explode of adjacent symbol pairs weighted
-  * by word count, (b) one tiny aggregation picking the argmax pair
-  * (driver receives ONE row — the kmeansIterate discipline, a scalar
-  * not a collect), and (c) a map-side re-segmentation of the
-  * vocabulary. Lineage is truncated by caching each generation and
-  * unpersisting the previous one.
+  * round is ONE job: a map-side explode of the current segmentation's
+  * adjacent symbol pairs weighted by word count (the segmentation is
+  * re-derived per word from the merges learned so far — a model-sized
+  * closure — see [[bpeMerges]]), then one tiny aggregation picking
+  * the argmax pair (driver receives ONE row — the kmeansIterate
+  * discipline, a scalar not a collect). Only the (word, count)
+  * vocabulary is ever cached.
   *
   * Iterative — but with a FIXED round count, so the loop unrolls into
   * [[Merges]] chained SQL CTEs and the DuckDB gate can replay
@@ -68,7 +69,22 @@ object Bpe {
   }
 
   /** Distributed training: vocabulary from the corpus, then
-    * [[Merges]] rounds of argmax-pair + re-segmentation.
+    * [[Merges]] rounds of argmax-pair selection.
+    *
+    * The vocabulary (word, count) is cached ONCE; each round's single
+    * job re-derives the current segmentation on the executor by
+    * applying the merges learned SO FAR (a ≤[[Merges]]-entry model
+    * riding the task closure) to the raw word — identical to
+    * maintaining a cached generation per round (generation k IS
+    * "apply merge k to generation k−1", so replaying the list from
+    * the base segmentation is the same function), but with none of
+    * the per-round cache churn the previous shape paid: no
+    * generation-sized typed cache swap, no materialization job per
+    * round, no Vector[String] frames pinning executor memory across
+    * rounds (the round-8 heap lesson: persisted object bags are what
+    * a 2 GiB executor collects against). Re-applying r−1 merges per
+    * word is O([[Merges]]²) string scans over a vocab-sized frame —
+    * model-sized arithmetic, invisible next to one job's scheduling.
     */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -76,12 +92,15 @@ object Bpe {
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
-    var segs = vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    val applied = scala.collection.mutable.ArrayBuffer[(String, String)]()
     for (r <- 1 to Merges) {
-      val best = segs
-        .flatMap { case (syms, c) =>
+      val model = applied.toArray // snapshot: the closure must not share the buffer
+      val best = vocab
+        .flatMap { case (w, c) =>
+          var syms = w.map(_.toString).toVector
+          model.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
           syms.indices.dropRight(1).map(i => ((syms(i), syms(i + 1)), c))
         }
         .groupByKey(_._1)
@@ -95,13 +114,10 @@ object Bpe {
         .collect() // exactly ONE row per round — a scalar, not data
       best.headOption.foreach { case (a, b, f) =>
         merges += ((r, a, b, f))
-        val prev = segs
-        segs = prev.map { case (syms, c) => (mergeOnce(syms, a, b), c) }.cache()
-        segs.count() // materialize before dropping the parent generation
-        prev.unpersist()
+        applied += ((a, b))
       }
     }
-    segs.unpersist()
+    vocab.unpersist()
     merges.result().toDF("rank", "left", "right", "freq")
       .select(col("rank").cast("long").as("rank"), col("left"),
         col("right"), col("freq"))

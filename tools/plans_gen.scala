@@ -23,7 +23,7 @@ val picks = Seq(
   "pq_codes" -> "PQ encode: codebook as plan literals, map-only argmin — no join, no exchange anywhere",
   "pq_topk_ivf" -> "IVF+PQ: probe-bounded candidates, ADC scoring via broadcast distance tables",
   "embedding_gram" -> "Gram matrix: per-partition cell folds, ONE aggregate over O(cells x partitions) rows — no self-join of the corpus",
-  "sparse_cosine_pairs" -> "sparse tf-idf cosine: df cap below the posting self-join bounds candidates; global top-K is TakeOrdered",
+  "sparse_cosine_pairs" -> "sparse tf-idf cosine: df is a groupBy(gram) table broadcast-joined back (r10: NO per-gram Window — a hot bigram never lands one sort buffer), cap below the posting self-join bounds candidates; global top-K is TakeOrdered",
   "join_interval" -> "interval-overlap join: both sides explode to time chunks, hash equi join on chunk + exact residual, distinct collapses multi-chunk pairs — no nested loop",
   "join_fuzzy_jaro" -> "blocked fuzzy join: hash equi join on the block key; the codegen'd jaro_winkler expression scores inside the joined projection",
   "asof_join_native" -> "native as-of exec: one shuffle+sort per side, single-pass merge — no union, no WindowExec (compare the asof_join composed form)",
@@ -39,7 +39,10 @@ val picks = Seq(
   "stream_enrich" -> "stream-static enrichment twin: fact scan joins the broadcast dim then folds into the windowed partial+final aggregate - zero join state, the dim never shuffles the fact side",
   "stream_interval_join" -> "stream-stream interval join twin: equi join on user_id with the time-range bound as join residual - hash join, never a nested loop; in streaming form the same condition makes both buffers watermark-evictable",
   "dedup_minhash_incr" -> "incremental MinHash maintenance: BOTH settled frames read from the session cache (InMemoryRelation - the persisted band index), batch signatures aggregate over the batch slice only, candidates from one (band,bkey) equi join against the settled buckets",
-  "stream_neardup" -> "streaming ingest twin: the arriving docs run ONE typed pass (DeserializeToObject/MapPartitions - per-row signatures, no aggregation), then two equi joins against the cached settled index; the only other operator is the pair dedup - in streaming form that is the watermark-bounded state")
+  "stream_neardup" -> "streaming ingest twin: the arriving docs run ONE typed pass (DeserializeToObject/MapPartitions - per-row signatures, no aggregation), then two equi joins against the cached settled index; the only other operator is the pair dedup - in streaming form that is the watermark-bounded state",
+  "dedup_minhash_incr_durable" -> "durable-table maintenance (r10): the settled band index is a bucketed+sorted TABLE (FileScan ... Bucketed: true) - the batch keys broadcast onto the table scan, so the corpus side has NO exchange and NO cache-residency dependence; verification sets come from the sets table",
+  "token_entropy" -> "per-source entropy (r10): per-source totals are a second groupBy broadcast-joined back (n_sources rows) - NO per-source Window, so a vocab-sized partition sort can never exist",
+  "dedup_similarity_histogram" -> "threshold-tuning histogram (r10): candidates from the t=1/2 prefix filter (provably complete for j>=0.5), exact j on candidates via the full-set arrays, floor-bucket aggregate - the raw shingle self-join this replaced was Theta(sum df^2)")
 val sb = new StringBuilder
 sb ++= "# PLANS — executed physical plans for the headline queries\n\n"
 sb ++= "Generated from `.queryExecution.executedPlan` at sf0.01 on `local[4]`,\n"
