@@ -1,0 +1,522 @@
+package graft.sources
+
+import java.net.URI
+import java.nio.ByteBuffer
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalType, LogicalTypes, Schema => AvroSchema}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.network.util.JavaUtils
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro source/sink as a DataSource V2, built directly on the Avro
+  * core library that ships inside the Spark distribution
+  * (`avro-1.12.1.jar` — the `spark-avro` CONNECTOR jar is absent from
+  * this offline container, which is what kept the format uncovered
+  * through round 9; the container-file API underneath it is right
+  * there). Covers the "other formats" row of SURVEY.md §2.1 alongside
+  * csv/json/orc/xml/jdbc.
+  *
+  * Scale shape — the two properties that make Avro usable as a 100 TB
+  * ingest format are both implemented, not assumed:
+  *
+  *  - '''Byte-range splits.''' An Avro object container file is a
+  *    sequence of independently-compressed blocks delimited by a
+  *    16-byte sync marker, so one large file fans out to many tasks
+  *    exactly like parquet row groups: each task seeks to its range
+  *    start, scans to the next sync marker (`DataFileReader.sync`),
+  *    and reads whole blocks until the first sync PAST its range end
+  *    (`pastSync`). Every block is read by exactly one task and no
+  *    task reads the whole file. Split size follows the session's
+  *    `spark.sql.files.maxPartitionBytes` (overridable per-read with
+  *    option `split.bytes`).
+  *
+  *  - '''Column pruning at the decoder.''' Avro is a row format, so
+  *    pruning cannot skip I/O the way a columnar scan does — but the
+  *    Avro spec's schema-resolution rules let a reader schema that
+  *    omits fields skip their bytes without materializing values
+  *    (no string/array allocation for dropped columns). The scan
+  *    implements `SupportsPushDownRequiredColumns` and builds the
+  *    per-file reader schema as a PROJECTION of that file's writer
+  *    schema (same field schemas, pruned field set), so resolution
+  *    never has to reconcile two independently-derived types.
+  *
+  * Type matrix (strict — anything else fails loudly at schema
+  * conversion, never silently coerces): boolean/int/long/float/
+  * double/string/bytes, nullable as the Avro idiom `union(null, T)`,
+  * `timestamp-micros` ↔ TimestampType and `date` ↔ DateType logical
+  * types (both exactly Spark's internal representation — micros /
+  * days since epoch — so conversion is the identity), and
+  * one-dimensional arrays of all of the above.
+  *
+  * Commit protocol: writers stage to `.part-…-<uuid>.avro.inprogress`
+  * and rename on task commit (rename is atomic on HDFS and local
+  * filesystems; Spark's output commit coordinator guarantees a single
+  * committing attempt per partition), so a failed/speculated task
+  * never leaves a half-written visible file. `mode("overwrite")` maps
+  * to V2 truncate, which clears the directory on the driver before
+  * tasks launch — directory-level overwrite is not atomic (same
+  * contract as Spark's own file sinks without a commit log).
+  */
+class AvroSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+
+  // lets .schema(...) reads and writes to not-yet-existing paths
+  // bypass inference
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = AvroSource.requirePath(options)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = AvroSource.listAvroFiles(path, conf)
+    if (files.isEmpty) new StructType() // write to a fresh dir: schema comes from the query
+    else {
+      val in = new FsInput(files.head.getPath, conf)
+      try {
+        val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+        try AvroConversions.toStructType(r.getSchema)
+        finally r.close()
+      } finally in.close()
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new AvroTable(schema, properties.get("path"))
+}
+
+private[sources] object AvroSource {
+  def requirePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-avro requires a single path (load(dir) / save(dir))")
+    p
+  }
+
+  /** Visible data files under `path` (recursing one partition-dir
+    * level is not needed for this source; hidden and marker files are
+    * skipped the way FileIndex does).
+    */
+  def listAvroFiles(path: String, conf: Configuration): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    if (!fs.exists(p)) return Seq.empty
+    val out = ArrayBuffer[FileStatus]()
+    val stack = scala.collection.mutable.Stack[Path](p)
+    while (stack.nonEmpty) {
+      val cur = stack.pop()
+      fs.listStatus(cur).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) stack.push(st.getPath)
+          else if (st.getLen > 0 && n.endsWith(".avro")) out += st
+        }
+      }
+    }
+    out.sortBy(_.getPath.toString).toSeq
+  }
+}
+
+private[sources] class AvroTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-avro:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      // the write schema is the query's schema (validated by our own
+      // strict type conversion), not a pre-declared table schema —
+      // required because a fresh output dir has nothing to infer from
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(tableSchema, path, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(info, path)
+}
+
+/* ----------------------------- read side ----------------------------- */
+
+private[sources] class AvroScanBuilder(fullSchema: StructType, path: String,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // default split granularity follows the session knob every other
+    // file source obeys, so tuning maxPartitionBytes tunes this scan too
+    val dflt = JavaUtils.byteStringAsBytes(
+      SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val split = Option(options.get("split.bytes")).map(_.toLong).getOrElse(dflt)
+    new AvroScan(required, path, math.max(split, 1L << 16))
+  }
+}
+
+private[sources] case class AvroRange(file: String, start: Long, length: Long)
+    extends InputPartition
+
+private[sources] class AvroScan(readSchemaV: StructType, path: String,
+    splitBytes: Long) extends Scan with Batch {
+  override def readSchema(): StructType = readSchemaV
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path ReadSchema: ${readSchemaV.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    AvroSource.listAvroFiles(path, conf).iterator.flatMap { st =>
+      (0L until st.getLen by splitBytes).map { off =>
+        AvroRange(st.getPath.toString, off, math.min(splitBytes, st.getLen - off))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(readSchemaV)
+}
+
+private[sources] class AvroReaderFactory(readSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroRangeReader(partition.asInstanceOf[AvroRange], readSchema)
+}
+
+/** Reads the blocks of one byte range of one container file: sync to
+  * the first block at/after `start`, stop at the first sync past
+  * `start + length`. Tasks create a fresh Hadoop Configuration —
+  * local/HDFS paths resolve from defaults; this source ships no
+  * custom filesystem conf.
+  */
+private[sources] class AvroRangeReader(range: AvroRange, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val in = new FsInput(new Path(range.file), new Configuration())
+  private val reader: DataFileReader[GenericRecord] = {
+    val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+    val projected = AvroConversions.projectWriterSchema(r.getSchema, schema)
+    r.close() // reopen with the projecting datum reader
+    val in2 = new FsInput(new Path(range.file), new Configuration())
+    val rr = new DataFileReader[GenericRecord](
+      in2, new GenericDatumReader[GenericRecord](null, projected))
+    rr.sync(range.start)
+    rr
+  }
+  private val end = range.start + range.length
+  private val converters = schema.fields.map(f => AvroConversions.readConverter(f.dataType))
+  private var record: GenericRecord = null
+  private var row: InternalRow = null
+
+  override def next(): Boolean = {
+    if (reader.hasNext && !reader.pastSync(end)) {
+      record = reader.next(record)
+      val vals = new Array[Any](converters.length)
+      var i = 0
+      while (i < converters.length) {
+        vals(i) = converters(i)(record.get(i)); i += 1
+      }
+      row = new GenericInternalRow(vals)
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close() // closes in2; in closed above
+}
+
+/* ----------------------------- write side ---------------------------- */
+
+private[sources] class AvroWriteBuilder(info: LogicalWriteInfo, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new AvroWrite(info, path, doTruncate)
+}
+
+private[sources] class AvroWrite(info: LogicalWriteInfo, path: String,
+    doTruncate: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-avro write $path"
+
+  override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task launches: clear for overwrite,
+    // ensure the dir exists (tasks only ever create files)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    if (doTruncate && fs.exists(dir)) {
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
+    }
+    fs.mkdirs(dir)
+    val avroSchema = AvroConversions.toAvroSchema(info.schema())
+    val codec = Option(info.options().get("codec")).getOrElse("deflate")
+    val syncBytes = Option(info.options().get("sync.bytes")).map(_.toInt).getOrElse(64 << 10)
+    new AvroWriterFactory(path, info.schema(), avroSchema.toString, codec, syncBytes)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      if (st.getPath.getName.endsWith(".inprogress")) { fs.delete(st.getPath, false); () }
+    }
+  }
+}
+
+private[sources] case class AvroCommit(file: String) extends WriterCommitMessage
+
+private[sources] class AvroWriterFactory(path: String, schema: StructType,
+    avroSchemaJson: String, codec: String, syncBytes: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(path, schema, avroSchemaJson, codec, syncBytes, partitionId, taskId)
+}
+
+private[sources] class AvroDataWriter(dir: String, schema: StructType,
+    avroSchemaJson: String, codec: String, syncBytes: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val avroSchema = new AvroSchema.Parser().parse(avroSchemaJson)
+  private val fs = FileSystem.get(URI.create(dir), new Configuration())
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId.avro")
+  private val stagePath =
+    new Path(dir, f".part-$partitionId%05d-${UUID.randomUUID()}.avro.inprogress")
+  private val converters =
+    schema.fields.map(f => AvroConversions.writeConverter(f.dataType))
+  private val writer = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(codec match {
+      case "null" | "none" => CodecFactory.nullCodec()
+      case "snappy"        => CodecFactory.snappyCodec()
+      case "deflate"       => CodecFactory.deflateCodec(6)
+      case other => throw new IllegalArgumentException(s"unsupported codec: $other")
+    })
+    w.setSyncInterval(math.max(syncBytes, 1 << 10))
+    w.create(avroSchema, fs.create(stagePath, true))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < converters.length) {
+      rec.put(i, if (row.isNullAt(i)) null else converters(i)(row, i))
+      i += 1
+    }
+    writer.append(rec)
+    ()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (!fs.rename(stagePath, finalPath))
+      throw new java.io.IOException(s"rename $stagePath -> $finalPath failed")
+    AvroCommit(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: java.io.IOException => () }
+    fs.delete(stagePath, false)
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+/* --------------------------- conversions ----------------------------- */
+
+/** The Catalyst ↔ Avro type matrix. Deliberately strict and total
+  * over the documented subset: an unsupported Avro schema (enum,
+  * fixed, map, multi-branch union, unknown logical type) or Catalyst
+  * type (struct, map, decimal) throws at conversion time with the
+  * offending type in the message — never a silent coercion, which on
+  * a 100 TB ingest is how type drift becomes data loss.
+  */
+private[sources] object AvroConversions {
+  import AvroSchema.Type._
+
+  /** Avro writer schema (a record) → StructType, for inference. */
+  def toStructType(s: AvroSchema): StructType = {
+    require(s.getType == RECORD, s"graft-avro: top-level schema must be a record, got ${s.getType}")
+    StructType(s.getFields.asScala.map { f =>
+      val (dt, nullable) = toCatalyst(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+  }
+
+  private def toCatalyst(s: AvroSchema): (DataType, Boolean) = s.getType match {
+    case UNION =>
+      val branches = s.getTypes.asScala
+      require(branches.size == 2 && branches.exists(_.getType == NULL),
+        s"graft-avro: only union(null, T) unions are supported, got $s")
+      val inner = branches.find(_.getType != NULL).get
+      val (dt, _) = toCatalyst(inner)
+      (dt, true)
+    case BOOLEAN => (BooleanType, false)
+    case INT =>
+      if (isLogical(s, "date")) (DateType, false) else (IntegerType, false)
+    case LONG =>
+      if (isLogical(s, "timestamp-micros")) (TimestampType, false)
+      else if (s.getLogicalType != null)
+        throw new IllegalArgumentException(
+          s"graft-avro: unsupported logical type ${s.getLogicalType.getName} on long")
+      else (LongType, false)
+    case FLOAT  => (FloatType, false)
+    case DOUBLE => (DoubleType, false)
+    case STRING => (StringType, false)
+    case BYTES  => (BinaryType, false)
+    case ARRAY =>
+      val (et, en) = toCatalyst(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case other =>
+      throw new IllegalArgumentException(s"graft-avro: unsupported Avro type $other")
+  }
+
+  private def isLogical(s: AvroSchema, name: String): Boolean = {
+    val lt: LogicalType = s.getLogicalType
+    lt != null && lt.getName == name
+  }
+
+  /** StructType → Avro record schema, for writes. Inverse of
+    * `toStructType` over the supported matrix (round-trip identity is
+    * spec-checked).
+    */
+  def toAvroSchema(st: StructType): AvroSchema = {
+    val fields = st.fields.map { f =>
+      new AvroSchema.Field(f.name, fieldSchema(f.dataType, f.nullable),
+        null, if (f.nullable) AvroSchema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    AvroSchema.createRecord("graft_avro", null, "graft", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  private def fieldSchema(dt: DataType, nullable: Boolean): AvroSchema = {
+    val base = dt match {
+      case BooleanType => AvroSchema.create(BOOLEAN)
+      case IntegerType => AvroSchema.create(INT)
+      case LongType    => AvroSchema.create(LONG)
+      case FloatType   => AvroSchema.create(FLOAT)
+      case DoubleType  => AvroSchema.create(DOUBLE)
+      case StringType  => AvroSchema.create(STRING)
+      case BinaryType  => AvroSchema.create(BYTES)
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(AvroSchema.create(LONG))
+      case DateType =>
+        LogicalTypes.date().addToSchema(AvroSchema.create(INT))
+      case ArrayType(et, containsNull) =>
+        AvroSchema.createArray(fieldSchema(et, containsNull))
+      case other =>
+        throw new IllegalArgumentException(s"graft-avro: unsupported Spark type $other")
+    }
+    if (nullable) AvroSchema.createUnion(AvroSchema.create(NULL), base) else base
+  }
+
+  /** Reader schema for one file: the writer schema with only the
+    * requested fields, KEEPING the writer's field schemas verbatim —
+    * so Avro schema resolution is a pure projection (skipped fields
+    * are decoded as skips, never materialized) and can never hit a
+    * type-promotion edge. Field order follows the requested struct,
+    * which is the row layout the scan emits.
+    */
+  def projectWriterSchema(writer: AvroSchema, required: StructType): AvroSchema = {
+    require(writer.getType == RECORD,
+      s"graft-avro: container schema must be a record, got ${writer.getType}")
+    val fields = required.fields.map { f =>
+      val wf = writer.getField(f.name)
+      require(wf != null, s"graft-avro: column '${f.name}' not present in file schema $writer")
+      new AvroSchema.Field(f.name, wf.schema(), null, wf.defaultVal())
+    }
+    AvroSchema.createRecord(writer.getName, null, writer.getNamespace, false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  /** Avro runtime value → Catalyst internal value, per Catalyst type.
+    * Timestamp/date logical values arrive as the raw long/int — which
+    * IS Spark's internal encoding, so those paths are identity.
+    */
+  def readConverter(dt: DataType): Any => Any = dt match {
+    case StringType =>
+      v => if (v == null) null else UTF8String.fromString(v.toString)
+    case BinaryType =>
+      v => if (v == null) null else {
+        val bb = v.asInstanceOf[ByteBuffer].duplicate()
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      }
+    case ArrayType(et, _) =>
+      val elem = readConverter(et)
+      v => if (v == null) null else {
+        val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+        val out = new Array[Any](coll.size())
+        val it = coll.iterator(); var i = 0
+        while (it.hasNext) { out(i) = elem(it.next()); i += 1 }
+        new GenericArrayData(out)
+      }
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         TimestampType | DateType =>
+      v => v // primitives (and logical micros/days) are already internal form
+    case other =>
+      throw new IllegalArgumentException(s"graft-avro: unsupported Spark type $other")
+  }
+
+  /** (InternalRow, ordinal) → Avro runtime value. Null handling is at
+    * the call site (isNullAt).
+    */
+  def writeConverter(dt: DataType): (InternalRow, Int) => AnyRef = dt match {
+    case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+    case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
+    case LongType | TimestampType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
+    case FloatType   => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
+    case DoubleType  => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
+    case StringType  => (r, i) => r.getUTF8String(i).toString
+    case BinaryType  => (r, i) => ByteBuffer.wrap(r.getBinary(i))
+    case ArrayType(et, _) =>
+      val elem = arrayElemConverter(et)
+      (r, i) => {
+        val arr = r.getArray(i)
+        val out = new java.util.ArrayList[AnyRef](arr.numElements())
+        var j = 0
+        while (j < arr.numElements()) {
+          out.add(if (arr.isNullAt(j)) null else elem(arr, j)); j += 1
+        }
+        out
+      }
+    case other =>
+      throw new IllegalArgumentException(s"graft-avro: unsupported Spark type $other")
+  }
+
+  private def arrayElemConverter(dt: DataType): (ArrayData, Int) => AnyRef = dt match {
+    case BooleanType => (a, j) => java.lang.Boolean.valueOf(a.getBoolean(j))
+    case IntegerType | DateType => (a, j) => java.lang.Integer.valueOf(a.getInt(j))
+    case LongType | TimestampType => (a, j) => java.lang.Long.valueOf(a.getLong(j))
+    case FloatType   => (a, j) => java.lang.Float.valueOf(a.getFloat(j))
+    case DoubleType  => (a, j) => java.lang.Double.valueOf(a.getDouble(j))
+    case StringType  => (a, j) => a.getUTF8String(j).toString
+    case BinaryType  => (a, j) => ByteBuffer.wrap(a.getBinary(j))
+    case other =>
+      throw new IllegalArgumentException(s"graft-avro: unsupported array element $other")
+  }
+}

@@ -79,6 +79,33 @@ object FileSources {
     rollup(s.read.schema(eventsDdl).option("rowTag", "event")
       .format("xml").load(eventsAs(s, dir, "xml")))
 
+  /** Avro round-trip through the graft-avro DataSource V2
+    * (`AvroSource.scala` — built on the Avro core jar the Spark
+    * distribution already carries; the spark-avro connector is absent
+    * offline). Unlike the text formats, `ts` travels as a REAL
+    * timestamp (Avro `timestamp-micros` logical type), so the logical
+    * type round-trip sits under the differential gate too. The read
+    * projects 3 of 5 columns — the scan's pushed projection (pruned
+    * reader schema) is on the oracle path, not just spec'd.
+    */
+  private def eventsAvro(s: SparkSession, dir: String): String = synchronized {
+    val key = Tables.dirKey(dir)
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/avro/$key"
+    if (!written.contains(out)) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .write.mode("overwrite").format("graft-avro").save(out)
+      written += out
+    }
+    out
+  }
+
+  def avroEvents(s: SparkSession, dir: String): DataFrame =
+    rollup(s.read.format("graft-avro").load(eventsAvro(s, dir))
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us")))
+
   /** Two parquet batches with EVOLVED schemas, written once per
     * (JVM, dir): batch b=1 is the "legacy" shape (event_id, user_id,
     * value — no event_type column yet), batch b=2 the "current" one
@@ -353,5 +380,6 @@ object FileSources {
     Q("source_evolved_schema", evolvedOracle)(evolvedEvents),
     Q("source_csv_corrupt", corruptOracle)(corruptCsv),
     Q("source_jdbc", rollupOracle)(jdbcEvents),
+    Q("source_avro", rollupOracle)(avroEvents),
   )
 }
