@@ -24,7 +24,8 @@ object SparkEntry {
       graft.sources.Bucketed.all ++
       graft.ml.ClusterOps.all ++ graft.graph.GraphOps.all ++
       graft.text.CurationRules.all ++ graft.sim.RetrievalOps.all ++
-      graft.text.Bpe.all ++ graft.ops.Maintenance.all
+      graft.text.Bpe.all ++ graft.ops.Maintenance.all ++
+      graft.sources.TxLog.all
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs

@@ -1,0 +1,487 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException => NioExists, Files, Paths, StandardOpenOption}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.{Q, Tables}
+
+/** A minimal transactional table layer over parquet — ACID appends /
+  * overwrites / copy-on-write deletes, snapshot isolation, time
+  * travel, compaction, and vacuum — built from the public lakehouse
+  * design (an ordered log of file-level add/remove actions with
+  * periodic checkpoints; Delta Lake, VLDB 2020; Iceberg's snapshot
+  * manifests are the same idea). The Delta/Iceberg connector jars are
+  * absent from this offline container (COVERAGE.md), but — exactly
+  * like the Avro connector before it (`AvroSource.scala`) — the
+  * capability doesn't need the jar: the data plane is ordinary
+  * parquet scans (pushdown, pruning, vectorization all free), and the
+  * control plane is a few KB of JSON per commit.
+  *
+  * Layout: `<table>/data-<uuid>.parquet` data files (flat, immutable,
+  * write-once), `<table>/_txlog/%020d.json` one log entry per
+  * version, `<table>/_txlog/checkpoint-%020d.json` a full snapshot of
+  * the file list every [[CheckpointInterval]] commits.
+  *
+  * The scale argument, point by point:
+  *  - '''Readers never list data files.''' A snapshot is resolved
+  *    from the newest checkpoint ≤ the target version plus the log
+  *    suffix after it — O(interval) small JSON reads, independent of
+  *    both table size and table age. Object-store listing (the
+  *    classic metadata bottleneck at 100 TB / millions of files) is
+  *    never on the read path.
+  *  - '''Writers never rewrite clean data.''' Append moves new files
+  *    in and publishes them in one log entry. Delete-where first runs
+  *    ONE distributed scan that maps matching rows to their files
+  *    (`input_file_name` group-by), then rewrites only the dirty
+  *    files; a predicate touching 1% of files costs 1% of the table,
+  *    not a full rewrite.
+  *  - '''Commits are atomic and optimistic.''' Publishing version N
+  *    is a create-if-absent of `%020d.json` (hard-link trick on local
+  *    filesystems — POSIX `link(2)` fails atomically if the target
+  *    exists, sidestepping rename-overwrites; exclusive `create` on
+  *    HDFS-like stores, where the namenode arbitrates). Losers of the
+  *    race re-resolve and retry (appends — commutative) or abort with
+  *    a conflict (overwrite/delete/compact — their base snapshot went
+  *    stale, the lost-update case a table format exists to prevent).
+  *    Data files move in BEFORE the log entry publishes, so a crash
+  *    between the two leaves only unreferenced orphans for vacuum —
+  *    readers can never observe a half-commit.
+  *  - '''History is bounded on request.''' Vacuum deletes data files
+  *    referenced only by versions older than the retention floor,
+  *    publishes the floor in its own log entry, and time travel below
+  *    the floor fails loudly (never a silent partial snapshot).
+  *
+  * The reference has no durable-table notion at all (its jobs read
+  * and write whole text files, reference worker.py); this layer is
+  * what its pipeline outputs would need the moment two jobs write one
+  * dataset concurrently.
+  */
+object TxLog {
+  val CheckpointInterval = 10
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  final case class AddFile(path: String, bytes: Long)
+  final case class Entry(version: Long, action: String,
+      add: Seq[AddFile], remove: Seq[String],
+      schema: Option[String], floor: Option[Long])
+
+  final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile])
+
+  final class ConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /* ------------------------- log primitives ------------------------ */
+
+  private def logDir(table: String) = new Path(table, "_txlog")
+  private def entryPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+  private def checkpointPath(table: String, v: Long) =
+    new Path(logDir(table), f"checkpoint-$v%020d.json")
+
+  private def fsOf(s: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Create-if-absent publication: the one primitive every commit's
+    * atomicity rests on. Local scheme: write a temp file then
+    * `link(2)` it to the final name — POSIX guarantees link fails
+    * with EEXIST atomically (a plain rename would silently overwrite
+    * a racing winner). Other schemes: `FileSystem.create(p, false)`,
+    * whose exclusivity the store's metadata service arbitrates.
+    */
+  private def atomicCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    if (fs.getScheme == "file") {
+      val dst = Paths.get(p.toUri.getPath)
+      Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(s".${dst.getFileName}.tmp-${UUID.randomUUID()}")
+      Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW)
+      try { Files.createLink(dst, tmp); true }
+      catch { case _: NioExists => false }
+      finally Files.delete(tmp)
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def renderEntry(e: Entry): Array[Byte] = {
+    import org.json4s.JsonDSL._
+    val j: JObject =
+      ("version" -> e.version) ~ ("action" -> e.action) ~
+      ("add" -> e.add.map(a => ("path" -> a.path) ~ ("bytes" -> a.bytes))) ~
+      ("remove" -> e.remove) ~ ("schema" -> e.schema) ~ ("floor" -> e.floor)
+    JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8")
+  }
+
+  private def parseEntry(bytes: Array[Byte]): Entry =
+    JsonMethods.parse(new String(bytes, "UTF-8")).extract[Entry]
+
+  private val EntryName = """(\d{20})\.json""".r
+  private val CheckpointName = """checkpoint-(\d{20})\.json""".r
+
+  /** (entry versions, checkpoint versions) present in the log. One
+    * listing of the log dir — O(versions since last vacuum of log…)
+    * metadata, never data files.
+    */
+  private def listLog(fs: FileSystem, table: String): (Seq[Long], Seq[Long]) = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    (names.collect { case EntryName(v) => v.toLong }.sorted.toSeq,
+     names.collect { case CheckpointName(v) => v.toLong }.sorted.toSeq)
+  }
+
+  def currentVersion(s: SparkSession, table: String): Long = {
+    val (entries, _) = listLog(fsOf(s, table), table)
+    if (entries.isEmpty) -1L else entries.max
+  }
+
+  /* --------------------------- snapshots --------------------------- */
+
+  /** Resolve the file list + schema of `asOf` (default: head).
+    * Reads the newest checkpoint ≤ asOf, then replays only the log
+    * suffix — the read path a long-lived table depends on.
+    */
+  def snapshotState(s: SparkSession, table: String, asOf: Option[Long] = None): Snapshot = {
+    val fs = fsOf(s, table)
+    val (entries, checkpoints) = listLog(fs, table)
+    require(entries.nonEmpty, s"not a txlog table (no _txlog entries): $table")
+    val target = asOf.getOrElse(entries.max)
+    require(entries.contains(target),
+      s"version $target does not exist in $table (head=${entries.max})")
+
+    // respect the newest vacuum floor: data files of pre-floor
+    // versions may be gone — fail loudly, never partially. The floor
+    // rides in checkpoints, so this is the head's log suffix only,
+    // not a walk of the whole history.
+    val head = entries.max
+    val headCkpt = checkpoints.filter(_ <= head).sorted.lastOption
+    val ckptFloor = headCkpt.map(cv => readCheckpoint(fs, table, cv).floor).getOrElse(0L)
+    val floor = (headCkpt.map(_ + 1).getOrElse(0L) to head)
+      .flatMap(v => readEntry(fs, table, v).floor)
+      .foldLeft(ckptFloor)(math.max)
+    if (target < floor)
+      throw new IllegalStateException(
+        s"version $target was vacuumed (retention floor $floor); " +
+        s"time travel below the floor is not possible")
+
+    val ckpt = checkpoints.filter(_ <= target).sorted.lastOption
+    val (startFiles, startSchema, replayFrom) = ckpt match {
+      case Some(cv) =>
+        val st = readCheckpoint(fs, table, cv)
+        (st.files, Option(st.schemaDdl), cv + 1)
+      case None => (Seq.empty[AddFile], None: Option[String], 0L)
+    }
+    val files = mutable.LinkedHashMap[String, AddFile](startFiles.map(f => f.path -> f): _*)
+    var schema = startSchema
+    (replayFrom to target).foreach { v =>
+      val e = readEntry(fs, table, v)
+      e.remove.foreach(files.remove)
+      e.add.foreach(a => files(a.path) = a)
+      if (e.schema.nonEmpty) schema = e.schema
+    }
+    Snapshot(target, schema.getOrElse(
+      throw new IllegalStateException(s"no schema recorded up to version $target")),
+      files.values.toSeq)
+  }
+
+  /** Checkpoint payload: the full snapshot at its version plus the
+    * retention floor known at write time (so floor resolution never
+    * walks history past the newest checkpoint).
+    */
+  private final case class CkptState(version: Long, schemaDdl: String,
+      files: Seq[AddFile], floor: Long)
+
+  private def readCheckpoint(fs: FileSystem, table: String, v: Long): CkptState =
+    JsonMethods.parse(new String(readBytes(fs, checkpointPath(table, v)), "UTF-8"))
+      .extract[CkptState]
+
+  private val entryCache = mutable.HashMap[(String, Long), Entry]()
+  private def readEntry(fs: FileSystem, table: String, v: Long): Entry =
+    entryCache.synchronized {
+      entryCache.getOrElseUpdate((table, v),
+        parseEntry(readBytes(fs, entryPath(table, v))))
+    }
+
+  /** Snapshot read: plain parquet scan over the resolved file list
+    * with the recorded schema — Catalyst sees a normal multi-file
+    * relation (pushdown/pruning intact).
+    */
+  def read(s: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshotState(s, table, asOf)
+    val paths = snap.files.map(f => new Path(table, f.path).toString)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    if (paths.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Commit history as a DataFrame (version, action, files added /
+    * removed, bytes added) — the audit surface.
+    */
+  def history(s: SparkSession, table: String): DataFrame = {
+    val fs = fsOf(s, table)
+    val (entries, _) = listLog(fs, table)
+    import s.implicits._
+    entries.sorted.map { v =>
+      val e = readEntry(fs, table, v)
+      (e.version, e.action, e.add.size.toLong, e.remove.size.toLong,
+        e.add.map(_.bytes).sum)
+    }.toDF("version", "action", "n_added", "n_removed", "bytes_added")
+  }
+
+  /* ---------------------------- commits ---------------------------- */
+
+  /** Stage `df` as parquet and move the part files into the table
+    * root under fresh UUID names. Files are INVISIBLE until a log
+    * entry references them — a crash here leaves orphans for vacuum,
+    * never a torn table.
+    */
+  private def stageData(s: SparkSession, table: String, df: DataFrame): Seq[AddFile] = {
+    val fs = fsOf(s, table)
+    val staging = new Path(table, s"_staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val added = parts.map { st =>
+      val name = s"data-${UUID.randomUUID()}.parquet"
+      if (!fs.rename(st.getPath, new Path(table, name)))
+        throw new java.io.IOException(s"failed to move ${st.getPath} into $table")
+      AddFile(name, st.getLen)
+    }.toSeq
+    fs.delete(staging, true)
+    added
+  }
+
+  /** Publish one log entry. `expectedBase`: None = commutative commit
+    * (append) — retry on a lost race against the new head; Some(v) =
+    * the writer's base snapshot — a moved head is a real conflict.
+    */
+  private def commit(s: SparkSession, table: String, action: String,
+      add: Seq[AddFile], remove: Seq[String], schema: Option[String],
+      expectedBase: Option[Long], floor: Option[Long] = None): Long = {
+    val fs = fsOf(s, table)
+    var attempts = 0
+    while (attempts < 1000) {
+      val head = currentVersion(s, table)
+      expectedBase.foreach { b =>
+        if (head != b) throw new ConflictException(
+          s"$action based on version $b but head is $head: " +
+          "a concurrent commit won; re-read and retry the operation")
+      }
+      val v = head + 1
+      val e = Entry(v, action, add, remove, schema, floor)
+      if (atomicCreate(fs, entryPath(table, v), renderEntry(e))) {
+        if (v % CheckpointInterval == 0 && v > 0) writeCheckpoint(s, fs, table, v)
+        return v
+      }
+      attempts += 1 // append lost the race: loop re-resolves the head
+    }
+    throw new ConflictException(s"$action could not commit after $attempts races")
+  }
+
+  private def writeCheckpoint(s: SparkSession, fs: FileSystem, table: String,
+      v: Long): Unit = {
+    import org.json4s.JsonDSL._
+    val snap = snapshotState(s, table, Some(v))
+    val (_, checkpoints) = listLog(fs, table)
+    val prev = checkpoints.filter(_ < v).sorted.lastOption
+    val floor = (prev.map(_ + 1).getOrElse(0L) to v)
+      .flatMap(x => readEntry(fs, table, x).floor)
+      .foldLeft(prev.map(cv => readCheckpoint(fs, table, cv).floor).getOrElse(0L))(math.max)
+    val j: JObject = ("version" -> v) ~ ("schemaDdl" -> snap.schemaDdl) ~
+      ("files" -> snap.files.map(a => ("path" -> a.path) ~ ("bytes" -> a.bytes))) ~
+      ("floor" -> floor)
+    atomicCreate(fs, checkpointPath(table, v),
+      JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
+    () // if a racer already wrote it, theirs is identical
+  }
+
+  /** Version 0: create the table (errors if it already exists). */
+  def create(s: SparkSession, table: String, df: DataFrame): Long = {
+    require(currentVersion(s, table) == -1L, s"table already exists: $table")
+    val add = stageData(s, table, df)
+    commit(s, table, "create", add, Seq.empty, Some(df.schema.toDDL), Some(-1L))
+  }
+
+  /** Append-only commit: no base pinned — concurrent appends all
+    * succeed in some serial order (they commute).
+    */
+  def append(s: SparkSession, table: String, df: DataFrame): Long = {
+    val cur = snapshotState(s, table)
+    require(df.schema.toDDL == cur.schemaDdl,
+      s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    val add = stageData(s, table, df)
+    commit(s, table, "append", add, Seq.empty, None, None)
+  }
+
+  /** Replace the whole table content (schema may change). Conflicts
+    * if anything commits between base resolution and publication.
+    */
+  def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
+    val base = snapshotState(s, table)
+    val add = stageData(s, table, df)
+    commit(s, table, "overwrite", add, base.files.map(_.path),
+      Some(df.schema.toDDL), Some(base.version))
+  }
+
+  /** Copy-on-write delete: one distributed scan maps matching rows to
+    * their files; only dirty files are rewritten (filtered), clean
+    * files are untouched. Commits remove(dirty) + add(rewritten)
+    * against the base version.
+    */
+  def deleteWhere(s: SparkSession, table: String, cond: Column): Long = {
+    val base = snapshotState(s, table)
+    val abs = base.files.map(f => new Path(table, f.path).toString)
+    val schema = StructType.fromDDL(base.schemaDdl)
+    if (abs.isEmpty) return base.version
+    val df = s.read.schema(schema).parquet(abs: _*)
+    // file-level skipping measured from the data itself: a per-file
+    // match count is one partial-aggregated scan, no stats infra
+    val dirtyNames = df.filter(cond)
+      .select(input_file_name().as("f")).groupBy(col("f")).count()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0))).getName).toSet
+    if (dirtyNames.isEmpty) return base.version
+    val dirtyAbs = base.files.map(_.path).filter(dirtyNames.contains)
+      .map(p => new Path(table, p).toString)
+    val rewritten = s.read.schema(schema).parquet(dirtyAbs: _*).filter(!cond)
+    val add = stageData(s, table, rewritten)
+    commit(s, table, "delete", add, dirtyNames.toSeq.sorted, None, Some(base.version))
+  }
+
+  /** Bin-pack files smaller than `targetBytes` into ~target-sized
+    * ones. Pure rewrite: rows identical, readers of old versions
+    * unaffected (their files remain until vacuum).
+    */
+  def compact(s: SparkSession, table: String, targetBytes: Long): Long = {
+    val base = snapshotState(s, table)
+    val small = base.files.filter(_.bytes < targetBytes)
+    if (small.size <= 1) return base.version
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val df = s.read.schema(schema)
+      .parquet(small.map(f => new Path(table, f.path).toString): _*)
+    val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
+    val add = stageData(s, table, df.repartition(nOut))
+    commit(s, table, "compact", add, small.map(_.path), None, Some(base.version))
+  }
+
+  /** Delete data files unreachable from the retained versions
+    * (last `keepVersions`, at least the head) plus any orphans no log
+    * entry ever referenced (crashed commits). Publishes the new
+    * retention floor; reads below it fail loudly thereafter.
+    */
+  def vacuum(s: SparkSession, table: String, keepVersions: Int): Long = {
+    val fs = fsOf(s, table)
+    val head = currentVersion(s, table)
+    require(head >= 0, s"not a txlog table: $table")
+    val floor = math.max(0L, head - math.max(1, keepVersions) + 1)
+    val retained = (floor to head)
+      .flatMap(v => snapshotState(s, table, Some(v)).files.map(_.path)).toSet
+    val listing = fs.listStatus(new Path(table))
+    // crashed writes leave _staging-* dirs behind — vacuum owns them
+    listing.filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val onDisk = listing.map(_.getPath.getName)
+      .filter(n => n.startsWith("data-") && n.endsWith(".parquet"))
+    val doomed = onDisk.filterNot(retained.contains)
+    // publish the floor FIRST: a reader that resolves an old version
+    // after its files are gone must see the floor, not a missing file
+    val v = commit(s, table, "vacuum", Seq.empty, Seq.empty, None, None, Some(floor))
+    doomed.foreach(n => fs.delete(new Path(table, n), false))
+    v
+  }
+
+  /* ----------------------- registry fixture ------------------------ */
+
+  private val built = mutable.Set[String]()
+
+  /** Deterministic multi-version table from `events` (event_id
+    * residues mod 5 arrive over three commits; a mod-7 slice is then
+    * deleted copy-on-write; compaction rewrites the small files; a
+    * final append lands after the delete) — so each version's content
+    * is a closed-form predicate DuckDB can evaluate from the raw
+    * parquet. The `ts` column travels as epoch micros (BIGINT).
+    */
+  private def fixture(s: SparkSession, dir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/txlog/${Tables.dirKey(dir)}"
+    if (!built.contains(out)) {
+      val fs = fsOf(s, out)
+      fs.delete(new Path(out), true) // stale half-built fixture from a crashed run
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      def slice(r: Int*) = ev.filter(pmod(col("event_id"), lit(5)).isin(r.map(Int.box): _*))
+      create(s, out, slice(0).repartition(4))                     // v0
+      append(s, out, slice(1).repartition(3))                     // v1
+      append(s, out, slice(2, 3).repartition(4))                  // v2
+      deleteWhere(s, out, pmod(col("event_id"), lit(7)) === 0)    // v3
+      compact(s, out, 1L << 30)                                   // v4: everything binpacks
+      append(s, out, slice(4).repartition(2))                     // v5
+      vacuum(s, out, keepVersions = 6)                            // v6: keeps v1+; orphans only
+      built += out
+    }
+    out
+  }
+
+  private def rollup(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+        min(col("ts_us")).as("min_ts"),
+        max(col("ts_us")).as("max_ts"))
+
+  /** Time travel to v2 — BEFORE the delete/compact/append — must see
+    * exactly the first three commits' slices.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, fixture(s, dir), asOf = Some(2L)))
+
+  private val timeTravelOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+      |FROM events WHERE event_id % 5 <= 3 GROUP BY event_type""".stripMargin
+
+  /** Head read — the delete (applied to residues 0–3 only; residue 4
+    * arrived after it), the content-preserving compaction, and the
+    * final append all folded in.
+    */
+  def headRead(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, fixture(s, dir)))
+
+  private val headOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+      |FROM events
+      |WHERE event_id % 5 = 4 OR NOT (event_id % 7 = 0)
+      |GROUP BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("txlog_time_travel", timeTravelOracle)(timeTravel),
+    Q("txlog_head", headOracle)(headRead),
+  )
+}
