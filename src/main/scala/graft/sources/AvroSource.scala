@@ -314,6 +314,7 @@ private[sources] class AvroDataWriter(dir: String, schema: StructType,
       case "null" | "none" => CodecFactory.nullCodec()
       case "snappy"        => CodecFactory.snappyCodec()
       case "deflate"       => CodecFactory.deflateCodec(6)
+      case "zstandard"     => CodecFactory.zstandardCodec(3)
       case other => throw new IllegalArgumentException(s"unsupported codec: $other")
     })
     w.setSyncInterval(math.max(syncBytes, 1 << 10))

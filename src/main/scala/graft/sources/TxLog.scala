@@ -70,10 +70,21 @@ object TxLog {
 
   private implicit val fmts: Formats = DefaultFormats
 
-  final case class AddFile(path: String, bytes: Long)
+  /** Per-column file statistics, harvested from the parquet FOOTER at
+    * commit time (metadata-only reads — no second pass over the
+    * data). `kind` tags how min/max strings compare: "long" (ints,
+    * longs, and timestamp/date internal encodings), "double",
+    * "string". A column any row group lacks stats for is simply
+    * absent — skipping is an optimization, never a correctness input.
+    */
+  final case class ColStats(kind: String, min: String, max: String, nulls: Long)
+
+  final case class AddFile(path: String, bytes: Long,
+      stats: Option[Map[String, ColStats]] = None)
   final case class Entry(version: Long, action: String,
       add: Seq[AddFile], remove: Seq[String],
-      schema: Option[String], floor: Option[Long])
+      schema: Option[String], floor: Option[Long],
+      txnApp: Option[String] = None, txnBatch: Option[Long] = None)
 
   final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile])
 
@@ -127,12 +138,20 @@ object TxLog {
     } finally in.close()
   }
 
+  import org.json4s.JsonDSL._
+
+  private def renderAdd(a: AddFile): JObject =
+    ("path" -> a.path) ~ ("bytes" -> a.bytes) ~
+      ("stats" -> a.stats.map(_.map { case (c, st) =>
+        c -> (("kind" -> st.kind) ~ ("min" -> st.min) ~
+          ("max" -> st.max) ~ ("nulls" -> st.nulls)) }))
+
   private def renderEntry(e: Entry): Array[Byte] = {
-    import org.json4s.JsonDSL._
     val j: JObject =
       ("version" -> e.version) ~ ("action" -> e.action) ~
-      ("add" -> e.add.map(a => ("path" -> a.path) ~ ("bytes" -> a.bytes))) ~
-      ("remove" -> e.remove) ~ ("schema" -> e.schema) ~ ("floor" -> e.floor)
+      ("add" -> e.add.map(renderAdd)) ~
+      ("remove" -> e.remove) ~ ("schema" -> e.schema) ~ ("floor" -> e.floor) ~
+      ("txnApp" -> e.txnApp) ~ ("txnBatch" -> e.txnBatch)
     JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8")
   }
 
@@ -213,7 +232,8 @@ object TxLog {
     * walks history past the newest checkpoint).
     */
   private final case class CkptState(version: Long, schemaDdl: String,
-      files: Seq[AddFile], floor: Long)
+      files: Seq[AddFile], floor: Long,
+      txns: Option[Map[String, Long]] = None)
 
   private def readCheckpoint(fs: FileSystem, table: String, v: Long): CkptState =
     JsonMethods.parse(new String(readBytes(fs, checkpointPath(table, v)), "UTF-8"))
@@ -236,6 +256,84 @@ object TxLog {
     val schema = StructType.fromDDL(snap.schemaDdl)
     if (paths.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else s.read.schema(schema).parquet(paths: _*)
+  }
+
+  /* ------------------------- data skipping ------------------------- */
+
+  /** Predicate-driven file pruning over the logged footer stats, then
+    * the ordinary snapshot scan WITH the full predicate still applied
+    * — stats only ever shrink the file list, never decide rows. The
+    * matcher understands conjunctions of `col <op> literal`
+    * comparisons (both operand orders, casts unwrapped); anything it
+    * doesn't understand contributes nothing, so arbitrary predicates
+    * stay correct. This is partition-pruning's file-grained sibling:
+    * on a table range-clustered by the predicate column, a selective
+    * scan opens a constant few files out of the fleet.
+    */
+  def readWhere(s: SparkSession, table: String, cond: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val (selected, _) = pruneFiles(s, table, cond, asOf)
+    val snap = snapshotState(s, table, asOf)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val paths = selected.map(f => new Path(table, f.path).toString)
+    val base =
+      if (paths.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(paths: _*)
+    base.filter(cond)
+  }
+
+  /** (files the predicate may touch, total files in the snapshot).
+    * Bounds are read from the Column's sql-api node tree (the
+    * pre-analysis form every Column DSL call builds): conjunctions of
+    * `col <op> literal` in either operand order. Unrecognized shapes
+    * contribute no bound — fail open, never wrong.
+    */
+  private[sources] def pruneFiles(s: SparkSession, table: String, cond: Column,
+      asOf: Option[Long] = None): (Seq[AddFile], Int) = {
+    val snap = snapshotState(s, table, asOf)
+    // (column, op, literal) conjuncts, column-on-the-left
+    val bounds: Seq[(String, String, Any)] =
+      org.apache.spark.sql.graftglue.GraftGlue.comparisonBounds(cond)
+    def excluded(f: AddFile): Boolean = f.stats.exists { stats =>
+      bounds.exists { case (name, op, v) =>
+        stats.get(name).exists { st =>
+          cmp(st.kind, v).exists { toCmp =>
+            val (mn, mx) = (toCmp(st.min), toCmp(st.max))
+            op match {
+              case "="  => mn > 0 || mx < 0   // lit < min or lit > max
+              case "<"  => mn >= 0            // min >= lit: nothing below
+              case "<=" => mn > 0
+              case ">"  => mx <= 0            // max <= lit: nothing above
+              case ">=" => mx < 0
+            }
+          }
+        }
+      }
+    }
+    (snap.files.filterNot(excluded), snap.files.size)
+  }
+
+  /** Comparator factory: stat-string vs the predicate literal, under
+    * the stat kind's ordering; None when the literal's type doesn't
+    * belong to that ordering (→ no skipping from this bound).
+    * Returns sign(stat - lit).
+    */
+  private def cmp(kind: String, v: Any): Option[String => Int] = kind match {
+    case "string" => v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val lit = s.toString; Some(st => st.compareTo(lit))
+      case s: String => Some(st => st.compareTo(s))
+      case _ => None
+    }
+    case _ => (v match {
+      case n: Int => Some(BigDecimal(n))    case n: Long => Some(BigDecimal(n))
+      case n: Short => Some(BigDecimal(n.toInt)) case n: Byte => Some(BigDecimal(n.toInt))
+      case n: Float => Some(BigDecimal(n.toDouble)) case n: Double => Some(BigDecimal(n))
+      case n: org.apache.spark.sql.types.Decimal => Some(n.toBigDecimal)
+      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      case _ => None
+    }).map(lit => (st: String) => BigDecimal(st).compare(lit))
   }
 
   /** Commit history as a DataFrame (version, action, files added /
@@ -266,14 +364,84 @@ object TxLog {
     val parts = fs.listStatus(staging)
       .filter(st => st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val added = parts.map { st =>
+    val conf = s.sessionState.newHadoopConf()
+    val added = parts.flatMap { st =>
       val name = s"data-${UUID.randomUUID()}.parquet"
-      if (!fs.rename(st.getPath, new Path(table, name)))
+      val dst = new Path(table, name)
+      if (!fs.rename(st.getPath, dst))
         throw new java.io.IOException(s"failed to move ${st.getPath} into $table")
-      AddFile(name, st.getLen)
+      val (rows, stats) = footerInfo(conf, dst)
+      if (rows == 0L) { fs.delete(dst, false); None } // zero-row parts carry nothing
+      else Some(AddFile(name, st.getLen, Some(stats)))
     }.toSeq
     fs.delete(staging, true)
     added
+  }
+
+  /** Min/max/null-count per top-level column from the parquet footer
+    * (row-group statistics folded per file) — the data-skipping index
+    * every lakehouse keeps in its log. Footer-only I/O: a few KB per
+    * file at commit time, never a data scan. Columns whose type has
+    * no total order here (binary, nested, int96) or whose stats any
+    * row group omitted are left out.
+    */
+  private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): (Long, Map[String, ColStats]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val acc = mutable.Map[String, ColStats]()
+      val poisoned = mutable.Set[String]()
+      val rows = rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      rdr.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.size == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val pt = c.getPrimitiveType
+            val kindOpt = pt.getPrimitiveTypeName match {
+              case INT32 | INT64 => Some("long")
+              case FLOAT | DOUBLE => Some("double")
+              case BINARY if pt.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some("string")
+              case _ => None
+            }
+            kindOpt match {
+              case Some(kind) if st != null && !st.isEmpty && st.hasNonNullValue =>
+                val (mn, mx) = kind match {
+                  case "string" =>
+                    (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                       .toStringUsingUTF8,
+                     st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                       .toStringUsingUTF8)
+                  case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+                }
+                val nulls = math.max(0L, st.getNumNulls)
+                acc.get(name) match {
+                  case None => acc(name) = ColStats(kind, mn, mx, nulls)
+                  case Some(prev) =>
+                    acc(name) = ColStats(kind,
+                      if (statLt(kind, mn, prev.min)) mn else prev.min,
+                      if (statLt(kind, prev.max, mx)) mx else prev.max,
+                      prev.nulls + nulls)
+                }
+              case _ => poisoned += name // no usable stats in SOME row group
+            }
+          }
+        }
+      }
+      poisoned.foreach(acc.remove)
+      (rows, acc.toMap)
+    } finally rdr.close()
+  }
+
+  private def statLt(kind: String, a: String, b: String): Boolean = kind match {
+    case "string" => a < b
+    case _        => BigDecimal(a) < BigDecimal(b)
   }
 
   /** Publish one log entry. `expectedBase`: None = commutative commit
@@ -282,7 +450,8 @@ object TxLog {
     */
   private def commit(s: SparkSession, table: String, action: String,
       add: Seq[AddFile], remove: Seq[String], schema: Option[String],
-      expectedBase: Option[Long], floor: Option[Long] = None): Long = {
+      expectedBase: Option[Long], floor: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val fs = fsOf(s, table)
     var attempts = 0
     while (attempts < 1000) {
@@ -293,7 +462,8 @@ object TxLog {
           "a concurrent commit won; re-read and retry the operation")
       }
       val v = head + 1
-      val e = Entry(v, action, add, remove, schema, floor)
+      val e = Entry(v, action, add, remove, schema, floor,
+        txn.map(_._1), txn.map(_._2))
       if (atomicCreate(fs, entryPath(table, v), renderEntry(e))) {
         if (v % CheckpointInterval == 0 && v > 0) writeCheckpoint(s, fs, table, v)
         return v
@@ -305,16 +475,23 @@ object TxLog {
 
   private def writeCheckpoint(s: SparkSession, fs: FileSystem, table: String,
       v: Long): Unit = {
-    import org.json4s.JsonDSL._
     val snap = snapshotState(s, table, Some(v))
     val (_, checkpoints) = listLog(fs, table)
     val prev = checkpoints.filter(_ < v).sorted.lastOption
     val floor = (prev.map(_ + 1).getOrElse(0L) to v)
       .flatMap(x => readEntry(fs, table, x).floor)
       .foldLeft(prev.map(cv => readCheckpoint(fs, table, cv).floor).getOrElse(0L))(math.max)
+    val txns = (prev.map(_ + 1).getOrElse(0L) to v)
+      .map(x => readEntry(fs, table, x))
+      .foldLeft(prev.flatMap(cv => readCheckpoint(fs, table, cv).txns)
+          .getOrElse(Map.empty[String, Long])) { (m, e) =>
+        e.txnApp.zip(e.txnBatch).foldLeft(m) { case (m2, (a, b)) =>
+          m2.updated(a, math.max(b, m2.getOrElse(a, Long.MinValue)))
+        }
+      }
     val j: JObject = ("version" -> v) ~ ("schemaDdl" -> snap.schemaDdl) ~
-      ("files" -> snap.files.map(a => ("path" -> a.path) ~ ("bytes" -> a.bytes))) ~
-      ("floor" -> floor)
+      ("files" -> snap.files.map(renderAdd)) ~
+      ("floor" -> floor) ~ ("txns" -> txns)
     atomicCreate(fs, checkpointPath(table, v),
       JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
     () // if a racer already wrote it, theirs is identical
@@ -336,6 +513,47 @@ object TxLog {
       s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
     val add = stageData(s, table, df)
     commit(s, table, "append", add, Seq.empty, None, None)
+  }
+
+  /** Newest batch id this writer (`appId`) ever committed — resolved
+    * like the floor: the newest checkpoint's txn map plus the head's
+    * log suffix, O(interval) reads.
+    */
+  def lastCommittedBatch(s: SparkSession, table: String, appId: String): Option[Long] = {
+    val fs = fsOf(s, table)
+    val (entries, checkpoints) = listLog(fs, table)
+    if (entries.isEmpty) return None
+    val head = entries.max
+    val ckpt = checkpoints.filter(_ <= head).sorted.lastOption
+    val base = ckpt.flatMap(cv => readCheckpoint(fs, table, cv).txns)
+      .getOrElse(Map.empty[String, Long]).get(appId)
+    (ckpt.map(_ + 1).getOrElse(0L) to head).foldLeft(base) { (acc, v) =>
+      val e = readEntry(fs, table, v)
+      if (e.txnApp.contains(appId))
+        Some(math.max(e.txnBatch.get, acc.getOrElse(Long.MinValue)))
+      else acc
+    }
+  }
+
+  /** Idempotent micro-batch append: the exactly-once sink contract.
+    * Structured Streaming guarantees `batchId` is replayed with
+    * IDENTICAL content after a crash (same offsets range), so "skip
+    * if this writer already committed a batch >= batchId" turns
+    * at-least-once delivery into exactly-once table content — the
+    * same offsets→txn-log protocol as `stream/ExactlyOnceHarness`,
+    * enforced at the TABLE layer instead of the sink directory. Use
+    * from `foreachBatch { (df, id) => TxLog.appendBatch(s, t, df, app, id) }`.
+    */
+  def appendBatch(s: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long): Long = {
+    val last = lastCommittedBatch(s, table, appId)
+    if (last.exists(_ >= batchId)) return currentVersion(s, table) // replay: already in
+    val cur = snapshotState(s, table)
+    require(df.schema.toDDL == cur.schemaDdl,
+      s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    val add = stageData(s, table, df)
+    commit(s, table, "stream-append", add, Seq.empty, None, None,
+      txn = Some((appId, batchId)))
   }
 
   /** Replace the whole table content (schema may change). Conflicts
@@ -434,13 +652,16 @@ object TxLog {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
       def slice(r: Int*) = ev.filter(pmod(col("event_id"), lit(5)).isin(r.map(Int.box): _*))
-      create(s, out, slice(0).repartition(4))                     // v0
-      append(s, out, slice(1).repartition(3))                     // v1
-      append(s, out, slice(2, 3).repartition(4))                  // v2
-      deleteWhere(s, out, pmod(col("event_id"), lit(7)) === 0)    // v3
-      compact(s, out, 1L << 30)                                   // v4: everything binpacks
-      append(s, out, slice(4).repartition(2))                     // v5
-      vacuum(s, out, keepVersions = 6)                            // v6: keeps v1+; orphans only
+      // range-clustered on event_id: each commit's files cover
+      // disjoint id ranges, so the footer-stats skipping path has
+      // something to skip (the production layout for a scan-heavy key)
+      create(s, out, slice(0).repartitionByRange(4, col("event_id")))    // v0
+      append(s, out, slice(1).repartitionByRange(3, col("event_id")))    // v1
+      append(s, out, slice(2, 3).repartitionByRange(4, col("event_id"))) // v2
+      deleteWhere(s, out, pmod(col("event_id"), lit(7)) === 0)           // v3
+      compact(s, out, 1L << 30)                                          // v4: everything binpacks
+      append(s, out, slice(4).repartitionByRange(2, col("event_id")))    // v5
+      vacuum(s, out, keepVersions = 6)                                   // v6: keeps v1+; orphans only
       built += out
     }
     out
@@ -480,8 +701,24 @@ object TxLog {
       |WHERE event_id % 5 = 4 OR NOT (event_id % 7 = 0)
       |GROUP BY event_type""".stripMargin
 
+  /** Stats-pruned scan at v2: the predicate reaches the file list
+    * (footer min/max excludes the id ranges above 500) AND the rows
+    * (ordinary filter) — the differential gate checks the rows; the
+    * spec checks files were actually skipped.
+    */
+  def skippingRead(s: SparkSession, dir: String): DataFrame =
+    rollup(readWhere(s, fixture(s, dir), col("event_id") < 500, asOf = Some(2L)))
+
+  private val skippingOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+      |FROM events WHERE event_id % 5 <= 3 AND event_id < 500
+      |GROUP BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("txlog_time_travel", timeTravelOracle)(timeTravel),
     Q("txlog_head", headOracle)(headRead),
+    Q("txlog_skipping", skippingOracle)(skippingRead),
   )
 }

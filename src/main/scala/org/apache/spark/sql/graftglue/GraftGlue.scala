@@ -16,4 +16,40 @@ object GraftGlue {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Comparison bounds of a predicate Column, read from its sql-api
+    * node tree (`Column.node` and the node classes are `private[sql]`
+    * upstream, hence this shim). Returns the conjuncts of shape
+    * `col <op> literal` as (column, op, literal) normalized to the
+    * column-on-the-left form (op ∈ {"=", "<", "<=", ">", ">="});
+    * every other conjunct shape is simply omitted. Used by TxLog's
+    * data-skipping matcher — fail-open by construction.
+    */
+  def comparisonBounds(c: org.apache.spark.sql.Column): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.{internal => ci}
+    val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=", "=" -> "=")
+    def split(n: ci.ColumnNode): Seq[ci.ColumnNode] = n match {
+      case f: ci.UnresolvedFunction
+          if f.functionName.equalsIgnoreCase("and") && f.arguments.size == 2 =>
+        split(f.arguments(0)) ++ split(f.arguments(1))
+      case other => Seq(other)
+    }
+    def attr(n: ci.ColumnNode): Option[String] = n match {
+      case a: ci.UnresolvedAttribute => a.nameParts.lastOption
+      case cst: ci.Cast => attr(cst.child)
+      case _ => None
+    }
+    def lit(n: ci.ColumnNode): Option[Any] = n match {
+      case l: ci.Literal => Option(l.value)
+      case _ => None
+    }
+    split(c.node).flatMap {
+      case f: ci.UnresolvedFunction
+          if f.arguments.size == 2 && flip.contains(f.functionName) =>
+        val (a, b) = (f.arguments(0), f.arguments(1))
+        attr(a).zip(lit(b)).map { case (n, v) => (n, f.functionName, v) } ++
+        attr(b).zip(lit(a)).map { case (n, v) => (n, flip(f.functionName), v) }
+      case _ => Seq.empty
+    }
+  }
 }

@@ -122,9 +122,9 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging files survived commit: ${leftovers.mkString(",")}")
   }
 
-  test("deflate/null/snappy codecs all read back; unsupported codec rejected") {
+  test("deflate/null/snappy/zstandard codecs all read back; unsupported codec rejected") {
     val df = spark.range(0, 1000).select($"id", ($"id" * 2).as("v"))
-    for (codec <- Seq("deflate", "null", "snappy")) {
+    for (codec <- Seq("deflate", "null", "snappy", "zstandard")) {
       val out = tmpDir(s"codec-$codec")
       df.write.mode("overwrite").option("codec", codec)
         .format("graft-avro").save(out)

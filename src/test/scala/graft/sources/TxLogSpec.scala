@@ -146,6 +146,100 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshotState(spark, t).schemaDdl.toLowerCase.contains("id"))
   }
 
+  test("footer stats are logged; predicate pruning skips disjoint-range files") {
+    val t = tmpTable("skip")
+    TxLog.create(spark, t, spark.range(0, 1000).toDF()
+      .repartitionByRange(8, $"id"))
+    val snap = TxLog.snapshotState(spark, t)
+    assert(snap.files.size === 8)
+    assert(snap.files.forall(_.stats.exists(_.contains("id"))),
+      "footer min/max missing from the log's add entries")
+    val (sel, total) = TxLog.pruneFiles(spark, t, $"id" < 100)
+    assert(total === 8 && sel.size <= 2,
+      s"range predicate should touch <=2 of 8 files, selected ${sel.size}")
+    assert(TxLog.readWhere(spark, t, $"id" < 100).count() === 100L)
+    val (selEq, _) = TxLog.pruneFiles(spark, t, $"id" === 999)
+    assert(selEq.size === 1)
+    val (selBand, _) = TxLog.pruneFiles(spark, t, $"id" >= 400 && $"id" < 525)
+    assert(selBand.size <= 3 && selBand.nonEmpty)
+    assert(TxLog.readWhere(spark, t, $"id" >= 400 && $"id" < 525).count() === 125L)
+    // a predicate the matcher can't bound selects ALL files — stats
+    // are an optimization, never a correctness input
+    val (selAll, _) = TxLog.pruneFiles(spark, t, pmod($"id", lit(10)) === 3)
+    assert(selAll.size === 8)
+    assert(TxLog.readWhere(spark, t, pmod($"id", lit(10)) === 3).count() === 100L)
+  }
+
+  test("string-column stats prune; stats survive checkpointed resolution") {
+    val t = tmpTable("skipstr")
+    TxLog.create(spark, t, spark.range(0, 260)
+      .select(format_string("k%03d", $"id").as("s"), $"id")
+      .repartitionByRange(4, $"s"))
+    val (sel, total) = TxLog.pruneFiles(spark, t, $"s" < "k050")
+    assert(total === 4 && sel.size === 1, s"selected ${sel.size} of $total")
+    assert(TxLog.readWhere(spark, t, $"s" < "k050").count() === 50L)
+    assert(TxLog.pruneFiles(spark, t, $"s" === "k200")._1.size === 1)
+    // drive past a checkpoint: resolution must carry stats through it
+    // (appended keys sort ABOVE "k050", so the selected set must not grow)
+    (1 to 10).foreach { k =>
+      TxLog.append(spark, t, spark.range(1000L + k, 1001L + k)
+        .select(format_string("z%03d", $"id").as("s"), $"id"))
+    }
+    val (sel2, total2) = TxLog.pruneFiles(spark, t, $"s" < "k050")
+    assert(total2 > 4 && sel2.size === 1,
+      s"post-checkpoint pruning broke: ${sel2.size} of $total2")
+    assert(TxLog.readWhere(spark, t, $"s" < "k050").count() === 50L)
+  }
+
+  test("streaming sink: replayed micro-batches commit exactly once") {
+    val t = tmpTable("stream")
+    TxLog.create(spark, t, spark.range(0, 0).toDF())
+    TxLog.appendBatch(spark, t, spark.range(0, 10).toDF(), "app1", 0L)
+    TxLog.appendBatch(spark, t, spark.range(10, 20).toDF(), "app1", 1L)
+    // crash replay: Structured Streaming re-delivers batch 1 with
+    // identical content (same offsets range) — must be a no-op
+    TxLog.appendBatch(spark, t, spark.range(10, 20).toDF(), "app1", 1L)
+    assert(TxLog.read(spark, t).count() === 20L)
+    // writer identities are independent
+    TxLog.appendBatch(spark, t, spark.range(20, 25).toDF(), "app2", 0L)
+    assert(TxLog.read(spark, t).count() === 25L)
+    assert(TxLog.lastCommittedBatch(spark, t, "app1") === Some(1L))
+    // txn resolution must survive a checkpoint boundary
+    (2 to 13).foreach { k =>
+      TxLog.appendBatch(spark, t,
+        spark.range(k * 100L, k * 100L + 1).toDF(), "app1", k.toLong)
+    }
+    assert(TxLog.lastCommittedBatch(spark, t, "app1") === Some(13L))
+    val before = TxLog.read(spark, t).count()
+    TxLog.appendBatch(spark, t, spark.range(0, 5).toDF(), "app1", 7L) // late replay
+    assert(TxLog.read(spark, t).count() === before, "stale replay landed twice")
+  }
+
+  test("end-to-end: foreachBatch into TxLog through a real streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = tmpTable("fb")
+    TxLog.create(spark, t, spark.range(0, 0).toDF())
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().toDF("id").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        TxLog.appendBatch(spark, t, df, "fbq", id)
+        // a sink that crashes AFTER the table commit but BEFORE the
+        // streaming offsets commit re-runs the same batch — emulate
+        // the replay inline (same content, same id)
+        TxLog.appendBatch(spark, t, df, "fbq", id)
+        ()
+      }
+      .option("checkpointLocation", tmpTable("fb-ckpt"))
+      .start()
+    stream.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    stream.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(TxLog.read(spark, t).as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("schema discipline: mismatched append fails loudly; overwrite may evolve") {
     val t = tmpTable("schema")
     TxLog.create(spark, t, spark.range(0, 5).toDF())
