@@ -497,6 +497,21 @@ object TxLog {
     () // if a racer already wrote it, theirs is identical
   }
 
+  /** Write-compatibility: same column names/types in order; a
+    * non-nullable source may feed a nullable table column (subset),
+    * never the reverse. Nullable-flag-exact equality would refuse
+    * safe writes (Spark marks many derived columns nullable).
+    */
+  private def requireWriteCompatible(src: StructType, tableDdl: String,
+      what: String): Unit = {
+    val tbl = StructType.fromDDL(tableDdl)
+    val ok = src.fields.length == tbl.fields.length &&
+      src.fields.zip(tbl.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType && (!a.nullable || b.nullable)
+      }
+    require(ok, s"$what schema ${src.toDDL} incompatible with table schema $tableDdl")
+  }
+
   /** Version 0: create the table (errors if it already exists). */
   def create(s: SparkSession, table: String, df: DataFrame): Long = {
     require(currentVersion(s, table) == -1L, s"table already exists: $table")
@@ -509,8 +524,7 @@ object TxLog {
     */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = snapshotState(s, table)
-    require(df.schema.toDDL == cur.schemaDdl,
-      s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    requireWriteCompatible(df.schema, cur.schemaDdl, "append")
     val add = stageData(s, table, df)
     commit(s, table, "append", add, Seq.empty, None, None)
   }
@@ -549,8 +563,7 @@ object TxLog {
     val last = lastCommittedBatch(s, table, appId)
     if (last.exists(_ >= batchId)) return currentVersion(s, table) // replay: already in
     val cur = snapshotState(s, table)
-    require(df.schema.toDDL == cur.schemaDdl,
-      s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    requireWriteCompatible(df.schema, cur.schemaDdl, "appendBatch")
     val add = stageData(s, table, df)
     commit(s, table, "stream-append", add, Seq.empty, None, None,
       txn = Some((appId, batchId)))
@@ -588,6 +601,68 @@ object TxLog {
     val rewritten = s.read.schema(schema).parquet(dirtyAbs: _*).filter(!cond)
     val add = stageData(s, table, rewritten)
     commit(s, table, "delete", add, dirtyNames.toSeq.sorted, None, Some(base.version))
+  }
+
+  /** Keyed MERGE (upsert): every `source` row lands in the table —
+    * replacing the existing row where the key matches, inserted
+    * otherwise. Copy-on-write at file grain, with THREE narrowing
+    * stages so a small CDC batch never rewrites a large table:
+    *  1. stats pre-prune — for a single-column key, the source's key
+    *     min/max (one tiny agg) excludes every file whose logged
+    *     range can't intersect;
+    *  2. one semi-join over only the candidate files maps actual key
+    *     matches to their files (`input_file_name`);
+    *  3. only those dirty files are rewritten (survivors ∪ source).
+    * Requires `source` unique on the key (checked — duplicate-key
+    * merges are order-dependent and therefore refused loudly).
+    */
+  def merge(s: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge requires key columns")
+    val base = snapshotState(s, table)
+    requireWriteCompatible(source.schema, base.schemaDdl, "merge source")
+    val src = source.cache()
+    try {
+      val dupes = src.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dupes.isEmpty,
+        s"merge source is not unique on (${keyCols.mkString(",")}): ${dupes.headOption}")
+
+      // stage 1: stats pre-prune on a single-column key
+      val candidates: Seq[AddFile] =
+        if (keyCols.size == 1 && src.schema(keyCols.head).dataType != null) {
+          val k = keyCols.head
+          val mm = src.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+          if (mm.isNullAt(0)) Seq.empty
+          else pruneFiles(s, table,
+            col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1)))._1
+        } else base.files
+
+      if (src.isEmpty) return base.version
+      val schema = StructType.fromDDL(base.schemaDdl)
+      val candAbs = candidates.map(f => new Path(table, f.path).toString)
+
+      // stage 2: actual matches -> dirty files. input_file_name() is
+      // evaluated BELOW the join (it is single-source by contract),
+      // then the semi-join keeps only matched rows' tags
+      val dirtyNames: Set[String] =
+        if (candAbs.isEmpty) Set.empty
+        else s.read.schema(schema).parquet(candAbs: _*)
+          .select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
+          .join(src.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(r => new Path(new java.net.URI(r.getString(0))).getName).toSet
+
+      // stage 3: rewrite dirty survivors + ALL source rows
+      val survivors =
+        if (dirtyNames.isEmpty) src.limit(0)
+        else s.read.schema(schema)
+          .parquet(base.files.map(_.path).filter(dirtyNames.contains)
+            .map(p => new Path(table, p).toString): _*)
+          .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val add = stageData(s, table, survivors.unionByName(src))
+      commit(s, table, "merge", add, dirtyNames.toSeq.sorted, None, Some(base.version))
+    } finally { src.unpersist(); () }
   }
 
   /** Bin-pack files smaller than `targetBytes` into ~target-sized
@@ -701,6 +776,52 @@ object TxLog {
       |WHERE event_id % 5 = 4 OR NOT (event_id % 7 = 0)
       |GROUP BY event_type""".stripMargin
 
+  /** Separate merge fixture (the shared fixture's versions are
+    * pinned by the time-travel oracle): a range-clustered base of the
+    * mod-3-residue-0 events, then ONE upsert batch — residue-0 rows
+    * at mod-13 get value doubled (updates), residue-1 rows at mod-13
+    * arrive new (inserts) — closed-form for the DuckDB oracle.
+    */
+  private def mergeFixture(s: SparkSession, dir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/txlog-merge/${Tables.dirKey(dir)}"
+    if (!built.contains(out)) {
+      val fs = fsOf(s, out)
+      fs.delete(new Path(out), true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      create(s, out, ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .repartitionByRange(4, col("event_id")))
+      val updates = ev
+        .filter(pmod(col("event_id"), lit(3)) === 0 &&
+          pmod(col("event_id"), lit(13)) === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = ev
+        .filter(pmod(col("event_id"), lit(3)) === 1 &&
+          pmod(col("event_id"), lit(13)) === 0)
+      merge(s, out, updates.unionByName(inserts), Seq("event_id"))
+      built += out
+    }
+    out
+  }
+
+  def mergeRead(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, mergeFixture(s, dir)))
+
+  private val mergeOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(min_ts) AS min_ts, MAX(max_ts) AS max_ts
+      |FROM (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN value * 2 ELSE value END AS value,
+      |    epoch_us(ts) AS min_ts, epoch_us(ts) AS max_ts
+      |  FROM events WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT event_type, value, epoch_us(ts), epoch_us(ts)
+      |  FROM events WHERE event_id % 3 = 1 AND event_id % 13 = 0
+      |) GROUP BY event_type""".stripMargin
+
   /** Stats-pruned scan at v2: the predicate reaches the file list
     * (footer min/max excludes the id ranges above 500) AND the rows
     * (ordinary filter) — the differential gate checks the rows; the
@@ -720,5 +841,6 @@ object TxLog {
     Q("txlog_time_travel", timeTravelOracle)(timeTravel),
     Q("txlog_head", headOracle)(headRead),
     Q("txlog_skipping", skippingOracle)(skippingRead),
+    Q("txlog_merge", mergeOracle)(mergeRead),
   )
 }

@@ -191,6 +191,33 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.readWhere(spark, t, $"s" < "k050").count() === 50L)
   }
 
+  test("merge upserts: only matching files rewritten, inserts appended, dupes refused") {
+    val t = tmpTable("merge")
+    TxLog.create(spark, t, spark.range(0, 400)
+      .select($"id", ($"id" % 7).cast("double").as("v"))
+      .repartitionByRange(4, $"id"))
+    val before = TxLog.snapshotState(spark, t).files.map(_.path).toSet
+    assert(before.size === 4)
+    // updates confined to ids 0..49 (inside one file's range) plus
+    // inserts far above every file's range
+    val src = spark.range(0, 50).select($"id", lit(99.0).as("v"))
+      .unionByName(spark.range(1000, 1005).select($"id", lit(-1.0).as("v")))
+    TxLog.merge(spark, t, src, Seq("id"))
+    val after = TxLog.snapshotState(spark, t).files.map(_.path).toSet
+    assert((before -- after).size === 1,
+      s"expected exactly 1 dirty file, rewrote ${(before -- after).size}")
+    val out = TxLog.read(spark, t)
+    assert(out.count() === 405L)
+    assert(out.filter($"id" < 50 && $"v" === 99.0).count() === 50L)
+    assert(out.filter($"id" >= 1000).count() === 5L)
+    assert(out.filter($"id" >= 50 && $"id" < 400 && $"v" === 99.0).count() === 0L)
+    val dup = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, t,
+        spark.range(0, 2).select(lit(7L).as("id"), lit(0.0).as("v")), Seq("id"))
+    }
+    assert(dup.getMessage.contains("not unique"))
+  }
+
   test("streaming sink: replayed micro-batches commit exactly once") {
     val t = tmpTable("stream")
     TxLog.create(spark, t, spark.range(0, 0).toDF())
