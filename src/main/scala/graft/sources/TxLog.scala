@@ -681,6 +681,47 @@ object TxLog {
     commit(s, table, "compact", add, small.map(_.path), None, Some(base.version))
   }
 
+  /** Z-order clustering rewrite: lay the table out along the Morton
+    * interleave of two numeric columns so FILE-LEVEL min/max stats
+    * become selective on EITHER column (a single-column sort helps
+    * only itself; the space-filling curve bounds the file band both
+    * ways — same layout idea as `zorder_key`, `ScalarOps.scala:139`,
+    * applied to the table's physical files). Buckets are equal-width
+    * over each column's observed min/max (one aggregate — no global
+    * sort, no window): rank-exact equal-depth buckets would need a
+    * per-column global sort for marginal skipping gain. Content is
+    * identical by construction; only the row→file mapping changes
+    * (action "cluster", a pure rewrite like compact).
+    */
+  def cluster(s: SparkSession, table: String, c1: String, c2: String,
+      nFiles: Int): Long = {
+    val base = snapshotState(s, table)
+    if (base.files.isEmpty) return base.version
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val df = s.read.schema(schema)
+      .parquet(base.files.map(f => new Path(table, f.path).toString): _*)
+    val mm = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val (lo1, hi1, lo2, hi2) =
+      (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    val bits = 8 // 256 buckets per column; 65536 z-cells
+    def bucket(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(1 << bits))))
+        .cast("long")
+    val (b1, b2) = (bucket(c1, lo1, hi1), bucket(c2, lo2, hi2))
+    val zkey = (0 until bits).map { i =>
+      shiftleft(shiftright(b1, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(b2, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+    val add = stageData(s, table,
+      df.repartitionByRange(math.max(1, nFiles), zkey)
+        .sortWithinPartitions(zkey))
+    commit(s, table, "cluster", add, base.files.map(_.path), None, Some(base.version))
+  }
+
   /** Delete data files unreachable from the retained versions
     * (last `keepVersions`, at least the head) plus any orphans no log
     * entry ever referenced (crashed commits). Publishes the new
@@ -808,6 +849,36 @@ object TxLog {
   def mergeRead(s: SparkSession, dir: String): DataFrame =
     rollup(read(s, mergeFixture(s, dir)))
 
+  /** Cluster fixture: the even-id events slice, Z-order-rewritten on
+    * (user_id, value). The oracle sees the slice unchanged — the gate
+    * proves the layout rewrite lost/duplicated/altered nothing, which
+    * is the correctness obligation of a physical-only operation.
+    */
+  private def clusterFixture(s: SparkSession, dir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/txlog-cluster/${Tables.dirKey(dir)}"
+    if (!built.contains(out)) {
+      val fs = fsOf(s, out)
+      fs.delete(new Path(out), true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      create(s, out, ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .repartitionByRange(4, col("event_id")))
+      cluster(s, out, "user_id", "value", 8)
+      built += out
+    }
+    out
+  }
+
+  def clusterRead(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, clusterFixture(s, dir)))
+
+  private val clusterOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+      |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin
+
   private val mergeOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -842,5 +913,6 @@ object TxLog {
     Q("txlog_head", headOracle)(headRead),
     Q("txlog_skipping", skippingOracle)(skippingRead),
     Q("txlog_merge", mergeOracle)(mergeRead),
+    Q("txlog_cluster", clusterOracle)(clusterRead),
   )
 }

@@ -218,6 +218,33 @@ class TxLogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("not unique"))
   }
 
+  test("z-order cluster: both columns prune after the rewrite; content identical") {
+    val t = tmpTable("zcluster")
+    // a 64x64 grid: x and y independent, so any single-column sort
+    // leaves the other column unprunable
+    val grid = spark.range(0, 4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).as("y"), $"id")
+    TxLog.create(spark, t, grid.repartitionByRange(16, $"x")) // x-sorted layout
+    // baseline: x-sorted layout prunes x but NOT y
+    val (selYBefore, totBefore) = TxLog.pruneFiles(spark, t, $"y" < 8)
+    assert(totBefore === 16 && selYBefore.size === 16,
+      "x-sorted layout should not prune on y")
+    TxLog.cluster(spark, t, "x", "y", 16)
+    val snap = TxLog.snapshotState(spark, t)
+    assert(snap.files.size === 16)
+    // both dimensions now prune to a bounded band of files
+    val (selX, tot) = TxLog.pruneFiles(spark, t, $"x" < 8)
+    val (selY, _) = TxLog.pruneFiles(spark, t, $"y" < 8)
+    assert(tot === 16 && selX.size <= 8, s"x-band selected ${selX.size} of 16")
+    assert(selY.size <= 8, s"y-band selected ${selY.size} of 16")
+    assert(TxLog.readWhere(spark, t, $"x" < 8).count() === 512L)
+    assert(TxLog.readWhere(spark, t, $"y" < 8).count() === 512L)
+    // content identical, and the pre-cluster version still readable
+    assert(TxLog.read(spark, t).select(sum($"id")).head.getLong(0) ===
+      (0L until 4096L).sum)
+    assert(TxLog.read(spark, t, Some(0L)).count() === 4096L)
+  }
+
   test("streaming sink: replayed micro-batches commit exactly once") {
     val t = tmpTable("stream")
     TxLog.create(spark, t, spark.range(0, 0).toDF())
