@@ -213,10 +213,13 @@ private[sources] class AvroReaderFactory(readSchema: StructType)
 private[sources] class AvroRangeReader(range: AvroRange, schema: StructType)
     extends PartitionReader[InternalRow] {
   private val in = new FsInput(new Path(range.file), new Configuration())
-  private val reader: DataFileReader[GenericRecord] = {
+  private val projected: AvroSchema = {
     val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
-    val projected = AvroConversions.projectWriterSchema(r.getSchema, schema)
-    r.close() // reopen with the projecting datum reader
+    try AvroConversions.projectWriterSchema(r.getSchema, schema)
+    finally r.close()
+  }
+  private val reader: DataFileReader[GenericRecord] = {
+    // reopen with the projecting datum reader
     val in2 = new FsInput(new Path(range.file), new Configuration())
     val rr = new DataFileReader[GenericRecord](
       in2, new GenericDatumReader[GenericRecord](null, projected))
@@ -224,7 +227,10 @@ private[sources] class AvroRangeReader(range: AvroRange, schema: StructType)
     rr
   }
   private val end = range.start + range.length
-  private val converters = schema.fields.map(f => AvroConversions.readConverter(f.dataType))
+  private val converters = schema.fields.zipWithIndex.map { case (f, i) =>
+    AvroConversions.readConverter(f.dataType,
+      AvroConversions.nonNull(projected.getFields.get(i).schema()))
+  }
   private var record: GenericRecord = null
   private var row: InternalRow = null
 
@@ -305,8 +311,10 @@ private[sources] class AvroDataWriter(dir: String, schema: StructType,
     new Path(dir, f"part-$partitionId%05d-$taskId.avro")
   private val stagePath =
     new Path(dir, f".part-$partitionId%05d-${UUID.randomUUID()}.avro.inprogress")
-  private val converters =
-    schema.fields.map(f => AvroConversions.writeConverter(f.dataType))
+  private val converters = schema.fields.zipWithIndex.map { case (f, i) =>
+    AvroConversions.writeConverter(f.dataType,
+      AvroConversions.nonNull(avroSchema.getFields.get(i).schema()))
+  }
   private val writer = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
@@ -393,6 +401,14 @@ private[sources] object AvroConversions {
     case ARRAY =>
       val (et, en) = toCatalyst(s.getElementType)
       (ArrayType(et, containsNull = en), false)
+    case RECORD => // nested record → struct
+      (StructType(s.getFields.asScala.map { f =>
+        val (dt, n) = toCatalyst(f.schema())
+        StructField(f.name(), dt, n)
+      }.toArray), false)
+    case MAP => // Avro map keys are always strings
+      val (vt, vn) = toCatalyst(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
     case other =>
       throw new IllegalArgumentException(s"graft-avro: unsupported Avro type $other")
   }
@@ -406,16 +422,20 @@ private[sources] object AvroConversions {
     * `toStructType` over the supported matrix (round-trip identity is
     * spec-checked).
     */
-  def toAvroSchema(st: StructType): AvroSchema = {
+  def toAvroSchema(st: StructType): AvroSchema =
+    recordSchema(st, "graft_avro")
+
+  private def recordSchema(st: StructType, name: String): AvroSchema = {
     val fields = st.fields.map { f =>
-      new AvroSchema.Field(f.name, fieldSchema(f.dataType, f.nullable),
+      new AvroSchema.Field(f.name, fieldSchema(f.dataType, f.nullable, s"${name}_${f.name}"),
         null, if (f.nullable) AvroSchema.Field.NULL_DEFAULT_VALUE else null)
     }
-    AvroSchema.createRecord("graft_avro", null, "graft", false,
+    // record names must be unique within one schema: derive from path
+    AvroSchema.createRecord(name, null, "graft", false,
       java.util.Arrays.asList(fields: _*))
   }
 
-  private def fieldSchema(dt: DataType, nullable: Boolean): AvroSchema = {
+  private def fieldSchema(dt: DataType, nullable: Boolean, path: String): AvroSchema = {
     val base = dt match {
       case BooleanType => AvroSchema.create(BOOLEAN)
       case IntegerType => AvroSchema.create(INT)
@@ -429,7 +449,10 @@ private[sources] object AvroConversions {
       case DateType =>
         LogicalTypes.date().addToSchema(AvroSchema.create(INT))
       case ArrayType(et, containsNull) =>
-        AvroSchema.createArray(fieldSchema(et, containsNull))
+        AvroSchema.createArray(fieldSchema(et, containsNull, s"${path}_item"))
+      case st: StructType => recordSchema(st, path)
+      case MapType(StringType, vt, valueContainsNull) =>
+        AvroSchema.createMap(fieldSchema(vt, valueContainsNull, s"${path}_value"))
       case other =>
         throw new IllegalArgumentException(s"graft-avro: unsupported Spark type $other")
     }
@@ -458,8 +481,13 @@ private[sources] object AvroConversions {
   /** Avro runtime value → Catalyst internal value, per Catalyst type.
     * Timestamp/date logical values arrive as the raw long/int — which
     * IS Spark's internal encoding, so those paths are identity.
+    * `avro` is the (non-null-branch) schema of the value being
+    * decoded: nested-record fields are bound BY NAME to their Avro
+    * position at converter-build time, so a Catalyst-side pruned
+    * nested struct (Spark prunes `rec.inner.deep` to a sub-struct)
+    * still reads the right slots of the full decoded record.
     */
-  def readConverter(dt: DataType): Any => Any = dt match {
+  def readConverter(dt: DataType, avro: AvroSchema): Any => Any = dt match {
     case StringType =>
       v => if (v == null) null else UTF8String.fromString(v.toString)
     case BinaryType =>
@@ -468,13 +496,43 @@ private[sources] object AvroConversions {
         val a = new Array[Byte](bb.remaining()); bb.get(a); a
       }
     case ArrayType(et, _) =>
-      val elem = readConverter(et)
+      val elem = readConverter(et, nonNull(avro.getElementType))
       v => if (v == null) null else {
         val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
         val out = new Array[Any](coll.size())
         val it = coll.iterator(); var i = 0
         while (it.hasNext) { out(i) = elem(it.next()); i += 1 }
         new GenericArrayData(out)
+      }
+    case st: StructType => // nested record: bind requested fields by name
+      val slots = st.fields.map { f =>
+        val wf = avro.getField(f.name)
+        require(wf != null,
+          s"graft-avro: nested field '${f.name}' not in record schema $avro")
+        (wf.pos(), readConverter(f.dataType, nonNull(wf.schema())))
+      }
+      v => if (v == null) null else {
+        val rec = v.asInstanceOf[GenericRecord]
+        val out = new Array[Any](slots.length)
+        var i = 0
+        while (i < slots.length) {
+          out(i) = slots(i)._2(rec.get(slots(i)._1)); i += 1
+        }
+        new GenericInternalRow(out)
+      }
+    case MapType(StringType, vt, _) =>
+      val vc = readConverter(vt, nonNull(avro.getValueType))
+      v => if (v == null) null else {
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val ks = new Array[Any](m.size); val vs = new Array[Any](m.size)
+        val it = m.entrySet().iterator(); var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = UTF8String.fromString(e.getKey.toString)
+          vs(i) = vc(e.getValue); i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(ks), new GenericArrayData(vs))
       }
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          TimestampType | DateType =>
@@ -483,10 +541,21 @@ private[sources] object AvroConversions {
       throw new IllegalArgumentException(s"graft-avro: unsupported Spark type $other")
   }
 
-  /** (InternalRow, ordinal) → Avro runtime value. Null handling is at
-    * the call site (isNullAt).
+  /** Strip the null branch off a nullable union — the schema handle
+    * nested writers convert against.
     */
-  def writeConverter(dt: DataType): (InternalRow, Int) => AnyRef = dt match {
+  def nonNull(s: AvroSchema): AvroSchema =
+    if (s.getType == UNION) s.getTypes.asScala.find(_.getType != NULL).get else s
+
+  /** (getters, ordinal) → Avro runtime value, over
+    * [[org.apache.spark.sql.catalyst.expressions.SpecializedGetters]]
+    * so rows, array elements, and map values share one converter
+    * tree. Null handling is at each call site (isNullAt). Nested
+    * records need their Avro schema handle, threaded from the writer
+    * schema so the runtime record always matches the file schema.
+    */
+  def writeConverter(dt: DataType, avro: AvroSchema):
+      (org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => AnyRef = dt match {
     case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
     case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
     case LongType | TimestampType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
@@ -495,7 +564,7 @@ private[sources] object AvroConversions {
     case StringType  => (r, i) => r.getUTF8String(i).toString
     case BinaryType  => (r, i) => ByteBuffer.wrap(r.getBinary(i))
     case ArrayType(et, _) =>
-      val elem = arrayElemConverter(et)
+      val elem = writeConverter(et, nonNull(avro.getElementType))
       (r, i) => {
         val arr = r.getArray(i)
         val out = new java.util.ArrayList[AnyRef](arr.numElements())
@@ -505,19 +574,36 @@ private[sources] object AvroConversions {
         }
         out
       }
+    case st: StructType =>
+      val n = st.fields.length
+      val fieldSchemas = avro.getFields.asScala.map(f => nonNull(f.schema())).toArray
+      val convs = st.fields.zipWithIndex.map { case (f, i) =>
+        writeConverter(f.dataType, fieldSchemas(i))
+      }
+      (r, i) => {
+        val row = r.getStruct(i, n)
+        val rec = new GenericData.Record(avro)
+        var j = 0
+        while (j < n) {
+          rec.put(j, if (row.isNullAt(j)) null else convs(j)(row, j)); j += 1
+        }
+        rec
+      }
+    case MapType(StringType, vt, _) =>
+      val vc = writeConverter(vt, nonNull(avro.getValueType))
+      (r, i) => {
+        val m = r.getMap(i)
+        val (ks, vs) = (m.keyArray(), m.valueArray())
+        val out = new java.util.LinkedHashMap[String, AnyRef](m.numElements())
+        var j = 0
+        while (j < m.numElements()) {
+          out.put(ks.getUTF8String(j).toString,
+            if (vs.isNullAt(j)) null else vc(vs, j))
+          j += 1
+        }
+        out
+      }
     case other =>
       throw new IllegalArgumentException(s"graft-avro: unsupported Spark type $other")
-  }
-
-  private def arrayElemConverter(dt: DataType): (ArrayData, Int) => AnyRef = dt match {
-    case BooleanType => (a, j) => java.lang.Boolean.valueOf(a.getBoolean(j))
-    case IntegerType | DateType => (a, j) => java.lang.Integer.valueOf(a.getInt(j))
-    case LongType | TimestampType => (a, j) => java.lang.Long.valueOf(a.getLong(j))
-    case FloatType   => (a, j) => java.lang.Float.valueOf(a.getFloat(j))
-    case DoubleType  => (a, j) => java.lang.Double.valueOf(a.getDouble(j))
-    case StringType  => (a, j) => a.getUTF8String(j).toString
-    case BinaryType  => (a, j) => ByteBuffer.wrap(a.getBinary(j))
-    case other =>
-      throw new IllegalArgumentException(s"graft-avro: unsupported array element $other")
   }
 }

@@ -138,8 +138,30 @@ class AvroSourceSpec extends AnyFunSuite {
       String.valueOf(err.getCause).contains("unsupported codec"))
   }
 
+  test("nested structs and string-keyed maps round-trip") {
+    val df = spark.range(0, 100).select(
+      $"id",
+      struct($"id".as("a"), concat(lit("s"), $"id").as("b"),
+        struct(($"id" * 2).as("deep")).as("inner")).as("rec"),
+      map(lit("k1"), $"id", lit("k2"), $"id" * 10).as("m"),
+      when($"id" % 3 === 0, struct($"id".as("a"), lit("x").as("b"),
+        struct($"id".as("deep")).as("inner"))).as("opt_rec"))
+    val out = tmpDir("nested")
+    df.write.mode("overwrite").format("graft-avro").save(out)
+    val back = spark.read.format("graft-avro").load(out)
+    assert(back.schema("rec").dataType.isInstanceOf[StructType])
+    assert(back.schema("m").dataType === MapType(StringType, LongType, false))
+    def key(r: Row) = r.getLong(0)
+    val a = df.collect().sortBy(key).map(_.toString).toSeq
+    val b = back.select(df.columns.map(col): _*).collect().sortBy(key).map(_.toString).toSeq
+    assert(a === b)
+    // and a nested field survives a pruned projection
+    assert(back.select($"rec.inner.deep").as[Long].collect().sorted.toSeq ===
+      (0L until 100L).map(_ * 2))
+  }
+
   test("unsupported types fail loudly, not silently") {
-    val df = spark.range(3).select(struct($"id").as("nested"))
+    val df = spark.range(3).select(map($"id", $"id").as("int_keyed"))
     val err = intercept[Exception] {
       df.write.mode("overwrite").format("graft-avro").save(tmpDir("bad-type"))
     }
