@@ -336,6 +336,25 @@ object TxLog {
     }).map(lit => (st: String) => BigDecimal(st).compare(lit))
   }
 
+  /** Row-level change feed between two versions, derived from the
+    * snapshots: multiset difference in both directions (`exceptAll`,
+    * so duplicate rows change-count correctly), tagged
+    * `change_type` ∈ {insert, delete} — an update surfaces as
+    * delete+insert, the classic derived-CDC contract
+    * (`snapshot_diff`'s table-layer sibling; the operator version
+    * hashes fixture slices, this one reads real committed versions).
+    * Cost: two snapshot scans + the set-difference shuffle — the
+    * honest price when changes are DERIVED rather than logged at
+    * commit time; pure rewrites (compact/cluster) produce zero rows
+    * by construction.
+    */
+  def changes(s: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    val before = read(s, table, Some(fromV))
+    val after = read(s, table, Some(toV))
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+  }
+
   /** Commit history as a DataFrame (version, action, files added /
     * removed, bytes added) — the audit surface.
     */
@@ -893,6 +912,29 @@ object TxLog {
       |  FROM events WHERE event_id % 3 = 1 AND event_id % 13 = 0
       |) GROUP BY event_type""".stripMargin
 
+  /** Change feed v2 → head over the shared fixture: the v3 delete
+    * (mod-7 rows of residues 0–3) surfaces as deletes, the v5 append
+    * (residue 4) as inserts, and the v4 compaction contributes
+    * NOTHING (pure rewrite) — which is exactly what the oracle
+    * checks. Aggregated per (event_type, change_type).
+    */
+  def changesRead(s: SparkSession, dir: String): DataFrame =
+    changes(s, fixture(s, dir), 2L, currentVersion(s, fixture(s, dir)))
+      .groupBy(col("event_type"), col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+
+  private val changesOracle =
+    """SELECT event_type, change_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM (
+      |  SELECT event_type, 'insert' AS change_type, value
+      |  FROM events WHERE event_id % 5 = 4
+      |  UNION ALL
+      |  SELECT event_type, 'delete', value
+      |  FROM events WHERE event_id % 5 <= 3 AND event_id % 7 = 0
+      |) GROUP BY event_type, change_type""".stripMargin
+
   /** Stats-pruned scan at v2: the predicate reaches the file list
     * (footer min/max excludes the id ranges above 500) AND the rows
     * (ordinary filter) — the differential gate checks the rows; the
@@ -914,5 +956,6 @@ object TxLog {
     Q("txlog_skipping", skippingOracle)(skippingRead),
     Q("txlog_merge", mergeOracle)(mergeRead),
     Q("txlog_cluster", clusterOracle)(clusterRead),
+    Q("txlog_changes", changesOracle)(changesRead),
   )
 }

@@ -218,6 +218,25 @@ class TxLogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("not unique"))
   }
 
+  test("derived change feed: inserts and deletes tagged, pure rewrites silent") {
+    val t = tmpTable("cdc")
+    TxLog.create(spark, t, spark.range(0, 100).toDF())        // v0
+    TxLog.append(spark, t, spark.range(100, 150).toDF())      // v1
+    TxLog.deleteWhere(spark, t, $"id" < 10)                   // v2
+    TxLog.compact(spark, t, 1L << 30)                         // v3 (pure rewrite)
+    val ch = TxLog.changes(spark, t, 0L, 3L)
+      .select($"id", $"change_type").as[(Long, String)].collect().toSet
+    assert(ch === ((100L until 150L).map((_, "insert")) ++
+      (0L until 10L).map((_, "delete"))).toSet)
+    // compaction alone produces zero changes
+    assert(TxLog.changes(spark, t, 2L, 3L).count() === 0L)
+    // and the feed respects duplicates (multiset semantics)
+    TxLog.append(spark, t, spark.range(20, 22).toDF())        // v4: ids 20,21 again
+    val dup = TxLog.changes(spark, t, 3L, 4L)
+      .select($"id", $"change_type").as[(Long, String)].collect().toSeq
+    assert(dup.sorted === Seq((20L, "insert"), (21L, "insert")))
+  }
+
   test("z-order cluster: both columns prune after the rewrite; content identical") {
     val t = tmpTable("zcluster")
     // a 64x64 grid: x and y independent, so any single-column sort
