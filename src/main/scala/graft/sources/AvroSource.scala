@@ -387,7 +387,11 @@ private[sources] object AvroConversions {
       (dt, true)
     case BOOLEAN => (BooleanType, false)
     case INT =>
-      if (isLogical(s, "date")) (DateType, false) else (IntegerType, false)
+      if (isLogical(s, "date")) (DateType, false)
+      else if (s.getLogicalType != null) // e.g. time-millis — not int data
+        throw new IllegalArgumentException(
+          s"graft-avro: unsupported logical type ${s.getLogicalType.getName} on int")
+      else (IntegerType, false)
     case LONG =>
       if (isLogical(s, "timestamp-micros")) (TimestampType, false)
       else if (s.getLogicalType != null)
@@ -397,7 +401,11 @@ private[sources] object AvroConversions {
     case FLOAT  => (FloatType, false)
     case DOUBLE => (DoubleType, false)
     case STRING => (StringType, false)
-    case BYTES  => (BinaryType, false)
+    case BYTES =>
+      if (s.getLogicalType != null) // e.g. decimal — raw unscaled bytes are NOT the value
+        throw new IllegalArgumentException(
+          s"graft-avro: unsupported logical type ${s.getLogicalType.getName} on bytes")
+      else (BinaryType, false)
     case ARRAY =>
       val (et, en) = toCatalyst(s.getElementType)
       (ArrayType(et, containsNull = en), false)

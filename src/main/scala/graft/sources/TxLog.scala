@@ -196,12 +196,7 @@ object TxLog {
     // versions may be gone — fail loudly, never partially. The floor
     // rides in checkpoints, so this is the head's log suffix only,
     // not a walk of the whole history.
-    val head = entries.max
-    val headCkpt = checkpoints.filter(_ <= head).sorted.lastOption
-    val ckptFloor = headCkpt.map(cv => readCheckpoint(fs, table, cv).floor).getOrElse(0L)
-    val floor = (headCkpt.map(_ + 1).getOrElse(0L) to head)
-      .flatMap(v => readEntry(fs, table, v).floor)
-      .foldLeft(ckptFloor)(math.max)
+    val floor = resolveFloor(fs, table, entries, checkpoints)
     if (target < floor)
       throw new IllegalStateException(
         s"version $target was vacuumed (retention floor $floor); " +
@@ -235,16 +230,54 @@ object TxLog {
       files: Seq[AddFile], floor: Long,
       txns: Option[Map[String, Long]] = None)
 
-  private def readCheckpoint(fs: FileSystem, table: String, v: Long): CkptState =
-    JsonMethods.parse(new String(readBytes(fs, checkpointPath(table, v)), "UTF-8"))
-      .extract[CkptState]
-
-  private val entryCache = mutable.HashMap[(String, Long), Entry]()
-  private def readEntry(fs: FileSystem, table: String, v: Long): Entry =
-    entryCache.synchronized {
-      entryCache.getOrElseUpdate((table, v),
-        parseEntry(readBytes(fs, entryPath(table, v))))
+  private val ckptMap =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), CkptState]()
+  private def readCheckpoint(fs: FileSystem, table: String, v: Long): CkptState = {
+    val k = (table, v)
+    val hit = ckptMap.get(k)
+    if (hit != null) hit
+    else {
+      if (ckptMap.size > 1000) ckptMap.clear()
+      val c = JsonMethods.parse(
+        new String(readBytes(fs, checkpointPath(table, v)), "UTF-8")).extract[CkptState]
+      ckptMap.putIfAbsent(k, c)
+      c
     }
+  }
+
+  /** The retention floor currently in force: the newest checkpoint's
+    * recorded floor plus any vacuum entries in the head's log suffix.
+    * O(interval) reads.
+    */
+  private def resolveFloor(fs: FileSystem, table: String,
+      entries: Seq[Long], checkpoints: Seq[Long]): Long = {
+    if (entries.isEmpty) return 0L
+    val head = entries.max
+    val headCkpt = checkpoints.filter(_ <= head).sorted.lastOption
+    val ckptFloor = headCkpt.map(cv => readCheckpoint(fs, table, cv).floor).getOrElse(0L)
+    (headCkpt.map(_ + 1).getOrElse(0L) to head)
+      .flatMap(v => readEntry(fs, table, v).floor)
+      .foldLeft(ckptFloor)(math.max)
+  }
+
+  // Log entries and checkpoints are immutable once published, so both
+  // caches are read-through. I/O happens OUTSIDE the lock (concurrent
+  // resolutions must not serialize on disk reads; a racing double-read
+  // of the same immutable entry is harmless), and a crude size cap
+  // bounds a long-lived session touching many tables.
+  private val entryMap =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Entry]()
+  private def readEntry(fs: FileSystem, table: String, v: Long): Entry = {
+    val k = (table, v)
+    val hit = entryMap.get(k)
+    if (hit != null) hit
+    else {
+      if (entryMap.size > 100000) entryMap.clear()
+      val e = parseEntry(readBytes(fs, entryPath(table, v)))
+      entryMap.putIfAbsent(k, e)
+      e
+    }
+  }
 
   /** Snapshot read: plain parquet scan over the resolved file list
     * with the recorded schema — Catalyst sees a normal multi-file
@@ -272,8 +305,8 @@ object TxLog {
     */
   def readWhere(s: SparkSession, table: String, cond: Column,
       asOf: Option[Long] = None): DataFrame = {
-    val (selected, _) = pruneFiles(s, table, cond, asOf)
     val snap = snapshotState(s, table, asOf)
+    val (selected, _) = pruneSnapshot(snap, cond)
     val schema = StructType.fromDDL(snap.schemaDdl)
     val paths = selected.map(f => new Path(table, f.path).toString)
     val base =
@@ -290,8 +323,10 @@ object TxLog {
     * contribute no bound — fail open, never wrong.
     */
   private[sources] def pruneFiles(s: SparkSession, table: String, cond: Column,
-      asOf: Option[Long] = None): (Seq[AddFile], Int) = {
-    val snap = snapshotState(s, table, asOf)
+      asOf: Option[Long] = None): (Seq[AddFile], Int) =
+    pruneSnapshot(snapshotState(s, table, asOf), cond)
+
+  private def pruneSnapshot(snap: Snapshot, cond: Column): (Seq[AddFile], Int) = {
     // (column, op, literal) conjuncts, column-on-the-left
     val bounds: Seq[(String, String, Any)] =
       org.apache.spark.sql.graftglue.GraftGlue.comparisonBounds(cond)
@@ -320,12 +355,16 @@ object TxLog {
     * Returns sign(stat - lit).
     */
   private def cmp(kind: String, v: Any): Option[String => Int] = kind match {
-    case "string" => v match {
-      case s: org.apache.spark.unsafe.types.UTF8String =>
-        val lit = s.toString; Some(st => st.compareTo(lit))
-      case s: String => Some(st => st.compareTo(s))
-      case _ => None
-    }
+    case "string" =>
+      // compare in UTF-8 byte order (= parquet's stats order), never
+      // UTF-16 code units — see statLt
+      val lit = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(s)
+        case s: String => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _ => None
+      }
+      lit.map(l => (st: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(st).compareTo(l))
     case _ => (v match {
       case n: Int => Some(BigDecimal(n))    case n: Long => Some(BigDecimal(n))
       case n: Short => Some(BigDecimal(n.toInt)) case n: Byte => Some(BigDecimal(n.toInt))
@@ -429,8 +468,19 @@ object TxLog {
                 Some("string")
               case _ => None
             }
+            // NaN/Infinity stats have no usable total order against
+            // BigDecimal bounds — treat the column as stats-less for
+            // this file rather than crash later pruning
+            val finite = kindOpt.forall { k =>
+              k != "double" || (st != null && !st.isEmpty && st.hasNonNullValue && {
+                val lo = st.genericGetMin.asInstanceOf[Number].doubleValue
+                val hi = st.genericGetMax.asInstanceOf[Number].doubleValue
+                java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
+              })
+            }
             kindOpt match {
-              case Some(kind) if st != null && !st.isEmpty && st.hasNonNullValue =>
+              case Some(kind) if st != null && !st.isEmpty &&
+                  st.hasNonNullValue && finite =>
                 val (mn, mx) = kind match {
                   case "string" =>
                     (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
@@ -459,8 +509,13 @@ object TxLog {
   }
 
   private def statLt(kind: String, a: String, b: String): Boolean = kind match {
-    case "string" => a < b
-    case _        => BigDecimal(a) < BigDecimal(b)
+    // UTF8String compares in UTF-8 byte order — the order parquet
+    // computed the min/max in; Java String.compareTo (UTF-16 code
+    // units) disagrees beyond the BMP and would mis-fold stats
+    case "string" =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    case _ => BigDecimal(a) < BigDecimal(b)
   }
 
   /** Publish one log entry. `expectedBase`: None = commutative commit
@@ -617,7 +672,12 @@ object TxLog {
     if (dirtyNames.isEmpty) return base.version
     val dirtyAbs = base.files.map(_.path).filter(dirtyNames.contains)
       .map(p => new Path(table, p).toString)
-    val rewritten = s.read.schema(schema).parquet(dirtyAbs: _*).filter(!cond)
+    // NOT(NULL) is NULL: without the coalesce, rows where the
+    // predicate evaluates to NULL would be dropped from rewritten
+    // files (while surviving in clean ones) — delete-where must keep
+    // exactly the rows the predicate does NOT positively match
+    val rewritten = s.read.schema(schema).parquet(dirtyAbs: _*)
+      .filter(!coalesce(cond, lit(false)))
     val add = stageData(s, table, rewritten)
     commit(s, table, "delete", add, dirtyNames.toSeq.sorted, None, Some(base.version))
   }
@@ -649,11 +709,11 @@ object TxLog {
 
       // stage 1: stats pre-prune on a single-column key
       val candidates: Seq[AddFile] =
-        if (keyCols.size == 1 && src.schema(keyCols.head).dataType != null) {
+        if (keyCols.size == 1) {
           val k = keyCols.head
           val mm = src.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
           if (mm.isNullAt(0)) Seq.empty
-          else pruneFiles(s, table,
+          else pruneSnapshot(base,
             col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1)))._1
         } else base.files
 
@@ -746,20 +806,40 @@ object TxLog {
     * entry ever referenced (crashed commits). Publishes the new
     * retention floor; reads below it fail loudly thereafter.
     */
-  def vacuum(s: SparkSession, table: String, keepVersions: Int): Long = {
+  /** Unreferenced files younger than this are presumed to belong to
+    * an IN-FLIGHT commit (data moves in before the log entry
+    * publishes) and are left alone — the same modification-time
+    * retention guard Delta's VACUUM uses. Pass `minAgeMs = 0` only
+    * when no concurrent writer can exist (tests, single-writer
+    * maintenance windows).
+    */
+  val DefaultVacuumMinAgeMs: Long = 15L * 60 * 1000
+
+  def vacuum(s: SparkSession, table: String, keepVersions: Int,
+      minAgeMs: Long = DefaultVacuumMinAgeMs): Long = {
     val fs = fsOf(s, table)
-    val head = currentVersion(s, table)
-    require(head >= 0, s"not a txlog table: $table")
-    val floor = math.max(0L, head - math.max(1, keepVersions) + 1)
+    val (entries, checkpoints) = listLog(fs, table)
+    require(entries.nonEmpty, s"not a txlog table: $table")
+    val head = entries.max
+    // never regress an already-published floor: retained iteration
+    // below the old floor would (rightly) refuse to resolve
+    val floor = math.max(resolveFloor(fs, table, entries, checkpoints),
+      math.max(0L, head - math.max(1, keepVersions) + 1))
     val retained = (floor to head)
       .flatMap(v => snapshotState(s, table, Some(v)).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
     val listing = fs.listStatus(new Path(table))
-    // crashed writes leave _staging-* dirs behind — vacuum owns them
-    listing.filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-"))
+    // stale staging dirs (crashed writes) — age-guarded like the data
+    // files, so a concurrent writer's live staging dir survives
+    listing.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_staging-") &&
+        st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
-    val onDisk = listing.map(_.getPath.getName)
+    val doomed = listing
+      .filter(st => !st.isDirectory && st.getModificationTime < cutoff)
+      .map(_.getPath.getName)
       .filter(n => n.startsWith("data-") && n.endsWith(".parquet"))
-    val doomed = onDisk.filterNot(retained.contains)
+      .filterNot(retained.contains)
     // publish the floor FIRST: a reader that resolves an old version
     // after its files are gone must see the floor, not a missing file
     val v = commit(s, table, "vacuum", Seq.empty, Seq.empty, None, None, Some(floor))

@@ -36,7 +36,10 @@ object GraftGlue {
     }
     def attr(n: ci.ColumnNode): Option[String] = n match {
       case a: ci.UnresolvedAttribute => a.nameParts.lastOption
-      case cst: ci.Cast => attr(cst.child)
+      // deliberately NO Cast unwrapping: a narrowing/truncating cast
+      // changes which raw values satisfy the comparison (e.g.
+      // cast(value as int) === 5 matches value 5.7), so bounds read
+      // through a cast could wrongly exclude files — fail open
       case _ => None
     }
     def lit(n: ci.ColumnNode): Option[Any] = n match {

@@ -119,7 +119,7 @@ class TxLogSpec extends AnyFunSuite {
     java.nio.file.Files.move(part.toPath, orphan.toPath)
     assert(ids(t) === (20L until 30L).toSet, "orphan is invisible to readers")
 
-    TxLog.vacuum(spark, t, keepVersions = 1) // retain only v2 (head)
+    TxLog.vacuum(spark, t, keepVersions = 1, minAgeMs = 0L) // retain only v2 (head)
     assert(!orphan.exists, "orphan not removed by vacuum")
     val dataFiles = new java.io.File(t).listFiles()
       .count(f => f.getName.startsWith("data-") && f.getName.endsWith(".parquet"))
@@ -128,6 +128,64 @@ class TxLogSpec extends AnyFunSuite {
     val err = intercept[IllegalStateException] { TxLog.read(spark, t, Some(0L)) }
     assert(err.getMessage.contains("vacuumed"))
     assert(err.getMessage.contains("floor"))
+    // a later vacuum with a LARGER retention must clamp to the
+    // published floor, not crash resolving pre-floor versions
+    TxLog.append(spark, t, spark.range(30, 35).toDF().coalesce(1))
+    TxLog.vacuum(spark, t, keepVersions = 50, minAgeMs = 0L)
+    assert(ids(t) === (20L until 35L).toSet)
+  }
+
+  test("vacuum age guard: fresh unreferenced files are presumed in-flight") {
+    val t = tmpTable("vacage")
+    TxLog.create(spark, t, spark.range(0, 10).toDF().coalesce(1))
+    TxLog.overwrite(spark, t, spark.range(10, 20).toDF().coalesce(1))
+    val dataFiles = () => new java.io.File(t).listFiles()
+      .count(f => f.getName.startsWith("data-") && f.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    // default minAge: just-written unreferenced files could belong to
+    // an in-flight commit (data moves in before the log publishes)
+    TxLog.vacuum(spark, t, keepVersions = 1)
+    assert(dataFiles() === before, "age guard did not protect fresh files")
+    TxLog.vacuum(spark, t, keepVersions = 1, minAgeMs = 0L)
+    assert(dataFiles() < before, "explicit zero-age vacuum should reclaim")
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL") {
+    val t = tmpTable("delnull")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, java.lang.Double.valueOf(5.0)),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, java.lang.Double.valueOf(7.0))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType, true))))
+    TxLog.create(spark, t, df)
+    TxLog.deleteWhere(spark, t, $"x" === 5.0)
+    // NOT(NULL)=NULL must not silently drop the x=NULL row from the
+    // rewritten file
+    assert(TxLog.read(spark, t).select($"id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("stats corners: Infinity poisons the column; non-BMP strings compare in UTF-8 order") {
+    val t = tmpTable("statcorner")
+    TxLog.create(spark, t, spark.range(0, 10)
+      .select($"id", when($"id" === 0, Double.PositiveInfinity)
+        .otherwise($"id".cast("double")).as("v")).coalesce(1))
+    // v has Infinity in its range: the column must carry no stats and
+    // every numeric bound on it must fail open (correct rows anyway)
+    assert(TxLog.readWhere(spark, t, $"v" > 3.0).count() === 7L) // ids 4..9 + Inf
+    val supp = new String(Character.toChars(0x10000)) // U+10000, surrogate pair
+    val t2 = tmpTable("statutf8")
+    TxLog.create(spark, t2, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("￿"), org.apache.spark.sql.Row(supp)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, false)))))
+    // parquet's max is U+10000 in UTF-8 byte order; UTF-16 compareTo
+    // would call max < "￿" and wrongly exclude the file
+    assert(TxLog.readWhere(spark, t2, $"s" === "￿").count() === 1L)
   }
 
   test("checkpointed resolution: long histories read from the checkpoint, not v0") {
