@@ -46,12 +46,40 @@ object GraftGlue {
       case l: ci.Literal => Option(l.value)
       case _ => None
     }
+    // `col IN (lits…)` relaxes soundly to the literals' envelope:
+    // a file is excludable when its range misses [min(lits), max(lits)]
+    def inBounds(name: String, lits: Seq[Any]): Seq[(String, String, Any)] = {
+      val ordered: Option[(Any, Any)] =
+        if (lits.forall(_.isInstanceOf[String]))
+          Some((lits.minBy(_.asInstanceOf[String]), lits.maxBy(_.asInstanceOf[String])))
+        else {
+          val nums = lits.flatMap {
+            case n: Int => Some(BigDecimal(n)); case n: Long => Some(BigDecimal(n))
+            case n: Short => Some(BigDecimal(n.toInt)); case n: Byte => Some(BigDecimal(n.toInt))
+            case n: Float => Some(BigDecimal(n.toDouble)); case n: Double => Some(BigDecimal(n))
+            case _ => None
+          }
+          if (nums.size == lits.size && nums.nonEmpty)
+            Some((lits(nums.indexOf(nums.min)), lits(nums.indexOf(nums.max))))
+          else None
+        }
+      ordered.toSeq.flatMap { case (lo, hi) =>
+        Seq((name, ">=", lo), (name, "<=", hi))
+      }
+    }
     split(c.node).flatMap {
       case f: ci.UnresolvedFunction
           if f.arguments.size == 2 && flip.contains(f.functionName) =>
         val (a, b) = (f.arguments(0), f.arguments(1))
         attr(a).zip(lit(b)).map { case (n, v) => (n, f.functionName, v) } ++
         attr(b).zip(lit(a)).map { case (n, v) => (n, flip(f.functionName), v) }
+      case f: ci.UnresolvedFunction
+          if f.functionName.equalsIgnoreCase("in") && f.arguments.size >= 2 =>
+        (attr(f.arguments.head), f.arguments.tail.map(lit)) match {
+          case (Some(n), ls) if ls.forall(_.isDefined) && ls.nonEmpty =>
+            inBounds(n, ls.map(_.get))
+          case _ => Seq.empty
+        }
       case _ => Seq.empty
     }
   }

@@ -221,6 +221,10 @@ class TxLogSpec extends AnyFunSuite {
     val (selBand, _) = TxLog.pruneFiles(spark, t, $"id" >= 400 && $"id" < 525)
     assert(selBand.size <= 3 && selBand.nonEmpty)
     assert(TxLog.readWhere(spark, t, $"id" >= 400 && $"id" < 525).count() === 125L)
+    // IN-lists prune by the literals' envelope
+    val (selIn, _) = TxLog.pruneFiles(spark, t, $"id".isin(10, 40, 95))
+    assert(selIn.size <= 2, s"isin envelope selected ${selIn.size} of 8")
+    assert(TxLog.readWhere(spark, t, $"id".isin(10, 40, 95)).count() === 3L)
     // a predicate the matcher can't bound selects ALL files — stats
     // are an optimization, never a correctness input
     val (selAll, _) = TxLog.pruneFiles(spark, t, pmod($"id", lit(10)) === 3)
