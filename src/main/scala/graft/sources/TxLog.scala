@@ -74,8 +74,12 @@ object TxLog {
     * commit time (metadata-only reads — no second pass over the
     * data). `kind` tags how min/max strings compare: "long" (ints,
     * longs, and timestamp/date internal encodings), "double",
-    * "string". A column any row group lacks stats for is simply
-    * absent — skipping is an optimization, never a correctness input.
+    * "string" — plus "allnull" for a column with no non-null value in
+    * the file (min/max empty; every comparison and isNotNull prune
+    * it). `nulls` = −1 means the writer didn't record a null count
+    * (isNull pruning then fails open). A column any row group leaves
+    * unclassifiable is simply absent — skipping is an optimization,
+    * never a correctness input.
     */
   final case class ColStats(kind: String, min: String, max: String, nulls: Long)
 
@@ -333,15 +337,22 @@ object TxLog {
     def excluded(f: AddFile): Boolean = f.stats.exists { stats =>
       bounds.exists { case (name, op, v) =>
         stats.get(name).exists { st =>
-          cmp(st.kind, v).exists { toCmp =>
-            val (mn, mx) = (toCmp(st.min), toCmp(st.max))
-            op match {
-              case "="  => mn > 0 || mx < 0   // lit < min or lit > max
-              case "<"  => mn >= 0            // min >= lit: nothing below
-              case "<=" => mn > 0
-              case ">"  => mx <= 0            // max <= lit: nothing above
-              case ">=" => mx < 0
-            }
+          op match {
+            case "isnull"    => st.nulls == 0          // no null anywhere (-1 = unknown: keep)
+            case "isnotnull" => st.kind == "allnull"   // nothing BUT nulls
+            // a comparison against an all-null column matches nothing
+            case _ if st.kind == "allnull" => true
+            case _ =>
+              cmp(st.kind, v).exists { toCmp =>
+                val (mn, mx) = (toCmp(st.min), toCmp(st.max))
+                op match {
+                  case "="  => mn > 0 || mx < 0   // lit < min or lit > max
+                  case "<"  => mn >= 0            // min >= lit: nothing below
+                  case "<=" => mn > 0
+                  case ">"  => mx <= 0            // max <= lit: nothing above
+                  case ">=" => mx < 0
+                }
+              }
           }
         }
       }
@@ -451,7 +462,11 @@ object TxLog {
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
-      val acc = mutable.Map[String, ColStats]()
+      // per column: (kind, folded Option[(min, max)], null count).
+      // An all-null row group contributes nulls but no min/max (legal
+      // to merge with normal row groups); a column any row group
+      // leaves unclassifiable is poisoned.
+      val acc = mutable.Map[String, (String, Option[(String, String)], Long)]()
       val poisoned = mutable.Set[String]()
       val rows = rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       rdr.getFooter.getBlocks.asScala.foreach { b =>
@@ -469,19 +484,17 @@ object TxLog {
               case _ => None
             }
             // NaN/Infinity stats have no usable total order against
-            // BigDecimal bounds — treat the column as stats-less for
-            // this file rather than crash later pruning
-            val finite = kindOpt.forall { k =>
-              k != "double" || (st != null && !st.isEmpty && st.hasNonNullValue && {
+            // BigDecimal bounds — poison rather than crash later
+            def finite(k: String): Boolean =
+              k != "double" || {
                 val lo = st.genericGetMin.asInstanceOf[Number].doubleValue
                 val hi = st.genericGetMax.asInstanceOf[Number].doubleValue
                 java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
-              })
-            }
-            kindOpt match {
+              }
+            val part: Option[(String, Option[(String, String)], Long)] = kindOpt match {
               case Some(kind) if st != null && !st.isEmpty &&
-                  st.hasNonNullValue && finite =>
-                val (mn, mx) = kind match {
+                  st.hasNonNullValue && finite(kind) =>
+                val mnmx = kind match {
                   case "string" =>
                     (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
                        .toStringUsingUTF8,
@@ -489,22 +502,41 @@ object TxLog {
                        .toStringUsingUTF8)
                   case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
                 }
-                val nulls = math.max(0L, st.getNumNulls)
+                Some((kind, Some(mnmx), st.getNumNulls)) // -1 = unknown, kept
+              case Some(kind) if st != null && !st.isEmpty &&
+                  !st.hasNonNullValue && st.getNumNulls == b.getRowCount =>
+                Some((kind, None, b.getRowCount)) // all-null row group
+              case _ => None
+            }
+            part match {
+              case None => poisoned += name
+              case Some((kind, mnmx, nulls)) =>
                 acc.get(name) match {
-                  case None => acc(name) = ColStats(kind, mn, mx, nulls)
-                  case Some(prev) =>
-                    acc(name) = ColStats(kind,
-                      if (statLt(kind, mn, prev.min)) mn else prev.min,
-                      if (statLt(kind, prev.max, mx)) mx else prev.max,
-                      prev.nulls + nulls)
+                  case None => acc(name) = (kind, mnmx, nulls)
+                  case Some((k0, prev, n0)) =>
+                    val folded = (prev, mnmx) match {
+                      case (Some((pmn, pmx)), Some((mn, mx))) => Some((
+                        if (statLt(kind, mn, pmn)) mn else pmn,
+                        if (statLt(kind, pmx, mx)) mx else pmx))
+                      case (a, b2) => a.orElse(b2)
+                    }
+                    // -1 (unknown null count) is absorbing under +
+                    acc(name) = (k0, folded,
+                      if (n0 < 0 || nulls < 0) -1L else n0 + nulls)
                 }
-              case _ => poisoned += name // no usable stats in SOME row group
             }
           }
         }
       }
       poisoned.foreach(acc.remove)
-      (rows, acc.toMap)
+      (rows, acc.map { case (n, (kind, mnmx, nulls)) =>
+        n -> (mnmx match {
+          case Some((mn, mx)) => ColStats(kind, mn, mx, nulls)
+          // no non-null value anywhere in the file: a kind of its own —
+          // EVERY comparison prunes it, isNotNull prunes it, isNull keeps it
+          case None => ColStats("allnull", "", "", nulls)
+        })
+      }.toMap)
     } finally rdr.close()
   }
 

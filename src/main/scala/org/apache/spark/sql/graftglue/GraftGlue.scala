@@ -80,6 +80,12 @@ object GraftGlue {
             inBounds(n, ls.map(_.get))
           case _ => Seq.empty
         }
+      case f: ci.UnresolvedFunction
+          if f.arguments.size == 1 &&
+            (f.functionName.equalsIgnoreCase("isnull") ||
+             f.functionName.equalsIgnoreCase("isnotnull")) =>
+        attr(f.arguments.head)
+          .map(n => (n, f.functionName.toLowerCase, null: Any)).toSeq
       case _ => Seq.empty
     }
   }

@@ -232,6 +232,29 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.readWhere(spark, t, pmod($"id", lit(10)) === 3).count() === 100L)
   }
 
+  test("null-count pruning: isNull, isNotNull, and all-null columns") {
+    val t = tmpTable("nulls")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType, true)))
+    def rows(data: Seq[(Long, java.lang.Double)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (i, x) =>
+        org.apache.spark.sql.Row(i, x) }, 1), schema)
+    TxLog.create(spark, t, rows(Seq((1L, 1.0), (2L, 2.0))))          // x never null
+    TxLog.append(spark, t, rows(Seq((3L, null), (4L, null))))        // x always null
+    TxLog.append(spark, t, rows(Seq((5L, 5.0), (6L, null))))         // mixed
+    val (selNull, total) = TxLog.pruneFiles(spark, t, $"x".isNull)
+    assert(total === 3 && selNull.size === 2, "no-null file not excluded for isNull")
+    val (selNotNull, _) = TxLog.pruneFiles(spark, t, $"x".isNotNull)
+    assert(selNotNull.size === 2, "all-null file not excluded for isNotNull")
+    val (selCmp, _) = TxLog.pruneFiles(spark, t, $"x" > 1.5)
+    assert(selCmp.size === 2, "all-null file not excluded for a comparison")
+    assert(TxLog.readWhere(spark, t, $"x".isNull).select($"id")
+      .as[Long].collect().toSet === Set(3L, 4L, 6L))
+    assert(TxLog.readWhere(spark, t, $"x".isNotNull).count() === 3L)
+    assert(TxLog.readWhere(spark, t, $"x" > 1.5).count() === 2L)
+  }
+
   test("string-column stats prune; stats survive checkpointed resolution") {
     val t = tmpTable("skipstr")
     TxLog.create(spark, t, spark.range(0, 260)
