@@ -44,11 +44,13 @@ object CandidateEconomy {
       // j ≥ 0.5 (the histogram's total mass).
       val hRaw = DedupOps.rawSharingPairs(spark, dir).count()
       val hPrefix = DedupOps.prefixFilterCandidatesAt(spark, dir, 1, 2).count()
+      // the rung the histogram actually runs on since the ppjoin swap
+      val hPp = DedupOps.ppjoinCandidatesAt(spark, dir, 1, 2).count()
       val hRes = DedupOps.similarityHistogram(spark, dir)
         .agg(org.apache.spark.sql.functions.sum("n_pairs")).collect()(0).getLong(0)
       println(s"""{"metric":"candidate_economy","family":"histogram",""" +
         s""""sf":"$dir","raw_pairs":$hRaw,"prefix_candidates":$hPrefix,""" +
-        s""""result_pairs":$hRes}""")
+        s""""ppjoin_candidates":$hPp,"result_pairs":$hRes}""")
     }
     spark.stop()
   }

@@ -1924,10 +1924,13 @@ object DedupOps {
     * j ≥ 0.5. Picking 0.8 as the near-dup cut is a claim about this
     * histogram (a valley between the boilerplate hump and the planted
     * near-dups); shipping the histogram makes the claim inspectable.
-    * Candidates come from [[prefixFilterCandidatesAt]] at t = 1/2 —
+    * Candidates come from [[ppjoinCandidatesAt]] at t = 1/2 —
     * provably complete for every pair with J ≥ 0.5 (the
-    * threshold-generic prefix theorem DedupFuzzSpec checks), so the
-    * histogram is exact while the candidate space stays bounded. The
+    * threshold-generic prefix theorem plus PPJoin's lossless length +
+    * positional filters, both of which DedupFuzzSpec checks at seeded
+    * thresholds including candidate-set containment in the prefix
+    * space), so the histogram is exact while the candidate space is
+    * the tightest bound the family proves. The
     * raw shingle self-join this replaced is Θ(Σ df²): one boilerplate
     * shingle with df = k generates k²/2 pair rows before the j ≥ 0.5
     * filter can drop any of them — the all-pairs blowup [[ngramJaccard]]
@@ -1953,7 +1956,7 @@ object DedupOps {
   }
 
   def similarityHistogram(s: SparkSession, dir: String): DataFrame = {
-    val cand = prefixFilterCandidatesAt(s, dir, 1, 2)
+    val cand = ppjoinCandidatesAt(s, dir, 1, 2)
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val sets = sh.groupBy(col("doc_id"))

@@ -121,12 +121,13 @@ class DedupFuzzSpec extends AnyFunSuite {
     assert(totalPairs > 0, "every sampled threshold returned zero pairs — vacuous sweep")
   }
 
-  test("similarity histogram (prefix-driven, t = 1/2) equals brute-force buckets") {
-    // r10: similarityHistogram now drives from prefixFilterCandidatesAt
-    // at t = 1/2 — the one threshold the seeded sweep above excludes by
+  test("similarity histogram (ppjoin-driven, t = 1/2) equals brute-force buckets") {
+    // r10: similarityHistogram drives from ppjoinCandidatesAt at
+    // t = 1/2 — the one threshold the seeded sweep above excludes by
     // construction (its range is (1/2, 1)), and the histogram's
-    // completeness depends on it. Check the candidate theorem AND the
-    // exact floor-bucket counts against in-JVM brute force.
+    // completeness depends on it. Check the candidate theorem for
+    // BOTH rungs (prefix, and the tighter ppjoin the histogram uses)
+    // AND the exact floor-bucket counts against in-JVM brute force.
     val ids = sets.keys.toArray.sorted
     val brutePairs = (for {
       i <- ids.indices.iterator
@@ -139,6 +140,11 @@ class DedupFuzzSpec extends AnyFunSuite {
     val cand = pairsOf(DedupOps.prefixFilterCandidatesAt(spark, sfTiny, 1, 2))
     assert(brutePairs.subsetOf(cand),
       "t=1/2: completeness broken — a j ≥ 0.5 pair missing from prefix candidates")
+    val ppCand = pairsOf(DedupOps.ppjoinCandidatesAt(spark, sfTiny, 1, 2))
+    assert(ppCand.subsetOf(cand),
+      "t=1/2: ppjoin candidates escaped the prefix candidate space")
+    assert(brutePairs.subsetOf(ppCand),
+      "t=1/2: completeness broken — a j ≥ 0.5 pair missing from ppjoin candidates")
     val bruteBuckets = brutePairs.toSeq.map { case (a, b) =>
       val sa = sets(a); val sb = sets(b)
       val inter = (sa & sb).size
