@@ -675,6 +675,31 @@ object TxLog {
       txn = Some((appId, batchId)))
   }
 
+  /** Metadata-only schema evolution: publish a new schema whose
+    * EXISTING columns are unchanged (same name/type/order; may relax
+    * non-null → nullable) and whose NEW columns are nullable — old
+    * data files are never rewritten, the parquet reader null-fills
+    * columns a file lacks. One log entry, zero data I/O: the way a
+    * 100 TB table grows a column. Appends after the evolution write
+    * the full new schema; snapshots BEFORE it keep the old one
+    * (schema is versioned like data). Stats-based skipping on a new
+    * column fails open for pre-evolution files (they carry no stats
+    * for it).
+    */
+  def evolveSchema(s: SparkSession, table: String, newDdl: String): Long = {
+    val cur = snapshotState(s, table)
+    val curS = StructType.fromDDL(cur.schemaDdl)
+    val newS = StructType.fromDDL(newDdl)
+    require(newS.fields.length >= curS.fields.length &&
+      curS.fields.zip(newS.fields).forall { case (o, n) =>
+        o.name == n.name && o.dataType == n.dataType && (!o.nullable || n.nullable)
+      }, s"evolution must keep existing columns (name/type/order) intact: " +
+         s"${cur.schemaDdl} -> $newDdl")
+    require(newS.fields.drop(curS.fields.length).forall(_.nullable),
+      "new columns must be nullable: existing files null-fill them")
+    commit(s, table, "schema", Seq.empty, Seq.empty, Some(newDdl), Some(cur.version))
+  }
+
   /** Replace the whole table content (schema may change). Conflicts
     * if anything commits between base resolution and publication.
     */
@@ -1004,6 +1029,49 @@ object TxLog {
   def clusterRead(s: SparkSession, dir: String): DataFrame =
     rollup(read(s, clusterFixture(s, dir)))
 
+  /** Evolution fixture: the mod-3-residue-2 slice arrives BEFORE the
+    * table has an event_type column; one metadata-only evolution adds
+    * it; the residue-1 slice arrives after, with values. The read
+    * groups on the null-filled column, so a wrong fill — or a rewrite
+    * where none should happen — flips the oracle.
+    */
+  private def evolveFixture(s: SparkSession, dir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/txlog-evolve/${Tables.dirKey(dir)}"
+    if (!built.contains(out)) {
+      val fs = fsOf(s, out)
+      fs.delete(new Path(out), true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      create(s, out, ev.filter(pmod(col("event_id"), lit(3)) === 2)
+        .repartitionByRange(3, col("event_id")))                     // v0: legacy shape
+      val evolved = snapshotState(s, out).schemaDdl + ",event_type STRING"
+      evolveSchema(s, out, evolved)                                  // v1: + event_type
+      append(s, out, Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(3)) === 1)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")))    // v2
+      built += out
+    }
+    out
+  }
+
+  def evolveRead(s: SparkSession, dir: String): DataFrame =
+    read(s, evolveFixture(s, dir))
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+        min(col("ts_us")).as("min_ts"),
+        max(col("ts_us")).as("max_ts"))
+
+  private val evolveOracle =
+    """SELECT coalesce(CASE WHEN event_id % 3 = 1 THEN event_type END, 'legacy')
+      |    AS event_type,
+      |  COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+      |FROM events WHERE event_id % 3 IN (1, 2) GROUP BY 1""".stripMargin
+
   private val clusterOracle =
     """SELECT event_type, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
@@ -1069,5 +1137,6 @@ object TxLog {
     Q("txlog_merge", mergeOracle)(mergeRead),
     Q("txlog_cluster", clusterOracle)(clusterRead),
     Q("txlog_changes", changesOracle)(changesRead),
+    Q("txlog_evolve", evolveOracle)(evolveRead),
   )
 }

@@ -398,6 +398,31 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("schema evolution: metadata-only add-column, old files null-fill") {
+    val t = tmpTable("evolve")
+    TxLog.create(spark, t, spark.range(0, 10).toDF().coalesce(1))
+    val filesBefore = TxLog.snapshotState(spark, t).files.map(_.path).toSet
+    TxLog.evolveSchema(spark, t, "id BIGINT NOT NULL,tag STRING")
+    // zero data I/O: exactly the same files
+    assert(TxLog.snapshotState(spark, t).files.map(_.path).toSet === filesBefore)
+    assert(TxLog.read(spark, t).filter($"tag".isNull).count() === 10L)
+    // post-evolution appends carry the new column
+    TxLog.append(spark, t, spark.range(10, 15)
+      .select($"id", concat(lit("t"), $"id").as("tag")))
+    assert(TxLog.read(spark, t).filter($"tag".isNotNull).count() === 5L)
+    // time travel below the evolution sees the OLD schema
+    assert(TxLog.read(spark, t, Some(0L)).columns.toSeq === Seq("id"))
+    // illegal evolutions fail loudly
+    val bad1 = intercept[IllegalArgumentException] {
+      TxLog.evolveSchema(spark, t, "id INT NOT NULL,tag STRING,x DOUBLE")
+    }
+    assert(bad1.getMessage.contains("existing columns"))
+    val bad2 = intercept[IllegalArgumentException] {
+      TxLog.evolveSchema(spark, t, "id BIGINT NOT NULL,tag STRING,x DOUBLE NOT NULL")
+    }
+    assert(bad2.getMessage.contains("nullable"))
+  }
+
   test("schema discipline: mismatched append fails loudly; overwrite may evolve") {
     val t = tmpTable("schema")
     TxLog.create(spark, t, spark.range(0, 5).toDF())
