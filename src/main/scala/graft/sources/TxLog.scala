@@ -83,8 +83,12 @@ object TxLog {
     */
   final case class ColStats(kind: String, min: String, max: String, nulls: Long)
 
+  /** `rows = -1` marks an entry written before row counts were
+    * logged; null-count pruning refuses to trust such entries'
+    * (possibly clamped) zero null counts.
+    */
   final case class AddFile(path: String, bytes: Long,
-      stats: Option[Map[String, ColStats]] = None)
+      rows: Long = -1L, stats: Option[Map[String, ColStats]] = None)
   final case class Entry(version: Long, action: String,
       add: Seq[AddFile], remove: Seq[String],
       schema: Option[String], floor: Option[Long],
@@ -145,7 +149,7 @@ object TxLog {
   import org.json4s.JsonDSL._
 
   private def renderAdd(a: AddFile): JObject =
-    ("path" -> a.path) ~ ("bytes" -> a.bytes) ~
+    ("path" -> a.path) ~ ("bytes" -> a.bytes) ~ ("rows" -> a.rows) ~
       ("stats" -> a.stats.map(_.map { case (c, st) =>
         c -> (("kind" -> st.kind) ~ ("min" -> st.min) ~
           ("max" -> st.max) ~ ("nulls" -> st.nulls)) }))
@@ -338,7 +342,11 @@ object TxLog {
       bounds.exists { case (name, op, v) =>
         stats.get(name).exists { st =>
           op match {
-            case "isnull"    => st.nulls == 0          // no null anywhere (-1 = unknown: keep)
+            // no null anywhere — trusted only for entries that carry a
+            // row count (rows >= 0): earlier log entries clamped an
+            // UNKNOWN parquet null count (-1) to 0, and the log is
+            // immutable, so their zero cannot prove absence of nulls
+            case "isnull"    => st.nulls == 0 && f.rows >= 0
             case "isnotnull" => st.kind == "allnull"   // nothing BUT nulls
             // a comparison against an all-null column matches nothing
             case _ if st.kind == "allnull" => true
@@ -376,14 +384,10 @@ object TxLog {
       }
       lit.map(l => (st: String) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(st).compareTo(l))
-    case _ => (v match {
-      case n: Int => Some(BigDecimal(n))    case n: Long => Some(BigDecimal(n))
-      case n: Short => Some(BigDecimal(n.toInt)) case n: Byte => Some(BigDecimal(n.toInt))
-      case n: Float => Some(BigDecimal(n.toDouble)) case n: Double => Some(BigDecimal(n))
-      case n: org.apache.spark.sql.types.Decimal => Some(n.toBigDecimal)
-      case n: java.math.BigDecimal => Some(BigDecimal(n))
-      case _ => None
-    }).map(lit => (st: String) => BigDecimal(st).compare(lit))
+    case _ =>
+      // the shared ladder drops NaN/Infinity literals (None = fail open)
+      org.apache.spark.sql.graftglue.GraftGlue.numericLit(v)
+        .map(lit => (st: String) => BigDecimal(st).compare(lit))
   }
 
   /** Row-level change feed between two versions, derived from the
@@ -401,8 +405,30 @@ object TxLog {
   def changes(s: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
     val before = read(s, table, Some(fromV))
     val after = read(s, table, Some(toV))
-    after.exceptAll(before).withColumn("change_type", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+    // a metadata-only evolution between the versions leaves the two
+    // snapshots with different column sets: align by null-filling the
+    // columns one side lacks (exactly the fill readers of the wider
+    // schema see), erroring loudly if a SHARED column changed type
+    val afterF = after.schema.fields.map(f => f.name -> f).toMap
+    before.schema.fields.foreach { f =>
+      afterF.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"changes($fromV,$toV): column '${f.name}' changed type " +
+          s"${f.dataType} -> ${g.dataType}; the feed cannot align it")
+      }
+    }
+    val allCols = (after.schema.fields ++
+      before.schema.fields.filterNot(f => afterF.contains(f.name))).toSeq
+    def align(df: DataFrame): DataFrame = {
+      val have = df.schema.fieldNames.toSet
+      df.select(allCols.map { f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val (b, a) = (align(before), align(after))
+    a.exceptAll(b).withColumn("change_type", lit("insert"))
+      .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
   }
 
   /** Commit history as a DataFrame (version, action, files added /
@@ -441,7 +467,7 @@ object TxLog {
         throw new java.io.IOException(s"failed to move ${st.getPath} into $table")
       val (rows, stats) = footerInfo(conf, dst)
       if (rows == 0L) { fs.delete(dst, false); None } // zero-row parts carry nothing
-      else Some(AddFile(name, st.getLen, Some(stats)))
+      else Some(AddFile(name, st.getLen, rows, Some(stats)))
     }.toSeq
     fs.delete(staging, true)
     added
@@ -1057,12 +1083,8 @@ object TxLog {
   }
 
   def evolveRead(s: SparkSession, dir: String): DataFrame =
-    read(s, evolveFixture(s, dir))
-      .groupBy(coalesce(col("event_type"), lit("legacy")).as("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
-        min(col("ts_us")).as("min_ts"),
-        max(col("ts_us")).as("max_ts"))
+    rollup(read(s, evolveFixture(s, dir))
+      .withColumn("event_type", coalesce(col("event_type"), lit("legacy"))))
 
   private val evolveOracle =
     """SELECT coalesce(CASE WHEN event_id % 3 = 1 THEN event_type END, 'legacy')

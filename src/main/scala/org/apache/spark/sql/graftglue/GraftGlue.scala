@@ -17,6 +17,26 @@ object GraftGlue {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The one numeric-literal → BigDecimal ladder the skipping matcher
+    * and TxLog's stat comparator share. Non-finite floats return None
+    * (BigDecimal rejects NaN/Infinity — a bound built from one must
+    * be DROPPED, fail-open, never thrown).
+    */
+  def numericLit(v: Any): Option[BigDecimal] = v match {
+    case n: Int   => Some(BigDecimal(n))
+    case n: Long  => Some(BigDecimal(n))
+    case n: Short => Some(BigDecimal(n.toInt))
+    case n: Byte  => Some(BigDecimal(n.toInt))
+    case n: Float =>
+      if (java.lang.Float.isFinite(n)) Some(BigDecimal(n.toDouble)) else None
+    case n: Double =>
+      if (java.lang.Double.isFinite(n)) Some(BigDecimal(n)) else None
+    case n: org.apache.spark.sql.types.Decimal => Some(n.toBigDecimal)
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case n: BigDecimal => Some(n)
+    case _ => None
+  }
+
   /** Comparison bounds of a predicate Column, read from its sql-api
     * node tree (`Column.node` and the node classes are `private[sql]`
     * upstream, hence this shim). Returns the conjuncts of shape
@@ -47,21 +67,23 @@ object GraftGlue {
       case _ => None
     }
     // `col IN (lits…)` relaxes soundly to the literals' envelope:
-    // a file is excludable when its range misses [min(lits), max(lits)]
+    // a file is excludable when its range misses [min(lits), max(lits)].
+    // String min/max MUST be picked in UTF-8 byte order (the order the
+    // pruner compares parquet stats in) — Java's UTF-16 code-unit
+    // order disagrees beyond the BMP and would yield a too-tight
+    // envelope that excludes files containing IN-list members.
     def inBounds(name: String, lits: Seq[Any]): Seq[(String, String, Any)] = {
       val ordered: Option[(Any, Any)] =
-        if (lits.forall(_.isInstanceOf[String]))
-          Some((lits.minBy(_.asInstanceOf[String]), lits.maxBy(_.asInstanceOf[String])))
-        else {
-          val nums = lits.flatMap {
-            case n: Int => Some(BigDecimal(n)); case n: Long => Some(BigDecimal(n))
-            case n: Short => Some(BigDecimal(n.toInt)); case n: Byte => Some(BigDecimal(n.toInt))
-            case n: Float => Some(BigDecimal(n.toDouble)); case n: Double => Some(BigDecimal(n))
-            case _ => None
-          }
-          if (nums.size == lits.size && nums.nonEmpty)
-            Some((lits(nums.indexOf(nums.min)), lits(nums.indexOf(nums.max))))
-          else None
+        if (lits.forall(_.isInstanceOf[String])) {
+          val keyed = lits.map(l => l ->
+            org.apache.spark.unsafe.types.UTF8String.fromString(l.asInstanceOf[String]))
+          Some((keyed.minBy(_._2)._1, keyed.maxBy(_._2)._1))
+        } else {
+          val nums = lits.map(numericLit)
+          if (nums.forall(_.isDefined) && nums.nonEmpty) {
+            val keyed = lits.zip(nums.map(_.get))
+            Some((keyed.minBy(_._2)._1, keyed.maxBy(_._2)._1))
+          } else None
         }
       ordered.toSeq.flatMap { case (lo, hi) =>
         Seq((name, ">=", lo), (name, "<=", hi))

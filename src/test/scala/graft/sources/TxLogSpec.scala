@@ -186,6 +186,12 @@ class TxLogSpec extends AnyFunSuite {
     // parquet's max is U+10000 in UTF-8 byte order; UTF-16 compareTo
     // would call max < "￿" and wrongly exclude the file
     assert(TxLog.readWhere(spark, t2, $"s" === "￿").count() === 1L)
+    // IN-list corners: a NaN literal must fail open (never throw),
+    // and the string envelope must be picked in UTF-8 order too
+    // (UTF-16 min/max of {U+FFFF, U+1F600} is inverted and would
+    // exclude this file)
+    assert(TxLog.readWhere(spark, t, $"v".isin(Double.NaN, 4.0)).count() === 1L)
+    assert(TxLog.readWhere(spark, t2, $"s".isin("￿", "😀")).count() === 1L)
   }
 
   test("checkpointed resolution: long histories read from the checkpoint, not v0") {
@@ -412,6 +418,11 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).filter($"tag".isNotNull).count() === 5L)
     // time travel below the evolution sees the OLD schema
     assert(TxLog.read(spark, t, Some(0L)).columns.toSeq === Seq("id"))
+    // the change feed spans the evolution boundary: the pre-evolution
+    // side is null-filled, not an AnalysisException
+    val ch = TxLog.changes(spark, t, 0L, TxLog.currentVersion(spark, t))
+    assert(ch.filter($"change_type" === "insert").count() === 5L)
+    assert(ch.filter($"change_type" === "delete").count() === 0L)
     // illegal evolutions fail loudly
     val bad1 = intercept[IllegalArgumentException] {
       TxLog.evolveSchema(spark, t, "id INT NOT NULL,tag STRING,x DOUBLE")
