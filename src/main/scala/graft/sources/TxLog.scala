@@ -238,6 +238,11 @@ object TxLog {
       files: Seq[AddFile], floor: Long,
       txns: Option[Map[String, Long]] = None)
 
+  /** Evidence hook (TxLogEconomy): drop the entry/checkpoint caches so
+    * a resolution timing measures real metadata I/O, not cache hits.
+    */
+  def dropMetadataCaches(): Unit = { entryMap.clear(); ckptMap.clear() }
+
   private val ckptMap =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), CkptState]()
   private def readCheckpoint(fs: FileSystem, table: String, v: Long): CkptState = {
@@ -330,7 +335,7 @@ object TxLog {
     * `col <op> literal` in either operand order. Unrecognized shapes
     * contribute no bound — fail open, never wrong.
     */
-  private[sources] def pruneFiles(s: SparkSession, table: String, cond: Column,
+  private[graft] def pruneFiles(s: SparkSession, table: String, cond: Column,
       asOf: Option[Long] = None): (Seq[AddFile], Int) =
     pruneSnapshot(snapshotState(s, table, asOf), cond)
 
