@@ -51,6 +51,16 @@ object CandidateEconomy {
       println(s"""{"metric":"candidate_economy","family":"histogram",""" +
         s""""sf":"$dir","raw_pairs":$hRaw,"prefix_candidates":$hPrefix,""" +
         s""""ppjoin_candidates":$hPp,"result_pairs":$hRes}""")
+      // Fuzzy/ER family (r11): within-block pair count of the retired
+      // first-token geometry vs the rarest-token blocks the family
+      // now runs on — the cut is what bounds the quadratic hot block
+      // at catalog scale. result_pairs = JW >= 0.88 verified pairs.
+      val fFirst = graft.ops.Joins.fuzzyCandidatesFirstToken(spark, dir).count()
+      val fRarest = graft.ops.Joins.fuzzyCandidatesRarest(spark, dir).count()
+      val fRes = graft.ops.Joins.joinFuzzyJaro(spark, dir).count()
+      println(s"""{"metric":"candidate_economy","family":"fuzzy",""" +
+        s""""sf":"$dir","first_token_pairs":$fFirst,""" +
+        s""""rarest_token_pairs":$fRarest,"result_pairs":$fRes}""")
     }
     spark.stop()
   }

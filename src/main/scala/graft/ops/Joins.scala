@@ -287,36 +287,89 @@ object Joins {
       .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_us")).as("overlap_us"))
   }
 
-  /** Blocked fuzzy (edit-distance) join — record-linkage over the
-    * part-name catalog: pairs of DISTINCT names within an edit
-    * distance of 3, found without ever comparing all name pairs. The
-    * 100 TB discipline is the blocking key: candidates must share the
-    * leading token, so the self-join is a hash equi join on the block
-    * and the quadratic levenshtein predicate runs only inside blocks
-    * (at corpus scale the block would tighten to (prefix, length
-    * band) with a frequency cap, exactly the shingle-join treatment —
-    * the geometry is what matters: never `ON lev(a,b) <= k` alone,
-    * which Catalyst can only plan as a nested loop). Matching runs on
-    * the DEDUPLICATED name dictionary (Heaps-bounded), not the part
-    * rows, and each name carries its part count so a downstream merge
-    * knows the mass behind every alias pair.
+  /** Hard ceiling on fuzzy/ER block membership: a block the cap
+    * rejects is a stop-word-like token carrying no linkage signal,
+    * and dropping it outright bounds within-block pair count at
+    * cap²/2 regardless of corpus size. Part of the operators'
+    * documented semantics (mirrored in the oracle SQL), never reached
+    * by real rarest-token blocks at the fixture scales.
     */
-  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val FuzzyBlockCap = 4096L
+
+  /** The deduplicated name dictionary with RAREST-TOKEN blocks: each
+    * name's block key is its lowest-document-frequency token (ties
+    * broken lexicographically) — the df-ranked rarest-first
+    * discipline of [[graft.dedup.DedupOps.prefixFilterJaccard]]
+    * applied at token granularity. First-token blocking (rounds
+    * 2–10) keyed on the catalog's ~90-word leading-adjective
+    * vocabulary, so blocks grew LINEARLY with the dictionary and
+    * within-block pairs QUADRATICALLY — at 100× the catalog each
+    * block held 10⁴× the pairs. A name's rarest token has df bounded
+    * by the token-frequency tail, so block sizes stay near-constant
+    * as the catalog grows (measured: CandidateEconomy's fuzzy line).
+    * Every stage is a hash join/agg on tok / p_name / blk; the df
+    * table is vocabulary-sized (Heaps-bounded → broadcastable).
+    */
+  private[graft] def blockedNames(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(s, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val toks = names.select(col("p_name"),
+      explode(split(col("p_name"), " ")).as("tok")).distinct()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val blk = toks.join(dfreq, Seq("tok"))
+      .groupBy(col("p_name"))
+      .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("blk"))
+    val sizes = blk.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    names.join(blk, Seq("p_name"))
+      .join(sizes, Seq("blk"))
+      .filter(col("blk_n") <= FuzzyBlockCap)
+      .select(col("blk"), col("p_name"), col("n_parts"))
+  }
+
+  /** Within-block candidate pairs under a given blocked dictionary —
+    * the geometry CandidateEconomy counts (first-token vs rarest-
+    * token) to show what the r11 re-block buys.
+    */
+  private def blockPairs(names: DataFrame): DataFrame = {
     val a = names.select(col("blk"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
     val b = names.select(col("blk"), col("p_name").as("name_b"),
       col("n_parts").as("n_parts_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("name_a") < col("name_b"))
+    a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+  }
+
+  /** The round-2–10 first-token geometry, kept ONLY as the economy
+    * baseline (never a query path): its pair count is what the
+    * rarest-token re-block is measured against.
+    */
+  private[graft] def fuzzyCandidatesFirstToken(s: SparkSession, dir: String): DataFrame =
+    blockPairs(Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0)))
+
+  private[graft] def fuzzyCandidatesRarest(s: SparkSession, dir: String): DataFrame =
+    blockPairs(blockedNames(s, dir))
+
+  /** Blocked fuzzy (edit-distance) join — record-linkage over the
+    * part-name catalog: pairs of DISTINCT names within an edit
+    * distance of 3, found without ever comparing all name pairs. The
+    * 100 TB discipline is the blocking key — candidates must share
+    * their RAREST token ([[blockedNames]]), so the self-join is a
+    * hash equi join on the block and the quadratic levenshtein
+    * predicate runs only inside df-bounded blocks (never
+    * `ON lev(a,b) <= k` alone, which Catalyst can only plan as a
+    * nested loop). Matching runs on the DEDUPLICATED name dictionary
+    * (Heaps-bounded), not the part rows, and each name carries its
+    * part count so a downstream merge knows the mass behind every
+    * alias pair.
+    */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame =
+    blockPairs(blockedNames(s, dir))
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 3)
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_parts_a"), col("n_parts_b"))
-  }
 
   /** [[joinFuzzy]] with a similarity score instead of an edit-distance
     * cut: Jaro–Winkler ≥ 0.88 via the custom codegen'd
@@ -333,15 +386,7 @@ object Joins {
   def joinFuzzyJaro(s: SparkSession, dir: String): DataFrame = {
     graft.functions.StringFunctions.register(s)
     val jw = graft.functions.StringFunctions.jaroWinkler _
-    val names = Tables.part(s, dir)
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", split(col("p_name"), " ").getItem(0))
-    val a = names.select(col("blk"), col("p_name").as("name_a"),
-      col("n_parts").as("n_parts_a"))
-    val b = names.select(col("blk"), col("p_name").as("name_b"),
-      col("n_parts").as("n_parts_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("name_a") < col("name_b"))
+    blockPairs(blockedNames(s, dir))
       .withColumn("sim", round(jw(col("name_a"), col("name_b")), 6))
       .filter(col("sim") >= 0.88)
       .select(col("name_a"), col("name_b"), col("sim"),
@@ -351,7 +396,7 @@ object Joins {
   /** End-to-end entity resolution (record linkage) — the pipeline a
     * catalog/vendor master runs to collapse alias spellings into one
     * golden record: (1) block the deduplicated name dictionary on the
-    * leading token, (2) score candidate pairs with the codegen'd
+    * rarest token ([[blockedNames]]), (2) score candidate pairs with the codegen'd
     * Jaro–Winkler expression (the [[joinFuzzyJaro]] geometry — never
     * an all-pairs nested loop), (3) resolve transitive match chains
     * with min-label connected components
@@ -392,9 +437,13 @@ object Joins {
     val names = Tables.part(s, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .withColumn("nid", graft.text.SplitHash.fold(col("p_name").cast("binary")))
-      .withColumn("blk", split(col("p_name"), " ").getItem(0))
-    val a = names.select(col("blk"), col("p_name").as("name_a"), col("nid").as("nid_a"))
-    val b = names.select(col("blk"), col("p_name").as("name_b"), col("nid").as("nid_b"))
+    // pairs come from the CAPPED rarest-token blocks; the final
+    // aggregation runs over ALL names (a cap-dropped name passes
+    // through as a singleton entity, it is never lost)
+    val blocked = blockedNames(s, dir)
+      .withColumn("nid", graft.text.SplitHash.fold(col("p_name").cast("binary")))
+    val a = blocked.select(col("blk"), col("p_name").as("name_a"), col("nid").as("nid_a"))
+    val b = blocked.select(col("blk"), col("p_name").as("name_b"), col("nid").as("nid_b"))
     val pairs = a.join(b, Seq("blk"))
       .filter(col("name_a") < col("name_b"))
       .filter(round(jw(col("name_a"), col("name_b")), 6) >= 0.88)
@@ -410,14 +459,34 @@ object Joins {
       .select(col("canonical_name"), col("n_aliases"), col("total_parts"))
   }
 
+  /** DuckDB mirror of [[blockedNames]]: rarest-token blocks with the
+    * frequency cap. `nExtra` threads extra per-name expressions (the
+    * ER node id) through the dictionary CTE.
+    */
+  private def blockedDictSql(nExtra: String): String =
+    s"""n AS (
+       |  SELECT p_name, COUNT(*) AS n_parts$nExtra
+       |  FROM part GROUP BY p_name),
+       |tokset AS (
+       |  SELECT DISTINCT p_name, tok FROM (
+       |    SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM n)),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tokset GROUP BY 1),
+       |blk AS (
+       |  SELECT p_name, tok AS blk FROM (
+       |    SELECT t.p_name, t.tok,
+       |      row_number() OVER (PARTITION BY t.p_name ORDER BY d.df, t.tok) AS rn
+       |    FROM tokset t JOIN dfq d USING (tok))
+       |  WHERE rn = 1),
+       |sz AS (SELECT blk, COUNT(*) AS blk_n FROM blk GROUP BY 1),
+       |nb AS (
+       |  SELECT n.*, b.blk
+       |  FROM n JOIN blk b USING (p_name) JOIN sz USING (blk)
+       |  WHERE blk_n <= $FuzzyBlockCap)""".stripMargin
+
   private val entityResolutionOracle =
-    s"""WITH RECURSIVE n AS (
-       |  SELECT p_name, COUNT(*) AS n_parts,
-       |    ${graft.text.SplitHash.foldSql("p_name")} AS nid,
-       |    split_part(p_name, ' ', 1) AS blk
-       |  FROM part GROUP BY 1),
+    s"""WITH RECURSIVE ${blockedDictSql(s",\n    ${graft.text.SplitHash.foldSql("p_name")} AS nid")},
        |m AS (
-       |  SELECT a.nid AS u, b.nid AS v FROM n a JOIN n b
+       |  SELECT a.nid AS u, b.nid AS v FROM nb a JOIN nb b
        |  ON a.blk = b.blk AND a.p_name < b.p_name
        |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88),
        |e AS (SELECT u, v FROM m UNION SELECT v, u FROM m),
@@ -516,24 +585,18 @@ object Joins {
         |FROM u JOIN b ON u_start <= b_end AND b_start <= u_end
         |GROUP BY 1""".stripMargin)(joinInterval),
     Q("join_fuzzy",
-      """WITH n AS (
-        |  SELECT p_name, COUNT(*) AS n_parts,
-        |    split_part(p_name, ' ', 1) AS blk
-        |  FROM part GROUP BY 1)
+      s"""WITH ${blockedDictSql("")}
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
         |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
-        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)(joinFuzzy),
     Q("join_fuzzy_jaro",
-      """WITH n AS (
-        |  SELECT p_name, COUNT(*) AS n_parts,
-        |    split_part(p_name, ' ', 1) AS blk
-        |  FROM part GROUP BY 1)
+      s"""WITH ${blockedDictSql("")}
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim,
         |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
-        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88"""
         .stripMargin)(joinFuzzyJaro),
     Q("entity_resolution", entityResolutionOracle)(entityResolution),

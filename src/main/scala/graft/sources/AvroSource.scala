@@ -68,13 +68,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * one-dimensional arrays of all of the above.
   *
   * Commit protocol: writers stage to `.part-…-<uuid>.avro.inprogress`
-  * and rename on task commit (rename is atomic on HDFS and local
-  * filesystems; Spark's output commit coordinator guarantees a single
-  * committing attempt per partition), so a failed/speculated task
-  * never leaves a half-written visible file. `mode("overwrite")` maps
-  * to V2 truncate, which clears the directory on the driver before
-  * tasks launch — directory-level overwrite is not atomic (same
-  * contract as Spark's own file sinks without a commit log).
+  * and report the staged path in their commit message; files become
+  * visible only at `BatchWrite.commit`, where the DRIVER renames every
+  * staged file to its final name (rename is atomic per file on HDFS
+  * and local filesystems; Spark's output commit coordinator guarantees
+  * a single committing attempt per partition). A job that fails after
+  * some tasks committed therefore publishes NOTHING — job abort (and
+  * any rename failure, which rolls back files it already published)
+  * deletes the staged files — matching the job-commit visibility of
+  * Spark's own file sinks. `mode("overwrite")` maps to V2 truncate,
+  * which clears the directory on the driver before tasks launch —
+  * directory-level overwrite is not atomic (same contract as Spark's
+  * own file sinks without a commit log).
   */
 class AvroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -101,6 +106,25 @@ class AvroSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new AvroTable(schema, properties.get("path"))
+}
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; this is the
+  * standard wrapper (the upstream `SerializableConfiguration` is
+  * `private[spark]`) so executors see the DRIVER's session conf —
+  * S3A credentials, custom defaultFS, kerberos — instead of a bare
+  * `new Configuration()` that only resolves local defaults.
+  */
+private[sources] class SerializableConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }
 
 private[sources] object AvroSource {
@@ -195,24 +219,25 @@ private[sources] class AvroScan(readSchemaV: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(readSchemaV)
+    new AvroReaderFactory(readSchemaV,
+      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private[sources] class AvroReaderFactory(readSchema: StructType)
-    extends PartitionReaderFactory {
+private[sources] class AvroReaderFactory(readSchema: StructType,
+    conf: SerializableConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroRangeReader(partition.asInstanceOf[AvroRange], readSchema)
+    new AvroRangeReader(partition.asInstanceOf[AvroRange], readSchema, conf.value)
 }
 
 /** Reads the blocks of one byte range of one container file: sync to
   * the first block at/after `start`, stop at the first sync past
-  * `start + length`. Tasks create a fresh Hadoop Configuration —
-  * local/HDFS paths resolve from defaults; this source ships no
-  * custom filesystem conf.
+  * `start + length`. The Hadoop conf is the DRIVER's session conf,
+  * shipped via [[SerializableConf]], so conf-dependent filesystems
+  * (S3A credentials, custom defaultFS) resolve on executors too.
   */
-private[sources] class AvroRangeReader(range: AvroRange, schema: StructType)
-    extends PartitionReader[InternalRow] {
-  private val in = new FsInput(new Path(range.file), new Configuration())
+private[sources] class AvroRangeReader(range: AvroRange, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  private val in = new FsInput(new Path(range.file), conf)
   private val projected: AvroSchema = {
     val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
     try AvroConversions.projectWriterSchema(r.getSchema, schema)
@@ -220,7 +245,7 @@ private[sources] class AvroRangeReader(range: AvroRange, schema: StructType)
   }
   private val reader: DataFileReader[GenericRecord] = {
     // reopen with the projecting datum reader
-    val in2 = new FsInput(new Path(range.file), new Configuration())
+    val in2 = new FsInput(new Path(range.file), conf)
     val rr = new DataFileReader[GenericRecord](
       in2, new GenericDatumReader[GenericRecord](null, projected))
     rr.sync(range.start)
@@ -278,10 +303,30 @@ private[sources] class AvroWrite(info: LogicalWriteInfo, path: String,
     val avroSchema = AvroConversions.toAvroSchema(info.schema())
     val codec = Option(info.options().get("codec")).getOrElse("deflate")
     val syncBytes = Option(info.options().get("sync.bytes")).map(_.toInt).getOrElse(64 << 10)
-    new AvroWriterFactory(path, info.schema(), avroSchema.toString, codec, syncBytes)
+    new AvroWriterFactory(path, info.schema(), avroSchema.toString, codec, syncBytes,
+      new SerializableConf(conf))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Publish point: rename every staged file to its final name,
+    * driver-side. Before this, the directory holds only hidden
+    * `.inprogress` files (invisible to readers) — so a job that fails
+    * after some TASKS committed publishes nothing. A rename failure
+    * rolls back the files this commit already published, then throws
+    * (Spark calls `abort`, which clears the remaining staged files).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = FileSystem.get(new Path(path).toUri, conf)
+    val published = ArrayBuffer[Path]()
+    messages.foreach { case AvroCommit(stage, dest) =>
+      val (s, d) = (new Path(stage), new Path(dest))
+      if (!fs.rename(s, d)) {
+        published.foreach(p => fs.delete(p, false))
+        throw new java.io.IOException(s"graft-avro commit: rename $s -> $d failed")
+      }
+      published += d
+    }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -293,20 +338,22 @@ private[sources] class AvroWrite(info: LogicalWriteInfo, path: String,
   }
 }
 
-private[sources] case class AvroCommit(file: String) extends WriterCommitMessage
+private[sources] case class AvroCommit(stage: String, dest: String)
+    extends WriterCommitMessage
 
 private[sources] class AvroWriterFactory(path: String, schema: StructType,
-    avroSchemaJson: String, codec: String, syncBytes: Int)
+    avroSchemaJson: String, codec: String, syncBytes: Int, conf: SerializableConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(path, schema, avroSchemaJson, codec, syncBytes, partitionId, taskId)
+    new AvroDataWriter(path, schema, avroSchemaJson, codec, syncBytes,
+      partitionId, taskId, conf.value)
 }
 
 private[sources] class AvroDataWriter(dir: String, schema: StructType,
     avroSchemaJson: String, codec: String, syncBytes: Int,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, hconf: Configuration) extends DataWriter[InternalRow] {
   private val avroSchema = new AvroSchema.Parser().parse(avroSchemaJson)
-  private val fs = FileSystem.get(URI.create(dir), new Configuration())
+  private val fs = FileSystem.get(URI.create(dir), hconf)
   private val finalPath =
     new Path(dir, f"part-$partitionId%05d-$taskId.avro")
   private val stagePath =
@@ -341,10 +388,11 @@ private[sources] class AvroDataWriter(dir: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
+    // publish NOTHING here: the file stays .inprogress (hidden) until
+    // BatchWrite.commit renames it on the driver — task commit only
+    // seals the bytes and reports where they are
     writer.close()
-    if (!fs.rename(stagePath, finalPath))
-      throw new java.io.IOException(s"rename $stagePath -> $finalPath failed")
-    AvroCommit(finalPath.toString)
+    AvroCommit(stagePath.toString, finalPath.toString)
   }
 
   override def abort(): Unit = {

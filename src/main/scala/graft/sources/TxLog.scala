@@ -506,14 +506,33 @@ object TxLog {
             val name = c.getPath.toDotString
             val st = c.getStatistics
             val pt = c.getPrimitiveType
-            val kindOpt = pt.getPrimitiveTypeName match {
-              case INT32 | INT64 => Some("long")
-              case FLOAT | DOUBLE => Some("double")
-              case BINARY if pt.getLogicalTypeAnnotation
-                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-                Some("string")
-              case _ => None
-            }
+            // (kind, stat-string rescaler). Logical-type annotations
+            // change what the raw stat MEANS: decimal INT32/INT64 store
+            // UNSCALED ints, so comparing them to the scaled literal the
+            // predicate carries would prune files that contain matching
+            // rows (unsound). Rescale decimals; leave date/time/
+            // timestamp-annotated ints unclassified (fail open — their
+            // literals never pass numericLit anyway).
+            val ann = pt.getLogicalTypeAnnotation
+            val kindOpt: Option[(String, String => String)] =
+              pt.getPrimitiveTypeName match {
+                case INT32 | INT64 => ann match {
+                  case null => Some(("long", identity[String] _))
+                  case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    Some(("long", identity[String] _))
+                  case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                    val sc = d.getScale
+                    Some(("long", (raw: String) => new java.math.BigDecimal(
+                      new java.math.BigInteger(raw), sc).toPlainString))
+                  case _ => None
+                }
+                case FLOAT | DOUBLE if ann == null =>
+                  Some(("double", identity[String] _))
+                case BINARY if ann
+                    .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  Some(("string", identity[String] _))
+                case _ => None
+              }
             // NaN/Infinity stats have no usable total order against
             // BigDecimal bounds — poison rather than crash later
             def finite(k: String): Boolean =
@@ -523,7 +542,7 @@ object TxLog {
                 java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
               }
             val part: Option[(String, Option[(String, String)], Long)] = kindOpt match {
-              case Some(kind) if st != null && !st.isEmpty &&
+              case Some((kind, rescale)) if st != null && !st.isEmpty &&
                   st.hasNonNullValue && finite(kind) =>
                 val mnmx = kind match {
                   case "string" =>
@@ -531,10 +550,11 @@ object TxLog {
                        .toStringUsingUTF8,
                      st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
                        .toStringUsingUTF8)
-                  case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+                  case _ => (rescale(st.genericGetMin.toString),
+                             rescale(st.genericGetMax.toString))
                 }
                 Some((kind, Some(mnmx), st.getNumNulls)) // -1 = unknown, kept
-              case Some(kind) if st != null && !st.isEmpty &&
+              case Some((kind, _)) if st != null && !st.isEmpty &&
                   !st.hasNonNullValue && st.getNumNulls == b.getRowCount =>
                 Some((kind, None, b.getRowCount)) // all-null row group
               case _ => None
@@ -593,6 +613,17 @@ object TxLog {
     var attempts = 0
     while (attempts < 1000) {
       val head = currentVersion(s, table)
+      // exactly-once guard EVERY iteration, after resolving the head:
+      // two concurrent replays of the same (appId, batchId) can both
+      // pass appendBatch's entry check; a writer must stand down if a
+      // commit >= batchId is already in the log. Checking after head
+      // resolution makes this airtight: if our create of head+1
+      // succeeds, any competing commit is <= head (this check scanned
+      // it) or >= head+2 (that writer's own check scans OUR entry).
+      txn.foreach { case (appId, batchId) =>
+        if (lastCommittedBatch(s, table, appId).exists(_ >= batchId))
+          return currentVersion(s, table)
+      }
       expectedBase.foreach { b =>
         if (head != b) throw new ConflictException(
           s"$action based on version $b but head is $head: " +
@@ -893,6 +924,17 @@ object TxLog {
     * (last `keepVersions`, at least the head) plus any orphans no log
     * entry ever referenced (crashed commits). Publishes the new
     * retention floor; reads below it fail loudly thereafter.
+    *
+    * Concurrent-reader ordering argument (TxLogSpec pins both arms):
+    * the floor entry commits BEFORE any file is deleted, so a reader
+    * that resolves a pre-floor version after the commit is refused up
+    * front by `snapshotState`'s floor check; a reader that resolved
+    * BEFORE the commit holds a fixed file list, and if vacuum then
+    * deletes from under its scan, the missing input is a task-level
+    * FileNotFoundException that fails the whole job (Spark's
+    * `ignoreMissingFiles` is off by default and this source never
+    * enables it) — loud failure in both interleavings, never a
+    * silent partial result.
     */
   /** Unreferenced files younger than this are presumed to belong to
     * an IN-FLIGHT commit (data moves in before the log entry

@@ -55,7 +55,11 @@ object GraftGlue {
       case other => Seq(other)
     }
     def attr(n: ci.ColumnNode): Option[String] = n match {
-      case a: ci.UnresolvedAttribute => a.nameParts.lastOption
+      // only single-part names: a nested-field reference like col("a.b")
+      // must NOT produce a bound on a top-level column named "b" — that
+      // would prune files against the wrong column's stats (unsound)
+      case a: ci.UnresolvedAttribute if a.nameParts.size == 1 =>
+        a.nameParts.headOption
       // deliberately NO Cast unwrapping: a narrowing/truncating cast
       // changes which raw values satisfy the comparison (e.g.
       // cast(value as int) === 5 matches value 5.7), so bounds read

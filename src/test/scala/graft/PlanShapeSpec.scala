@@ -137,6 +137,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy family pairs candidates with a hash equi join on rarest-token blocks") {
+    Seq("join_fuzzy", "join_fuzzy_jaro").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$n: candidate generation is not an equi join on the block key")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n: quadratic join shape:\n${p.take(1500)}")
+      // the similarity predicate must sit ABOVE the block join as a
+      // filter, never as the join condition of a nested loop
+      assert(p.contains("min_by") || p.contains("MinBy"),
+        s"$n: rarest-token selection (min_by aggregate) missing from the plan")
+    }
+  }
+
   test("contrastive triplets: one nested loop (positives search) and a hash negatives join") {
     // the allowlist above admits the whole query; this pins the parts:
     // exactly ONE nested-loop join (the documented brute positive

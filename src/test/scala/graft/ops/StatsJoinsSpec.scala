@@ -101,9 +101,16 @@ class StatsJoinsSpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
+    // independent rarest-token blocking reference (r11 geometry):
+    // token df over the distinct-name dictionary, each name blocked
+    // on its (df, token)-min token, pairs within equal blocks
+    val df = names.keys.toSeq.flatMap(_.split(" ").distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    def blk(n: String): String =
+      n.split(" ").distinct.minBy(t => (df(t), t))
     val brute = (for {
       a <- names.keys; b <- names.keys
-      if a < b && a.split(" ")(0) == b.split(" ")(0) && lev(a, b) <= 3
+      if a < b && blk(a) == blk(b) && lev(a, b) <= 3
     } yield (a, b, lev(a, b).toLong, names(a), names(b))).toSet
     val got = Joins.joinFuzzy(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

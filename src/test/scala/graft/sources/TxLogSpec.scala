@@ -135,6 +135,32 @@ class TxLogSpec extends AnyFunSuite {
     assert(ids(t) === (20L until 35L).toSet)
   }
 
+  test("floor-check-then-read race: a pre-vacuum reader fails loudly, never partially") {
+    // the one interleaving the floor check cannot cover: the reader
+    // resolves its snapshot (floor check passes, file list fixed),
+    // THEN vacuum raises the floor and deletes those files, THEN the
+    // reader scans. The scan must ERROR (missing input is a task
+    // failure), not silently return the subset of files that survived
+    val t = tmpTable("vacrace")
+    TxLog.create(spark, t, spark.range(0, 100).toDF().repartition(4))  // v0
+    TxLog.overwrite(spark, t, spark.range(100, 200).toDF().repartition(4)) // v1
+    val preResolved = TxLog.read(spark, t, Some(0L)) // snapshot fixed at v0's files
+    TxLog.vacuum(spark, t, keepVersions = 1, minAgeMs = 0L) // v0's files deleted
+    val err = intercept[Exception] { preResolved.count() }
+    def chain(e: Throwable): Seq[Throwable] =
+      if (e == null) Seq.empty else e +: chain(e.getCause)
+    assert(chain(err).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("does not exist") ||
+        String.valueOf(c.getMessage).contains("FileNotFound")),
+      s"expected a missing-file failure, got: $err")
+    // a reader arriving AFTER the floor commit is refused up front
+    // (vacuum publishes the floor BEFORE deleting — the ordering that
+    // closes the other half of the window)
+    val refused = intercept[IllegalStateException] { TxLog.read(spark, t, Some(0L)) }
+    assert(refused.getMessage.contains("vacuumed"))
+  }
+
   test("vacuum age guard: fresh unreferenced files are presumed in-flight") {
     val t = tmpTable("vacage")
     TxLog.create(spark, t, spark.range(0, 10).toDF().coalesce(1))
@@ -443,5 +469,64 @@ class TxLogSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("schema"))
     TxLog.overwrite(spark, t, spark.range(0, 5).select($"id", lit(1L).as("extra")))
     assert(TxLog.read(spark, t).columns.toSeq === Seq("id", "extra"))
+  }
+
+  test("decimal-column stats compare SCALED: no unsound pruning, skipping still works") {
+    // Spark writes decimal(p<=18) as INT32/INT64 with a decimal
+    // annotation whose parquet min/max are UNSCALED ints; the pruner
+    // must compare them at the column's scale, or a predicate like
+    // d < 2.00 wrongly prunes a file whose values are 0.00..0.99
+    // (stored 0..99, "min 0 > 2" → excluded)
+    val t = tmpTable("dec")
+    TxLog.create(spark, t, spark.range(0, 800)
+      .select(($"id".cast("decimal(10,2)") / 100).cast("decimal(10,2)").as("d"), $"id")
+      .repartitionByRange(8, $"d"))
+    // correctness first: every matching row survives pruning
+    assert(TxLog.readWhere(spark, t, $"d" < lit(BigDecimal("2.00"))).count() === 200L)
+    assert(TxLog.readWhere(spark, t, $"d" === lit(BigDecimal("7.99"))).count() === 1L)
+    // and the stats still PRUNE (rescaled, not dropped fail-open)
+    val (sel, total) = TxLog.pruneFiles(spark, t, $"d" < lit(BigDecimal("1.00")))
+    assert(total === 8 && sel.size <= 2,
+      s"rescaled decimal stats should skip disjoint files, selected ${sel.size} of $total")
+  }
+
+  test("nested-field predicates produce no bounds (no collision with a top-level twin)") {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    // col("a.b") names a NESTED field; a bound on top-level "b" would
+    // prune against the wrong column's stats — the matcher must emit
+    // nothing for multi-part names (fail open)
+    assert(GraftGlue.comparisonBounds(col("a.b") < 5).isEmpty)
+    assert(GraftGlue.comparisonBounds(col("a.b") < 5 && col("c") >= 1) ===
+      Seq(("c", ">=", 1)))
+    // end-to-end: a table with top-level "b" must not lose rows to a
+    // predicate on a struct's inner b
+    val t = tmpTable("nested")
+    TxLog.create(spark, t, spark.range(0, 100)
+      .select(struct(($"id" + 1000).as("b")).as("a"), $"id".as("b"))
+      .repartitionByRange(4, $"b"))
+    val (sel, total) = TxLog.pruneFiles(spark, t, col("a.b") < 10)
+    assert(total === 4 && sel.size === 4, "nested predicate must not prune by top-level stats")
+    assert(TxLog.readWhere(spark, t, col("a.b") < lit(1010L)).count() === 10L)
+  }
+
+  test("concurrent replays of the SAME (appId, batchId) commit at most once") {
+    // both writers pass appendBatch's entry check before either
+    // commits; the loser of the create-if-absent race must re-read
+    // the txn map at the new head and stand down
+    (0 until 5).foreach { round =>
+      val t = tmpTable(s"race$round")
+      TxLog.create(spark, t, spark.range(0, 0).toDF())
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val fs = (1 to 2).map { _ =>
+        Future {
+          barrier.await()
+          TxLog.appendBatch(spark, t, spark.range(0, 10).toDF(), "racer", 0L)
+        }
+      }
+      fs.foreach(Await.result(_, 60.seconds))
+      assert(TxLog.read(spark, t).count() === 10L,
+        s"round $round: batch 0 double-committed")
+      assert(TxLog.lastCommittedBatch(spark, t, "racer") === Some(0L))
+    }
   }
 }
