@@ -313,15 +313,22 @@ object Joins {
   private[graft] def blockedNames(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(s, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-    val toks = names.select(col("p_name"),
-      explode(split(col("p_name"), " ")).as("tok")).distinct()
+    // array_distinct inside the row replaces a row-level DISTINCT
+    // shuffle (a name's duplicate tokens never reach the exchange),
+    // and n_parts rides along so no join back to the dictionary
+    val toks = names.select(col("p_name"), col("n_parts"),
+      explode(array_distinct(split(col("p_name"), " "))).as("tok"))
+    // df and block-size tables are vocabulary-/block-count-sized
+    // (Heaps-bounded) — broadcast them; the only real exchange in the
+    // whole chain is the per-name min_by aggregation (skew-free: the
+    // key is the unique name)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val blk = toks.join(dfreq, Seq("tok"))
+    val blk = toks.join(broadcast(dfreq), Seq("tok"))
       .groupBy(col("p_name"))
-      .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("blk"))
+      .agg(max(col("n_parts")).as("n_parts"),
+        min_by(col("tok"), struct(col("df"), col("tok"))).as("blk"))
     val sizes = blk.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
-    names.join(blk, Seq("p_name"))
-      .join(sizes, Seq("blk"))
+    blk.join(broadcast(sizes), Seq("blk"))
       .filter(col("blk_n") <= FuzzyBlockCap)
       .select(col("blk"), col("p_name"), col("n_parts"))
   }
@@ -448,7 +455,14 @@ object Joins {
       .filter(col("name_a") < col("name_b"))
       .filter(round(jw(col("name_a"), col("name_b")), 6) >= 0.88)
       .select(col("nid_a"), col("nid_b"))
-    val labels = graft.dedup.DedupOps.connectedComponents(pairs)
+    // lineage cut before the fixpoint: the component loop compounds
+    // each round's plan on top of this tree, and the r11 blocking
+    // chain (df → min_by → cap) is deep enough that Catalyst
+    // re-planning — not data — dominated (measured 21 s of a 38 s ER
+    // at sf0.1). A LogicalRDD leaf bounds every round's plan — the
+    // same discipline as starContraction's per-round rebuild.
+    val cut = s.createDataFrame(pairs.rdd, pairs.schema)
+    val labels = graft.dedup.DedupOps.connectedComponents(cut)
       .toDF("nid", "entity")
     names.join(labels, Seq("nid"), "left")
       .withColumn("entity", coalesce(col("entity"), col("nid")))

@@ -88,18 +88,29 @@ class AvroSource extends TableProvider with DataSourceRegister {
   // bypass inference
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Table schema = union-by-name over every file's WRITER schema
+    * (Avro schema-resolution evolution: a directory accumulates files
+    * from drifted producers — added/dropped nullable fields — and the
+    * table exposes all of them, null-filling where a file lacks one).
+    * Same-name fields must agree on type (strict, loud). Header reads
+    * are O(files) driver-side; a production table records its schema
+    * in a catalog/commit log instead — `.schema(...)` bypasses this.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = AvroSource.requirePath(options)
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = AvroSource.listAvroFiles(path, conf)
     if (files.isEmpty) new StructType() // write to a fresh dir: schema comes from the query
     else {
-      val in = new FsInput(files.head.getPath, conf)
-      try {
-        val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
-        try AvroConversions.toStructType(r.getSchema)
-        finally r.close()
-      } finally in.close()
+      val perFile = files.map { f =>
+        val in = new FsInput(f.getPath, conf)
+        try {
+          val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+          try AvroConversions.toStructType(r.getSchema)
+          finally r.close()
+        } finally in.close()
+      }
+      AvroConversions.mergeSchemas(perFile)
     }
   }
 
@@ -515,20 +526,77 @@ private[sources] object AvroConversions {
     if (nullable) AvroSchema.createUnion(AvroSchema.create(NULL), base) else base
   }
 
-  /** Reader schema for one file: the writer schema with only the
-    * requested fields, KEEPING the writer's field schemas verbatim —
-    * so Avro schema resolution is a pure projection (skipped fields
-    * are decoded as skips, never materialized) and can never hit a
-    * type-promotion edge. Field order follows the requested struct,
-    * which is the row layout the scan emits.
+  /** Union-by-name of per-file schemas, for inference over a
+    * directory whose files carry DRIFTED writer schemas. Field order
+    * is first-seen; a field absent from any file is forced nullable
+    * (that file null-fills it); same-name type conflicts fail loudly
+    * (the strict-matrix discipline — promotion is type drift, not
+    * evolution, on a 100 TB ingest).
+    */
+  def mergeSchemas(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    schemas.foreach(_.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"graft-avro: column '${f.name}' has conflicting types across files: " +
+            s"${prev.dataType.simpleString} vs ${f.dataType.simpleString}")
+          order(f.name) = prev.copy(nullable = prev.nullable || f.nullable)
+      }
+    })
+    StructType(order.values.map { f =>
+      if (schemas.forall(_.fieldNames.contains(f.name))) f
+      else f.copy(nullable = true)
+    }.toArray)
+  }
+
+  /** Type-drift check that still admits Catalyst's NESTED pruning: a
+    * requested struct may be a SUBSET of the file's struct (the scan
+    * asks for `rec.inner.deep` only — that is pruning, not drift; the
+    * nested read converter binds those fields by name). Leaf types
+    * must match exactly — promotion is drift, refused loudly.
+    */
+  private def compatible(req: DataType, file: DataType): Boolean = (req, file) match {
+    case (r: StructType, f: StructType) =>
+      r.fields.forall(rf =>
+        f.fields.find(_.name == rf.name).exists(ff => compatible(rf.dataType, ff.dataType)))
+    case (ArrayType(re, _), ArrayType(fe, _)) => compatible(re, fe)
+    case (MapType(rk, rv, _), MapType(fk, fv, _)) =>
+      compatible(rk, fk) && compatible(rv, fv)
+    case _ => req == file
+  }
+
+  /** Reader schema for one file: the table's requested fields bound
+    * to the writer schema by name. A field the writer HAS keeps the
+    * writer's field schema verbatim — resolution is a pure projection
+    * (skipped fields are decoded as skips, never materialized), and a
+    * type-drifted field fails loudly at bind time, never a coerced
+    * read. A field the writer LACKS (schema evolution: the file
+    * predates the column) enters the reader schema as
+    * `union(null, T)` with a null default, which Avro's resolution
+    * rules decode as null for every record — the null-fill contract,
+    * per the spec's "reader's field not present in writer" rule. Field
+    * order follows the requested struct, which is the row layout the
+    * scan emits.
     */
   def projectWriterSchema(writer: AvroSchema, required: StructType): AvroSchema = {
     require(writer.getType == RECORD,
       s"graft-avro: container schema must be a record, got ${writer.getType}")
     val fields = required.fields.map { f =>
       val wf = writer.getField(f.name)
-      require(wf != null, s"graft-avro: column '${f.name}' not present in file schema $writer")
-      new AvroSchema.Field(f.name, wf.schema(), null, wf.defaultVal())
+      if (wf != null) {
+        val (dt, _) = toCatalyst(wf.schema())
+        require(compatible(f.dataType, dt),
+          s"graft-avro: column '${f.name}' is ${dt.simpleString} in the file's " +
+          s"writer schema but the table expects ${f.dataType.simpleString}")
+        new AvroSchema.Field(f.name, wf.schema(), null, wf.defaultVal())
+      } else {
+        require(f.nullable,
+          s"graft-avro: non-nullable column '${f.name}' missing from file schema $writer")
+        new AvroSchema.Field(f.name, fieldSchema(f.dataType, nullable = true,
+          s"evolved_${f.name}"), null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+      }
     }
     AvroSchema.createRecord(writer.getName, null, writer.getNamespace, false,
       java.util.Arrays.asList(fields: _*))

@@ -106,6 +106,47 @@ object FileSources {
       .select(col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us")))
 
+  /** One directory, two producer generations with DRIFTED writer
+    * schemas (the Avro mirror of [[evolvedDir]], but in a single flat
+    * dir — the point is PER-FILE schema resolution, not partition
+    * discovery): generation 1 wrote (event_id, user_id, value),
+    * generation 2 (event_id, user_id, event_type). Inference unions
+    * the file schemas by name; each file's reader null-fills the
+    * column it predates, per Avro's resolution rules.
+    */
+  private def evolvedAvroDir(s: SparkSession, dir: String): String = synchronized {
+    val key = Tables.dirKey(dir)
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/avro-evolve/$key"
+    if (!written.contains(out)) {
+      val ev = Tables.events(s, dir)
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").format("graft-avro").save(out)
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("append").format("graft-avro").save(out)
+      written += out
+    }
+    out
+  }
+
+  /** Same rollup contract as [[evolvedEvents]]; the batch tag comes
+    * from event_id parity (the write split), since a flat Avro dir
+    * has no partition column to discover.
+    */
+  def avroEvolvedEvents(s: SparkSession, dir: String): DataFrame = {
+    val batch = when(pmod(col("event_id"), lit(2)) === 0, 1L).otherwise(2L)
+    s.read.format("graft-avro").load(evolvedAvroDir(s, dir))
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_with_value"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"),
+        min(batch).as("min_batch"),
+        max(batch).as("max_batch"))
+  }
+
   /** Two parquet batches with EVOLVED schemas, written once per
     * (JVM, dir): batch b=1 is the "legacy" shape (event_id, user_id,
     * value — no event_type column yet), batch b=2 the "current" one
@@ -381,5 +422,6 @@ object FileSources {
     Q("source_csv_corrupt", corruptOracle)(corruptCsv),
     Q("source_jdbc", rollupOracle)(jdbcEvents),
     Q("source_avro", rollupOracle)(avroEvents),
+    Q("source_avro_evolved", evolvedOracle)(avroEvolvedEvents),
   )
 }

@@ -89,12 +89,27 @@ object TxLog {
     */
   final case class AddFile(path: String, bytes: Long,
       rows: Long = -1L, stats: Option[Map[String, ColStats]] = None)
+
+  /** A positional deletion-vector sidecar (merge-on-read, the
+    * published Delta-DV / Iceberg-positional-delete design): a
+    * parquet file of (file STRING, pos BIGINT) rows marking deleted
+    * positions of live data files. `files` is the (superset) list of
+    * data files the sidecar references — a sidecar is LIVE only
+    * while at least one of them is; rewriting every referenced file
+    * (compact/apply/cluster/COW) garbage-collects it at resolution
+    * time with no explicit remove action.
+    */
+  final case class DvFile(path: String, files: Seq[String],
+      rows: Long, bytes: Long)
+
   final case class Entry(version: Long, action: String,
       add: Seq[AddFile], remove: Seq[String],
       schema: Option[String], floor: Option[Long],
-      txnApp: Option[String] = None, txnBatch: Option[Long] = None)
+      txnApp: Option[String] = None, txnBatch: Option[Long] = None,
+      dvAdd: Option[Seq[DvFile]] = None)
 
-  final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile])
+  final case class Snapshot(version: Long, schemaDdl: String,
+      files: Seq[AddFile], dvs: Seq[DvFile] = Seq.empty)
 
   final class ConflictException(msg: String)
     extends RuntimeException(msg)
@@ -154,12 +169,17 @@ object TxLog {
         c -> (("kind" -> st.kind) ~ ("min" -> st.min) ~
           ("max" -> st.max) ~ ("nulls" -> st.nulls)) }))
 
+  private def renderDv(d: DvFile): JObject =
+    ("path" -> d.path) ~ ("files" -> d.files) ~
+      ("rows" -> d.rows) ~ ("bytes" -> d.bytes)
+
   private def renderEntry(e: Entry): Array[Byte] = {
     val j: JObject =
       ("version" -> e.version) ~ ("action" -> e.action) ~
       ("add" -> e.add.map(renderAdd)) ~
       ("remove" -> e.remove) ~ ("schema" -> e.schema) ~ ("floor" -> e.floor) ~
-      ("txnApp" -> e.txnApp) ~ ("txnBatch" -> e.txnBatch)
+      ("txnApp" -> e.txnApp) ~ ("txnBatch" -> e.txnBatch) ~
+      ("dvAdd" -> e.dvAdd.map(_.map(renderDv)))
     JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8")
   }
 
@@ -211,23 +231,30 @@ object TxLog {
         s"time travel below the floor is not possible")
 
     val ckpt = checkpoints.filter(_ <= target).sorted.lastOption
-    val (startFiles, startSchema, replayFrom) = ckpt match {
+    val (startFiles, startDvs, startSchema, replayFrom) = ckpt match {
       case Some(cv) =>
         val st = readCheckpoint(fs, table, cv)
-        (st.files, Option(st.schemaDdl), cv + 1)
-      case None => (Seq.empty[AddFile], None: Option[String], 0L)
+        (st.files, st.dvs.getOrElse(Seq.empty), Option(st.schemaDdl), cv + 1)
+      case None => (Seq.empty[AddFile], Seq.empty[DvFile], None: Option[String], 0L)
     }
     val files = mutable.LinkedHashMap[String, AddFile](startFiles.map(f => f.path -> f): _*)
+    val dvs = mutable.LinkedHashMap[String, DvFile](startDvs.map(d => d.path -> d): _*)
     var schema = startSchema
     (replayFrom to target).foreach { v =>
       val e = readEntry(fs, table, v)
       e.remove.foreach(files.remove)
       e.add.foreach(a => files(a.path) = a)
+      e.dvAdd.foreach(_.foreach(d => dvs(d.path) = d))
       if (e.schema.nonEmpty) schema = e.schema
     }
+    // DV auto-GC: a sidecar referencing no live data file carries
+    // nothing a scan could subtract — drop it from the snapshot (the
+    // physical file stays until vacuum)
+    val liveNames = files.keySet
     Snapshot(target, schema.getOrElse(
       throw new IllegalStateException(s"no schema recorded up to version $target")),
-      files.values.toSeq)
+      files.values.toSeq,
+      dvs.values.filter(_.files.exists(liveNames.contains)).toSeq)
   }
 
   /** Checkpoint payload: the full snapshot at its version plus the
@@ -236,7 +263,8 @@ object TxLog {
     */
   private final case class CkptState(version: Long, schemaDdl: String,
       files: Seq[AddFile], floor: Long,
-      txns: Option[Map[String, Long]] = None)
+      txns: Option[Map[String, Long]] = None,
+      dvs: Option[Seq[DvFile]] = None)
 
   /** Evidence hook (TxLogEconomy): drop the entry/checkpoint caches so
     * a resolution timing measures real metadata I/O, not cache hits.
@@ -292,16 +320,67 @@ object TxLog {
     }
   }
 
-  /** Snapshot read: plain parquet scan over the resolved file list
-    * with the recorded schema — Catalyst sees a normal multi-file
-    * relation (pushdown/pruning intact).
+  // hidden join columns of the DV anti-join (dropped before the
+  // frame is handed out)
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** The one table-scan primitive every read AND every rewrite path
+    * goes through: parquet scan of `files` with the snapshot's live
+    * deletion vectors subtracted. The subtraction is a left-anti join
+    * on (file_name, row_index) — both sides read from Spark's
+    * `_metadata` columns, so positions mean the same thing at DV
+    * CREATION and at scan time. Only sidecars referencing a scanned
+    * file join (a pruned scan subtracts only its own files' DVs), and
+    * the DV side is delete-batch-sized — bounded by maintenance
+    * policy ([[applyDvs]]/[[compact]] fold it back to zero), so AQE
+    * broadcasts it in the common case. Pushdown stays intact: filters
+    * on data columns push through the preserved side of the anti
+    * join into the parquet scan. Every REWRITE path (compact,
+    * cluster, COW delete, merge survivors, applyDvs) reads through
+    * this too — copying raw file bytes would resurrect DV-deleted
+    * rows.
+    */
+  private def scanWithDvs(s: SparkSession, table: String, snap: Snapshot,
+      files: Seq[AddFile], keepMeta: Boolean = false): DataFrame = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    if (files.isEmpty) {
+      val base = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return if (keepMeta)
+        base.withColumn(DvFileCol, lit(null).cast("string"))
+          .withColumn(DvPosCol, lit(null).cast("long"))
+      else base
+    }
+    val paths = files.map(f => new Path(table, f.path).toString)
+    val names = files.map(_.path).toSet
+    val live = snap.dvs.filter(_.files.exists(names.contains))
+    val base = s.read.schema(schema).parquet(paths: _*)
+    if (live.isEmpty && !keepMeta) base
+    else {
+      val tagged = base.select(col("*"),
+        col("_metadata.file_name").as(DvFileCol),
+        col("_metadata.row_index").as(DvPosCol))
+      val out =
+        if (live.isEmpty) tagged
+        else {
+          val dv = s.read
+            .parquet(live.map(d => new Path(table, d.path).toString): _*)
+            .select(col("file").as(DvFileCol), col("pos").as(DvPosCol))
+          tagged.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+        }
+      if (keepMeta) out else out.drop(DvFileCol, DvPosCol)
+    }
+  }
+
+  /** Snapshot read: parquet scan over the resolved file list with the
+    * recorded schema and live deletion vectors applied — Catalyst
+    * sees a normal multi-file relation (pushdown/pruning intact; the
+    * DV anti-join sits above the scan only when DVs exist).
     */
   def read(s: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshotState(s, table, asOf)
-    val paths = snap.files.map(f => new Path(table, f.path).toString)
-    val schema = StructType.fromDDL(snap.schemaDdl)
-    if (paths.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else s.read.schema(schema).parquet(paths: _*)
+    scanWithDvs(s, table, snap, snap.files)
   }
 
   /* ------------------------- data skipping ------------------------- */
@@ -320,13 +399,7 @@ object TxLog {
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshotState(s, table, asOf)
     val (selected, _) = pruneSnapshot(snap, cond)
-    val schema = StructType.fromDDL(snap.schemaDdl)
-    val paths = selected.map(f => new Path(table, f.path).toString)
-    val base =
-      if (paths.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else s.read.schema(schema).parquet(paths: _*)
-    base.filter(cond)
+    scanWithDvs(s, table, snap, selected).filter(cond)
   }
 
   /** (files the predicate may touch, total files in the snapshot).
@@ -608,7 +681,8 @@ object TxLog {
   private def commit(s: SparkSession, table: String, action: String,
       add: Seq[AddFile], remove: Seq[String], schema: Option[String],
       expectedBase: Option[Long], floor: Option[Long] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      dvAdd: Seq[DvFile] = Seq.empty): Long = {
     val fs = fsOf(s, table)
     var attempts = 0
     while (attempts < 1000) {
@@ -631,7 +705,8 @@ object TxLog {
       }
       val v = head + 1
       val e = Entry(v, action, add, remove, schema, floor,
-        txn.map(_._1), txn.map(_._2))
+        txn.map(_._1), txn.map(_._2),
+        if (dvAdd.isEmpty) None else Some(dvAdd))
       if (atomicCreate(fs, entryPath(table, v), renderEntry(e))) {
         if (v % CheckpointInterval == 0 && v > 0) writeCheckpoint(s, fs, table, v)
         return v
@@ -659,7 +734,8 @@ object TxLog {
       }
     val j: JObject = ("version" -> v) ~ ("schemaDdl" -> snap.schemaDdl) ~
       ("files" -> snap.files.map(renderAdd)) ~
-      ("floor" -> floor) ~ ("txns" -> txns)
+      ("floor" -> floor) ~ ("txns" -> txns) ~
+      ("dvs" -> snap.dvs.map(renderDv))
     atomicCreate(fs, checkpointPath(table, v),
       JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
     () // if a racer already wrote it, theirs is identical
@@ -779,26 +855,149 @@ object TxLog {
     */
   def deleteWhere(s: SparkSession, table: String, cond: Column): Long = {
     val base = snapshotState(s, table)
-    val abs = base.files.map(f => new Path(table, f.path).toString)
-    val schema = StructType.fromDDL(base.schemaDdl)
-    if (abs.isEmpty) return base.version
-    val df = s.read.schema(schema).parquet(abs: _*)
+    if (base.files.isEmpty) return base.version
     // file-level skipping measured from the data itself: a per-file
-    // match count is one partial-aggregated scan, no stats infra
+    // match count is one partial-aggregated scan, no stats infra.
+    // DV-applied, so an already-DV-deleted match can't dirty a file
+    val df = scanWithDvs(s, table, base, base.files, keepMeta = true)
     val dirtyNames = df.filter(cond)
-      .select(input_file_name().as("f")).groupBy(col("f")).count()
-      .collect().map(r => new Path(new java.net.URI(r.getString(0))).getName).toSet
+      .select(col(DvFileCol)).groupBy(col(DvFileCol)).count()
+      .collect().map(_.getString(0)).toSet
     if (dirtyNames.isEmpty) return base.version
-    val dirtyAbs = base.files.map(_.path).filter(dirtyNames.contains)
-      .map(p => new Path(table, p).toString)
+    val dirtyFiles = base.files.filter(f => dirtyNames.contains(f.path))
     // NOT(NULL) is NULL: without the coalesce, rows where the
     // predicate evaluates to NULL would be dropped from rewritten
     // files (while surviving in clean ones) — delete-where must keep
-    // exactly the rows the predicate does NOT positively match
-    val rewritten = s.read.schema(schema).parquet(dirtyAbs: _*)
+    // exactly the rows the predicate does NOT positively match.
+    // Reading through scanWithDvs keeps DV-deleted rows OUT of the
+    // rewrite (a raw byte copy would resurrect them)
+    val rewritten = scanWithDvs(s, table, base, dirtyFiles)
       .filter(!coalesce(cond, lit(false)))
     val add = stageData(s, table, rewritten)
     commit(s, table, "delete", add, dirtyNames.toSeq.sorted, None, Some(base.version))
+  }
+
+  /** Stage a (file, pos) match frame as DV sidecar parquet under
+    * `dv-<uuid>.parquet` names. `files` on every part is the commit's
+    * distinct referenced-file list (a superset per part is safe — it
+    * only delays auto-GC, never resurrects). Returns Nil when the
+    * match set is empty.
+    */
+  private def stageDv(s: SparkSession, table: String,
+      matches: DataFrame): Seq[DvFile] = {
+    val fs = fsOf(s, table)
+    val referenced = matches.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (referenced.isEmpty) return Seq.empty
+    val staging = new Path(table, s"_staging-${UUID.randomUUID()}")
+    // delete-batch-sized; sort by (file, pos) so each part covers a
+    // contiguous slice and parquet stats stay tight
+    matches.repartitionByRange(col("file"), col("pos"))
+      .sortWithinPartitions(col("file"), col("pos"))
+      .write.parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val conf = s.sessionState.newHadoopConf()
+    val added = parts.flatMap { st =>
+      val name = s"dv-${UUID.randomUUID()}.parquet"
+      val dst = new Path(table, name)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"failed to move ${st.getPath} into $table")
+      val (rows, _) = footerInfo(conf, dst)
+      if (rows == 0L) { fs.delete(dst, false); None }
+      else Some(DvFile(name, referenced, rows, st.getLen))
+    }.toSeq
+    fs.delete(staging, true)
+    added
+  }
+
+  /** Merge-on-read delete (the Delta-DV / Iceberg-positional-delete
+    * design, published): instead of rewriting every file containing a
+    * match (copy-on-write — table-sized writes when matches are
+    * dispersed, see BASELINE's merge_skew line), write a
+    * delete-batch-sized SIDECAR of (file, row position) pairs and
+    * subtract it at scan time. Candidate files come from the same
+    * stats pruning as [[readWhere]]; positions are the scan's
+    * `_metadata.row_index`, the same coordinates the read path
+    * subtracts in. Already-DV-deleted rows never re-enter a sidecar
+    * (the match scan is DV-applied). NULL semantics match
+    * [[deleteWhere]]: only rows the predicate POSITIVELY matches are
+    * deleted. [[compact]] / [[applyDvs]] / [[cluster]] fold sidecars
+    * back into data files; until then every read pays the anti-join —
+    * the classic write-amplification ↔ read-amplification trade, now
+    * available on both ends.
+    */
+  def deleteWhereMor(s: SparkSession, table: String, cond: Column): Long = {
+    val base = snapshotState(s, table)
+    if (base.files.isEmpty) return base.version
+    val (cand, _) = pruneSnapshot(base, cond)
+    if (cand.isEmpty) return base.version
+    val matches = scanWithDvs(s, table, base, cand, keepMeta = true)
+      .filter(cond)
+      .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+    val dvs = stageDv(s, table, matches)
+    if (dvs.isEmpty) return base.version
+    commit(s, table, "mor-delete", Seq.empty, Seq.empty, None,
+      Some(base.version), dvAdd = dvs)
+  }
+
+  /** Merge-on-read keyed upsert: matched target rows are DV-deleted
+    * in place and ALL source rows append as new files — writes are
+    * O(batch + sidecar) regardless of how the batch's keys disperse
+    * over the table, where [[merge]] (copy-on-write) rewrites every
+    * dirty file (≈ the whole table for a Zipf-tailed batch —
+    * BASELINE's merge_skew measurement is the motivating number).
+    * Same contract as [[merge]] otherwise: unique-key source
+    * enforced, conflict on a moved base.
+    */
+  def mergeMor(s: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge requires key columns")
+    val base = snapshotState(s, table)
+    requireWriteCompatible(source.schema, base.schemaDdl, "merge source")
+    val src = source.cache()
+    try {
+      val dupes = src.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dupes.isEmpty,
+        s"merge source is not unique on (${keyCols.mkString(",")}): ${dupes.headOption}")
+      if (src.isEmpty) return base.version
+      val candidates: Seq[AddFile] =
+        if (keyCols.size == 1) {
+          val k = keyCols.head
+          val mm = src.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+          if (mm.isNullAt(0)) Seq.empty
+          else pruneSnapshot(base,
+            col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1)))._1
+        } else base.files
+      val matches =
+        if (candidates.isEmpty) null
+        else scanWithDvs(s, table, base, candidates, keepMeta = true)
+          .join(src.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      val dvs = if (matches == null) Seq.empty else stageDv(s, table, matches)
+      val add = stageData(s, table, src)
+      commit(s, table, "mor-merge", add, Seq.empty, None, Some(base.version),
+        dvAdd = dvs)
+    } finally { src.unpersist(); () }
+  }
+
+  /** Fold every live deletion vector back into data files: rewrite
+    * each file a live sidecar references (DV-applied scan), after
+    * which the sidecars reference no live file and auto-GC out of the
+    * snapshot (vacuum reclaims the physical parquet later). The
+    * maintenance op that bounds read-side anti-join cost; a no-op
+    * when no DVs are live.
+    */
+  def applyDvs(s: SparkSession, table: String): Long = {
+    val base = snapshotState(s, table)
+    if (base.dvs.isEmpty) return base.version
+    val liveNames = base.files.map(_.path).toSet
+    val dirty = base.dvs.flatMap(_.files).distinct.filter(liveNames.contains)
+    val dirtyFiles = base.files.filter(f => dirty.contains(f.path))
+    val add = stageData(s, table, scanWithDvs(s, table, base, dirtyFiles))
+    commit(s, table, "mor-apply", add, dirty.sorted, None, Some(base.version))
   }
 
   /** Keyed MERGE (upsert): every `source` row lands in the table —
@@ -837,26 +1036,26 @@ object TxLog {
         } else base.files
 
       if (src.isEmpty) return base.version
-      val schema = StructType.fromDDL(base.schemaDdl)
-      val candAbs = candidates.map(f => new Path(table, f.path).toString)
 
-      // stage 2: actual matches -> dirty files. input_file_name() is
-      // evaluated BELOW the join (it is single-source by contract),
-      // then the semi-join keeps only matched rows' tags
+      // stage 2: actual matches -> dirty files, over the DV-applied
+      // scan (an already-DV-deleted row must not dirty its file); the
+      // file tag comes from the scan's _metadata, evaluated BELOW the
+      // semi join
       val dirtyNames: Set[String] =
-        if (candAbs.isEmpty) Set.empty
-        else s.read.schema(schema).parquet(candAbs: _*)
-          .select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
+        if (candidates.isEmpty) Set.empty
+        else scanWithDvs(s, table, base, candidates, keepMeta = true)
+          .select((keyCols.map(col) :+ col(DvFileCol).as("__file")): _*)
           .join(src.select(keyCols.map(col): _*), keyCols, "left_semi")
           .select(col("__file")).distinct()
-          .collect().map(r => new Path(new java.net.URI(r.getString(0))).getName).toSet
+          .collect().map(_.getString(0)).toSet
 
-      // stage 3: rewrite dirty survivors + ALL source rows
+      // stage 3: rewrite dirty survivors + ALL source rows. The
+      // survivors read goes through scanWithDvs so DV-deleted rows
+      // stay deleted in the rewritten files
       val survivors =
         if (dirtyNames.isEmpty) src.limit(0)
-        else s.read.schema(schema)
-          .parquet(base.files.map(_.path).filter(dirtyNames.contains)
-            .map(p => new Path(table, p).toString): _*)
+        else scanWithDvs(s, table, base,
+            base.files.filter(f => dirtyNames.contains(f.path)))
           .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
       val add = stageData(s, table, survivors.unionByName(src))
       commit(s, table, "merge", add, dirtyNames.toSeq.sorted, None, Some(base.version))
@@ -871,9 +1070,10 @@ object TxLog {
     val base = snapshotState(s, table)
     val small = base.files.filter(_.bytes < targetBytes)
     if (small.size <= 1) return base.version
-    val schema = StructType.fromDDL(base.schemaDdl)
-    val df = s.read.schema(schema)
-      .parquet(small.map(f => new Path(table, f.path).toString): _*)
+    // DV-applied read: compacting a DV'd file folds its deletions in
+    // (the rewritten file has no DV rows; the sidecar auto-GCs once
+    // all its files are rewritten) — a raw byte copy would resurrect
+    val df = scanWithDvs(s, table, base, small)
     val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
     val add = stageData(s, table, df.repartition(nOut))
     commit(s, table, "compact", add, small.map(_.path), None, Some(base.version))
@@ -895,9 +1095,8 @@ object TxLog {
       nFiles: Int): Long = {
     val base = snapshotState(s, table)
     if (base.files.isEmpty) return base.version
-    val schema = StructType.fromDDL(base.schemaDdl)
-    val df = s.read.schema(schema)
-      .parquet(base.files.map(f => new Path(table, f.path).toString): _*)
+    // DV-applied: a cluster rewrite folds pending deletions in
+    val df = scanWithDvs(s, table, base, base.files)
     val mm = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
@@ -956,7 +1155,10 @@ object TxLog {
     val floor = math.max(resolveFloor(fs, table, entries, checkpoints),
       math.max(0L, head - math.max(1, keepVersions) + 1))
     val retained = (floor to head)
-      .flatMap(v => snapshotState(s, table, Some(v)).files.map(_.path)).toSet
+      .flatMap { v =>
+        val snap = snapshotState(s, table, Some(v))
+        snap.files.map(_.path) ++ snap.dvs.map(_.path)
+      }.toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
     val listing = fs.listStatus(new Path(table))
     // stale staging dirs (crashed writes) — age-guarded like the data
@@ -968,7 +1170,8 @@ object TxLog {
     val doomed = listing
       .filter(st => !st.isDirectory && st.getModificationTime < cutoff)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("data-") && n.endsWith(".parquet"))
+      .filter(n => (n.startsWith("data-") || n.startsWith("dv-")) &&
+        n.endsWith(".parquet"))
       .filterNot(retained.contains)
     // publish the floor FIRST: a reader that resolves an old version
     // after its files are gone must see the floor, not a missing file
@@ -1199,6 +1402,63 @@ object TxLog {
       |FROM events WHERE event_id % 5 <= 3 AND event_id < 500
       |GROUP BY event_type""".stripMargin
 
+  /** Merge-on-read fixture: the full events table, then a DV delete
+    * of the mod-7 slice (v1 — no data file rewritten, one sidecar),
+    * then a MOR keyed merge (v2): updates (value × 2) for the mod-13
+    * slice — whose mod-7 members were DV-deleted and therefore
+    * REINSERT — plus the appended source files. Every version's
+    * content is closed-form over `events` for the oracle.
+    */
+  private def morFixture(s: SparkSession, dir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-src/txlog-mor/${Tables.dirKey(dir)}"
+    if (!built.contains(out)) {
+      val fs = fsOf(s, out)
+      fs.delete(new Path(out), true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      create(s, out, ev.repartitionByRange(6, col("event_id")))        // v0
+      deleteWhereMor(s, out, pmod(col("event_id"), lit(7)) === 0)      // v1: DV only
+      mergeMor(s, out, ev.filter(pmod(col("event_id"), lit(13)) === 0)
+        .withColumn("value", col("value") * 2), Seq("event_id"))       // v2: DV + append
+      built += out
+    }
+    out
+  }
+
+  /** Head read of the MOR fixture: deletions and upserts both applied
+    * purely at scan time (no data file was ever rewritten — the spec
+    * pins that; this entry pins the CONTENT).
+    */
+  def morRead(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, morFixture(s, dir)))
+
+  private val morOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(min_ts) AS min_ts, MAX(max_ts) AS max_ts
+      |FROM (
+      |  SELECT event_type, value * 2 AS value,
+      |    epoch_us(ts) AS min_ts, epoch_us(ts) AS max_ts
+      |  FROM events WHERE event_id % 13 = 0
+      |  UNION ALL
+      |  SELECT event_type, value, epoch_us(ts), epoch_us(ts)
+      |  FROM events WHERE event_id % 7 <> 0 AND event_id % 13 <> 0
+      |) GROUP BY event_type""".stripMargin
+
+  /** Time travel to v1 — after the DV delete, before the merge: the
+    * deletion must subtract at this version and ONLY rows of the
+    * mod-7 slice.
+    */
+  def morTravel(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, morFixture(s, dir), asOf = Some(1L)))
+
+  private val morTravelOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+      |FROM events WHERE event_id % 7 <> 0 GROUP BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("txlog_time_travel", timeTravelOracle)(timeTravel),
     Q("txlog_head", headOracle)(headRead),
@@ -1207,5 +1467,7 @@ object TxLog {
     Q("txlog_cluster", clusterOracle)(clusterRead),
     Q("txlog_changes", changesOracle)(changesRead),
     Q("txlog_evolve", evolveOracle)(evolveRead),
+    Q("txlog_mor_delete", morTravelOracle)(morTravel),
+    Q("txlog_mor_merge", morOracle)(morRead),
   )
 }

@@ -137,6 +137,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase_match_indexed probes the postings table via bucket pruning, never the corpus") {
+    val p = plan("phrase_match_indexed")
+    // each branch's single-term filter prunes its scan to ONE bucket
+    assert(p.split("SelectedBucketsCount: 1 out of 32", -1).length - 1 === 2,
+      s"phrase probe did not prune each term to its bucket:\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      "indexed phrase search re-scanned the corpus")
+  }
+
   test("fuzzy family pairs candidates with a hash equi join on rarest-token blocks") {
     Seq("join_fuzzy", "join_fuzzy_jaro").foreach { n =>
       val p = plan(n)

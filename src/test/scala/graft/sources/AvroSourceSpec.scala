@@ -168,4 +168,49 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unsupported Spark type") ||
       String.valueOf(err.getCause).contains("unsupported Spark type"))
   }
+
+  test("drifted writer schemas resolve by name: inference unions, readers null-fill") {
+    val out = tmpDir("evolve")
+    // generation 1: (id, a) — no b yet; generation 2: (id, b) — a dropped
+    spark.range(0, 50).select($"id", ($"id" * 10).as("a"))
+      .write.mode("overwrite").format("graft-avro").save(out)
+    spark.range(50, 80).select($"id", concat(lit("v"), $"id").as("b"))
+      .write.mode("append").format("graft-avro").save(out)
+    val back = spark.read.format("graft-avro").load(out)
+    // union-by-name inference; fields absent from a file are nullable
+    assert(back.columns.toSeq === Seq("id", "a", "b"))
+    assert(back.schema("a").nullable && back.schema("b").nullable)
+    assert(back.count() === 80L)
+    assert(back.filter($"a".isNull).count() === 30L, "gen-2 rows must null-fill a")
+    assert(back.filter($"b".isNull).count() === 50L, "gen-1 rows must null-fill b")
+    assert(back.filter($"id" < 50).agg(sum($"a")).as[Long].head() ===
+      (0L until 50L).map(_ * 10).sum)
+    assert(back.filter($"id" === 60).select($"b").as[String].head() === "v60")
+  }
+
+  test("schema drift guards: type conflicts and non-nullable gaps fail loudly") {
+    // same column name, different type across files → inference refuses
+    val out = tmpDir("evolve-conflict")
+    spark.range(0, 5).select($"id", ($"id" * 1.5).as("x"))
+      .write.mode("overwrite").format("graft-avro").save(out)
+    spark.range(5, 9).select($"id", concat(lit("s"), $"id").as("x"))
+      .write.mode("append").format("graft-avro").save(out)
+    val err = intercept[Exception] { spark.read.format("graft-avro").load(out).count() }
+    assert(String.valueOf(err.getMessage).contains("conflicting types") ||
+      String.valueOf(err.getCause).contains("conflicting types"))
+    // explicit schema demanding a NON-NULL column a file lacks → loud
+    val out2 = tmpDir("evolve-nonnull")
+    spark.range(0, 5).toDF("id")
+      .write.mode("overwrite").format("graft-avro").save(out2)
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", LongType, nullable = false)))
+    val err2 = intercept[Exception] {
+      spark.read.schema(strict).format("graft-avro").load(out2).collect()
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      if (e == null) Seq.empty else e +: chain(e.getCause)
+    assert(chain(err2).exists(c =>
+      String.valueOf(c.getMessage).contains("non-nullable column 'extra' missing")))
+  }
 }

@@ -471,6 +471,100 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).columns.toSeq === Seq("id", "extra"))
   }
 
+  test("MOR delete: sidecar subtracts, no data file rewritten, DVs stack, compact folds") {
+    val t = tmpTable("mor")
+    TxLog.create(spark, t, spark.range(0, 300).toDF()
+      .repartitionByRange(4, $"id"))
+    val filesV0 = TxLog.snapshotState(spark, t).files.map(_.path).toSet
+    TxLog.deleteWhereMor(spark, t, pmod($"id", lit(3)) === 0)
+    val snap1 = TxLog.snapshotState(spark, t)
+    assert(snap1.files.map(_.path).toSet === filesV0, "MOR delete rewrote data files")
+    assert(snap1.dvs.nonEmpty && snap1.dvs.map(_.rows).sum === 100L)
+    assert(TxLog.read(spark, t).count() === 200L)
+    // stacked second DV commit over the same files
+    TxLog.deleteWhereMor(spark, t, pmod($"id", lit(3)) === 1)
+    assert(TxLog.read(spark, t).count() === 100L)
+    assert(TxLog.read(spark, t).as[Long].collect().forall(_ % 3 == 2))
+    // readWhere: stats pruning + DV subtraction compose
+    assert(TxLog.readWhere(spark, t, $"id" < 30).count() === 10L)
+    // time travel: v1 sees only the first deletion, v0 everything
+    assert(TxLog.read(spark, t, Some(1L)).count() === 200L)
+    assert(TxLog.read(spark, t, Some(0L)).count() === 300L)
+    // deleting already-deleted rows is a no-op commit (no new rows match)
+    val v = TxLog.currentVersion(spark, t)
+    assert(TxLog.deleteWhereMor(spark, t, pmod($"id", lit(3)) === 0) === v)
+    // compaction folds DVs into data files; sidecars auto-GC
+    TxLog.compact(spark, t, 1L << 30)
+    val snapC = TxLog.snapshotState(spark, t)
+    assert(snapC.dvs.isEmpty, "sidecars must auto-GC once their files are rewritten")
+    assert(TxLog.read(spark, t).count() === 100L, "compaction resurrected DV'd rows")
+  }
+
+  test("MOR merge matches COW merge content; writes only batch-sized data") {
+    val cow = tmpTable("morcow")
+    val mor = tmpTable("mormor")
+    def seed(t: String) = TxLog.create(spark, t, spark.range(0, 400)
+      .select($"id", ($"id" % 10).as("v")).repartitionByRange(4, $"id"))
+    seed(cow); seed(mor)
+    val batch = spark.range(0, 500, 5)
+      .select($"id", lit(99L).as("v")) // updates (in-range) + inserts (400..495)
+    TxLog.merge(spark, cow, batch, Seq("id"))
+    val before = TxLog.snapshotState(spark, mor).files.map(_.path).toSet
+    TxLog.mergeMor(spark, mor, batch, Seq("id"))
+    val after = TxLog.snapshotState(spark, mor)
+    assert(before.subsetOf(after.files.map(_.path).toSet),
+      "MOR merge must not remove data files")
+    // identical logical content
+    val a = TxLog.read(spark, cow).as[(Long, Long)].collect().sorted.toSeq
+    val b = TxLog.read(spark, mor).as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+    // applyDvs folds, content unchanged, sidecars gone
+    TxLog.applyDvs(spark, mor)
+    assert(TxLog.snapshotState(spark, mor).dvs.isEmpty)
+    assert(TxLog.read(spark, mor).as[(Long, Long)].collect().sorted.toSeq === b)
+  }
+
+  test("MOR interplay: COW delete and cluster never resurrect DV'd rows; vacuum respects sidecars") {
+    val t = tmpTable("morvac")
+    TxLog.create(spark, t, spark.range(0, 200)
+      .select($"id", ($"id" * 2).as("v")).repartitionByRange(4, $"id"))
+    TxLog.deleteWhereMor(spark, t, $"id" < 50)                 // v1: DV
+    TxLog.deleteWhere(spark, t, $"id" >= 150)                  // v2: COW over DV'd table
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().map(_._1).sorted.toSeq ===
+      (50L until 150L).toSeq, "COW rewrite resurrected or lost rows")
+    TxLog.cluster(spark, t, "id", "v", 4)                      // v3: pure rewrite
+    assert(TxLog.read(spark, t).count() === 100L, "cluster resurrected DV'd rows")
+    assert(TxLog.snapshotState(spark, t).dvs.isEmpty,
+      "sidecar should auto-GC after every referenced file was rewritten")
+    // vacuum with retention covering v1 must KEEP the sidecar parquet
+    // (time travel to v1 still subtracts); dropping retention reclaims it
+    val dvFiles = () => new java.io.File(t).listFiles()
+      .count(f => f.getName.startsWith("dv-") && f.getName.endsWith(".parquet"))
+    assert(dvFiles() === 1)
+    TxLog.vacuum(spark, t, keepVersions = 10, minAgeMs = 0L)   // retains v1
+    assert(dvFiles() === 1, "vacuum deleted a sidecar a retained version needs")
+    assert(TxLog.read(spark, t, Some(1L)).count() === 150L)
+    TxLog.vacuum(spark, t, keepVersions = 1, minAgeMs = 0L)    // floor past v1
+    assert(dvFiles() === 0, "unreachable sidecar survived vacuum")
+    assert(TxLog.read(spark, t).count() === 100L)
+  }
+
+  test("changes across MOR commits: DV deletes and upserts tag correctly") {
+    val t = tmpTable("morchg")
+    TxLog.create(spark, t, spark.range(0, 100)
+      .select($"id", lit(1L).as("v")).coalesce(1))
+    TxLog.deleteWhereMor(spark, t, $"id" < 10)
+    val ch = TxLog.changes(spark, t, 0L, 1L)
+    assert(ch.filter($"change_type" === "delete").count() === 10L)
+    assert(ch.filter($"change_type" === "insert").count() === 0L)
+    TxLog.mergeMor(spark, t, spark.range(20, 25)
+      .select($"id", lit(7L).as("v")), Seq("id"))
+    val ch2 = TxLog.changes(spark, t, 1L, 2L)
+    // an upsert is delete(old)+insert(new) in the derived feed
+    assert(ch2.filter($"change_type" === "delete").count() === 5L)
+    assert(ch2.filter($"change_type" === "insert").count() === 5L)
+  }
+
   test("decimal-column stats compare SCALED: no unsound pruning, skipping still works") {
     // Spark writes decimal(p<=18) as INT32/INT64 with a decimal
     // annotation whose parquet min/max are UNSCALED ints; the pruner
