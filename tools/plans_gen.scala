@@ -31,7 +31,10 @@ val picks = Seq(
   "dedup_prefix_filter" -> "AllPairs prefix filter: df join ranks shingles by global rarity, the candidate equi join sees only the ~20% rarest per doc, exact verify on candidates via the full-set arrays — complete for J>=0.8 with NO hot-key drop",
   "dedup_ppjoin" -> "PPJoin rung: length filter applied INSIDE the prefix equi join (both sides carry set sizes), first-shared-key positional bound at the pair aggregate — strictly fewer candidates reach the full-set verify join, nothing qualifying lost",
   "cosine_topk_ivf_incr" -> "incremental IVF maintenance: settled inverted lists come from the session cache (InMemoryRelation — the 100 TB state is READ, not rebuilt), batch assignment is the broadcast centroid cross over the batch slice only, the union feeds the unchanged probe-bounded query side",
-  "entity_resolution" -> "record linkage: blocked hash self-join scores jaro candidates, components resolved iteratively, golden-record rollup on the label equi join — dictionary-sized frames only",
+  "entity_resolution" -> "record linkage (r11): RAREST-TOKEN blocks (df-ranked min_by over the broadcast vocabulary frame, 4096 cap) feed the jaro candidate hash join; the pair set crosses a LogicalRDD lineage cut before the component fixpoint so Catalyst never re-plans the blocking chain per round; golden-record rollup on the label equi join — dictionary-sized frames only",
+  "join_fuzzy_jaro" -> "fuzzy similarity join (r11): candidates share their rarest token — one real exchange (the per-name min_by aggregate; df and block-size tables broadcast), candidate pairs from a hash equi join on blk, the codegen'd jaro-winkler scores only within-block pairs (first-token blocks were quadratic in the catalog: e=2.00 measured vs e~1.3)",
+  "phrase_match_indexed" -> "indexed phrase search (r11): the persisted postings table is bucketed+sorted by tok, so each term's filter prunes the scan to ITS bucket at planning time (SelectedBucketsCount: 1 out of 32 on both branches) - the probe reads two posting lists, never the corpus; adjacency is the (doc_id, pos+1) hash join",
+  "txlog_mor_merge" -> "merge-on-read read-back (r11): the scan carries the DV anti-join - parquet FileScan (+ _metadata coordinates) left-anti joined against the batch-sized deletion-vector sidecars, then the appended upsert files union in; no data file was rewritten at write time (268 KB written where COW rewrote 17.2 MB on the dispersed Zipf batch)",
   "psi_drift" -> "drift monitor: reference deciles ride as literals (map-only binning of both snapshots), totals window over the 10-row bucket spectrum",
   "topic_words" -> "per-source tf-idf rank: WindowGroupLimit keeps only K rows per source below the sort; df side aggregates the Heaps-bounded (source,word) frame",
   "compaction_plan" -> "compaction planner: fact table folds to the per-day file manifest in one partial+final aggregate; the packing window ranges over manifests, never rows",
