@@ -1020,6 +1020,37 @@ object SimOps {
 
   // ---- Gram matrix -------------------------------------------------
 
+  /** HALF_UP 6-dp rounding to integer micro-units, bit-identical to
+    * `BigDecimal.valueOf(d).setScale(6, HALF_UP).unscaledValue()` but
+    * ~50× cheaper on the fast path (no String/BigInteger allocation
+    * per cell — the r10 profile showed the Gram inner loop spending
+    * most of its time here, §1.2-order "per-task work").
+    *
+    * Correctness argument: valueOf goes through Double.toString's
+    * shortest decimal, which differs from d by < 0.5 ulp; the only
+    * place that difference (plus the d·10⁶ multiply's own < 0.5 ulp)
+    * can flip the rounded value is when |d|·10⁶ lands within the
+    * combined error of a half-integer boundary (round-half-up's sole
+    * discontinuity — straddling a plain integer does not change
+    * floor(x+0.5)). Both errors are ≤ |y|·1.1e-16, so outside a
+    * |y|·1e-12 + 1e-9 guard band the double path provably agrees and
+    * is taken; inside it (≈1e-9 of uniformly-distributed inputs) we
+    * fall back to the exact BigDecimal form. RoundMicrosSpec drives
+    * both paths over 10⁶ products plus adversarial .5-boundary values.
+    */
+  private[graft] def roundMicrosHalfUp(d: Double): Long = {
+    val y = d * 1e6
+    val a = math.abs(y)
+    val f = a - math.floor(a)
+    val tol = 1e-9 + a * 1e-12
+    if (math.abs(f - 0.5) > tol && a < 4.0e18)
+      (if (d < 0) -math.floor(a + 0.5) else math.floor(a + 0.5)).toLong
+    else
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+  }
+
   /** Distributed Gram matrix G = Σ_v v·vᵀ over the embedding corpus —
     * the d×d statistic behind PCA whitening, covariance outlier
     * models, and linear-probe fitting. The key scale property: each
@@ -1043,7 +1074,7 @@ object SimOps {
     // row-at-a-time form spent ~3 µs/row on tuple + decimal plumbing —
     // 200 s of task time at sf0.1's 66M cell terms). Terms are held in
     // exact micro-units (the 6-dp rounding grid): round-HALF_UP via
-    // BigDecimal.valueOf — bit-identical to Spark's round() and the
+    // [[roundMicrosHalfUp]] — bit-identical to Spark's round() and the
     // oracle's — then summed as longs (|Σ| < 2^53, exact), so the
     // final division by 10⁶ reproduces the DECIMAL(18,6) sum to the
     // last bit.
@@ -1061,9 +1092,7 @@ object SimOps {
             val ai = a(i).toDouble
             var j = i
             while (j < d) {
-              acc(k) += java.math.BigDecimal.valueOf(ai * a(j).toDouble)
-                .setScale(6, java.math.RoundingMode.HALF_UP)
-                .unscaledValue().longValueExact()
+              acc(k) += roundMicrosHalfUp(ai * a(j).toDouble)
               k += 1; j += 1
             }
             i += 1

@@ -131,15 +131,34 @@ object CurationRules {
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // r11 (guide §2.3 aggregate-before-shuffle): tokenize ONCE into
+    // per-(doc, source, bucket) counts — a frame of ≤ 64 rows per
+    // document — and derive raw/target/totals/per-doc score from that
+    // aggregate. The four consumers' physical subtrees share one
+    // identical Exchange (ReuseExchange), so the corpus-wide
+    // explode+md5 runs once instead of four times, and everything
+    // that shuffles afterwards is bucket-count-sized, not
+    // token-stream-sized. All derived counts are exact long sums of
+    // disjoint slices — bit-identical to counting the stream.
     val tok = docs
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("b", tokenBucket(col("tok")))
-    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("source") === TargetSource)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = tok.agg(
-      count(lit(1)).as("nr"),
-      count(when(col("source") === TargetSource, 1)).as("nt"))
+    val docBuckets0 = tok
+      .groupBy(col("doc_id"), col("source"), tokenBucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // lineage cut (the entity_resolution idiom): without it each
+    // consumer pushes its own filters below the aggregate and the
+    // exchange subtrees stop being identical — the corpus would be
+    // re-tokenized per consumer. Behind the LogicalRDD leaf all four
+    // consumer jobs share the aggregate's shuffle map stage.
+    val docBuckets = docs.sparkSession
+      .createDataFrame(docBuckets0.rdd, docBuckets0.schema)
+    val raw = docBuckets.groupBy(col("b")).agg(sum(col("cnt")).as("cr"))
+    val tgt = docBuckets.filter(col("source") === TargetSource)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("ct"))
+    val totals = docBuckets.agg(
+      sum(col("cnt")).as("nr"),
+      coalesce(sum(when(col("source") === TargetSource, col("cnt"))), lit(0L))
+        .as("nt"))
     // 64-row model join: raw buckets are a superset of target buckets
     // (every target token is a raw token), so a left join + coalesce 0
     // covers buckets the target slice never hits.
@@ -150,9 +169,12 @@ object CurationRules {
           ((coalesce(col("ct"), lit(0L)) + lit(1)) / (col("nt") + lit(DsirBuckets)).cast("double")) /
             ((col("cr") + lit(1)) / (col("nr") + lit(DsirBuckets)).cast("double"))), 6)
           .cast("decimal(18,6)").as("lr"))
-    val perDoc = tok.join(broadcast(lr), Seq("b"))
+    // per-token Σ lr ≡ Σ_b cnt_b·lr_b — integer multiples of exact
+    // decimals, so the decimal sum is bit-identical to the token-level
+    // form while joining 64-row buckets instead of the token stream
+    val perDoc = docBuckets.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("w"))
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("lr") * col("cnt")).as("w"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -287,9 +309,21 @@ object CurationRules {
         else toks.sliding(SpanN).map(_.mkString(" ")).toVector.distinct.map((id, _))
       }
       .toDF("doc_id", "span")
-    val docFreq = spans.groupBy(col("span"))
+      // r11 (guide §2.4 — share one exchange instead of shingling
+      // twice): the df aggregate and the df-attach join both consume
+      // the span stream, and each consumer's column pruning /
+      // predicate pushdown makes the subtrees non-identical, so the
+      // flatMap used to run once per consumer (2 MapPartitions in the
+      // before-plan). Repartition on the join/agg key and cut lineage
+      // behind a LogicalRDD leaf (the entity_resolution idiom): both
+      // consumer jobs then share the one shuffle's map stage by RDD
+      // object identity — the corpus is shingled ONCE, the shuffle is
+      // written once and read twice. Same rows out.
+      .repartition(col("span"))
+    val spansP = spans.sparkSession.createDataFrame(spans.rdd, spans.schema)
+    val docFreq = spansP.groupBy(col("span"))
       .agg(count(lit(1)).as("span_df"))
-    val perDoc = spans.join(docFreq, Seq("span"))
+    val perDoc = spansP.join(docFreq, Seq("span"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("span_df") >= 2, 1)).as("n_shared"))

@@ -58,15 +58,47 @@ object TextAnalysis {
     */
   def ngramBigrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r11 (guide §2.3 — aggregate before you shuffle): the flatMap
+    // form paid one typed-row serialization per bigram OCCURRENCE
+    // (~100k rows at sf0.1, token-stream-sized at scale) before
+    // Spark's partial aggregate could collapse duplicates. A
+    // per-partition combiner inside the closure counts into a hash
+    // map and emits (bigram, partial_count) — Heaps-bounded per
+    // partition, with a 2^20-entry flush cap so a pathological
+    // partition can never hold an unbounded map (flushed chunks are
+    // re-merged by the final sum, which is order-free and exact).
     Tables.documents(s, dir).select(col("text")).as[String]
-      .flatMap { t =>
-        val toks = graft.mr.MrJobs.tokenize(t)
-        if (toks.lengthCompare(2) < 0) Nil
-        else toks.sliding(2).map(_.mkString(" "))
+      .mapPartitions { docs =>
+        val m = new java.util.HashMap[String, Array[Long]]()
+        val flushed = scala.collection.mutable.ArrayBuffer.empty[Array[(String, Long)]]
+        def drain(): Array[(String, Long)] = {
+          val out = new Array[(String, Long)](m.size)
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue()(0)); i += 1 }
+          m.clear()
+          out
+        }
+        docs.foreach { t =>
+          val toks = graft.mr.MrJobs.tokenize(t)
+          if (toks.lengthCompare(2) >= 0) {
+            var prev = toks.head
+            var rest = toks.tail
+            while (rest.nonEmpty) {
+              val k = prev + " " + rest.head
+              val c = m.get(k)
+              if (c == null) m.put(k, Array(1L)) else c(0) += 1L
+              prev = rest.head
+              rest = rest.tail
+            }
+          }
+          if (m.size > (1 << 20)) flushed += drain()
+        }
+        flushed.iterator.flatMap(_.iterator) ++ drain().iterator
       }
-      .toDF("bigram")
+      .toDF("bigram", "c")
       .groupBy("bigram")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("c")).as("cnt"))
   }
 
   /** Term-frequency substrate of [[tfidf]]: (doc_id, term, tf),
@@ -380,7 +412,21 @@ object TextAnalysis {
     * aggregate over the join output.
     */
   def phraseMatch(s: SparkSession, dir: String): DataFrame =
+    // Substring pre-filter before tokenization (r11, guide §2.3 —
+    // prune before the expensive operator): a doc can contribute a
+    // join row only if BOTH phrase terms occur as [a-z]+ tokens, and a
+    // token match implies plain substring containment in lower(text),
+    // so the contains-pair is a necessary condition — a superset
+    // filter that cannot drop a qualifying doc. It runs as two cheap
+    // codegen'd substring scans at the parquet scan, so the regex
+    // tokenizer + posexplode only see the candidate docs instead of
+    // the corpus (sf0.1: 3,153 of 5,000 docs survive — these terms
+    // are mid-frequency by design; the win grows with phrase rarity,
+    // which is the production case). Result provably identical; same
+    // oracle.
     phraseAdjacency(Tables.documents(s, dir)
+      .filter(lower(col("text")).contains(PhraseW1)
+        && lower(col("text")).contains(PhraseW2))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .filter(col("tok").isin(PhraseW1, PhraseW2)))
 
@@ -852,15 +898,36 @@ object TextAnalysis {
   val BigramLambda = 0.7
   val BigramLambdaComp = 0.3
   def perplexityBigram(s: SparkSession, dir: String): DataFrame = {
-    val allToks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("prev", lag(col("tok"), 1)
-        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    // r11 (guide §2.4 — remove shuffles outright): `prev` used to come
+    // from lag() over a per-doc window, which shuffles + sorts the
+    // ENTIRE token stream by doc_id before anything else can run. The
+    // previous token of position p is just t[p-1] of the same tokens
+    // array the posexplode walks, so keep the array alongside the
+    // generate and read prev map-side via element_at (1-based: for the
+    // 0-based pos > 0, element_at(t, pos) IS t[pos-1]; pos 0 stays
+    // NULL exactly like lag). Zero exchanges until the LM aggregates.
+    val allToks = tokensWithPrev(s, dir)
     val trainToks = allToks.filter(SplitHash.bucket(col("doc_id")) < 800)
-    val uc = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    // One corpus-side aggregate, everything derived from it (§2.3
+    // aggregate-before-shuffle): base = counts per (prev, tok)
+    // INCLUDING the null-prev first tokens; uc(tok) = Σ_prev base.c is
+    // bit-identical to counting the token stream directly (exact long
+    // sums of a disjoint partition), and bc is the prev-non-null
+    // slice. The lineage cut (the entity_resolution idiom) is what
+    // makes the sharing REAL: without it, each LeftOuter consumer
+    // pushes its own isnotnull filter under the aggregate, the three
+    // exchange subtrees stop being identical, and the corpus is
+    // re-tokenized per table (observed in the r11 before-plan: 5
+    // Generates). A LogicalRDD leaf is opaque to pushdown, and every
+    // consumer job shares the cut RDD's shuffle map stage by object
+    // identity — the model side tokenizes once per invocation.
+    val base0 = trainToks.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val base = s.createDataFrame(base0.rdd, base0.schema)
+    val uc = base.groupBy(col("tok")).agg(sum(col("c")).as("uc"))
     val nv = uc.agg(sum(col("uc")).cast("long").as("n"), count(lit(1)).as("v"))
-    val bc = trainToks.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
+    val bc = base.filter(col("prev").isNotNull)
+      .select(col("prev"), col("tok"), col("c").as("bc"))
     // context totals re-aggregate the bigram table (sum of per-(prev,
     // tok) counts per prev ≡ count per prev — bit-identical), instead
     // of shuffling the corpus-wide token stream a second time
@@ -880,6 +947,20 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), round(avg(-log(p)), 6).as("nll"))
   }
+
+  /** (doc_id, pos, tok, prev) for the bigram LMs, computed entirely
+    * map-side: the tokens array rides along the posexplode and `prev`
+    * is element_at(t, pos) (1-based, so for 0-based pos ≥ 1 that is
+    * t[pos-1]; the doc's first token keeps a NULL prev). Replaces the
+    * r10 lag()-over-doc-window form, whose Exchange+Sort moved the
+    * whole token stream before any LM table could aggregate.
+    */
+  private def tokensWithPrev(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(col("pos") > 0, element_at(col("t"), col("pos"))).as("prev"))
 
   /** Absolute discount for [[kneserNey]] — the standard 0.75 of Chen &
     * Goodman (1998); a literal so both engines multiply the same
@@ -909,12 +990,15 @@ object TextAnalysis {
     * Per-doc sums are DECIMAL(18,6) of 6-decimal-rounded logs.
     */
   def kneserNey(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("prev", lag(col("tok"), 1)
-        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val big = toks.filter(col("prev").isNotNull)
-    val bc = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
+    // prev via element_at on the kept tokens array — no per-doc lag
+    // window, no token-stream shuffle (see perplexityBigram).
+    val big = tokensWithPrev(s, dir).filter(col("prev").isNotNull)
+    // lineage cut: cc/rev/btot all derive from bc — behind a
+    // LogicalRDD leaf their jobs share bc's shuffle map stage, so the
+    // model side tokenizes the corpus once, not three times (see
+    // perplexityBigram)
+    val bc0 = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
+    val bc = s.createDataFrame(bc0.rdd, bc0.schema)
     val cc = bc.groupBy(col("prev").as("w1"))
       .agg(sum(col("bc")).cast("long").as("cc"), count(lit(1)).as("n1p_fwd"))
     val rev = bc.groupBy(col("tok").as("w2")).agg(count(lit(1)).as("n1p_rev"))
