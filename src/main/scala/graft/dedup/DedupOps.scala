@@ -1333,19 +1333,32 @@ object DedupOps {
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     val c = pairs.columns
+    val sess = pairs.sparkSession
     val half = pairs.select(col(c(0)).as("u"), col(c(1)).as("v"))
     val edges = half
       .union(half.select(col("v"), col("u")))
       .cache() // read by every round (and the node seed) without recompute
-    var labels = edges.select(col("u").as("node"))
+    // Per-round LINEAGE CUT (r11 — the starContraction discipline,
+    // guide §3.3 "very large plans: planning time itself becomes the
+    // bottleneck"): cache() alone keeps EXECUTION cheap but the
+    // logical tree still compounds ~4× per round (labels appears in
+    // the neighbor join AND the fixpoint join), so a k-round fixpoint
+    // hands every consumer a 4^k-node plan — curate_pipeline's
+    // executed plan was 53k lines / ~2,000 operator nodes, and
+    // Catalyst re-analysis, not data, dominated its runtime. Each
+    // round therefore rebuilds over the cached round's RDD
+    // (createDataFrame(df.rdd, schema)): plans stay bounded, the
+    // cache still backs the data.
+    var labelsCache = edges.select(col("u").as("node"))
       .distinct().withColumn("label", col("node")).cache()
+    var labels = sess.createDataFrame(labelsCache.rdd, labelsCache.schema)
     var prevSum = labelSum(labels) // action: materializes the cache
     var round = 0
     var converged = false
     var liveCkpts: Seq[String] = Nil // newest-last; all but newest reclaimable
     while (!converged) {
       round += 1
-      val prev = labels
+      val prevCache = labelsCache
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("label")).as("nl"))
@@ -1355,12 +1368,17 @@ object DedupOps {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // checkpoint() is eager: it runs the round's job and rereads the
       // result from stable storage, cutting both lineage and the cache
-      // chain; cache() keeps the in-memory fixpoint fast path.
-      labels =
-        if (checkpointInterval > 0 && round % checkpointInterval == 0) next.checkpoint()
-        else next.cache()
+      // chain (already a LogicalRDD leaf — no extra cut needed);
+      // cache() keeps the in-memory fixpoint fast path.
+      if (checkpointInterval > 0 && round % checkpointInterval == 0) {
+        labelsCache = next.checkpoint()
+        labels = labelsCache
+      } else {
+        labelsCache = next.cache()
+        labels = sess.createDataFrame(labelsCache.rdd, labelsCache.schema)
+      }
       val newSum = labelSum(labels)
-      prev.unpersist()
+      prevCache.unpersist()
       // once this round's eager checkpoint is on stable storage, every
       // earlier checkpoint is unreachable — reclaim its files now (the
       // newest stays: it may back the frame we return). Gated on the

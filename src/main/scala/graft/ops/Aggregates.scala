@@ -119,18 +119,26 @@ object Aggregates {
     * The exact side exists only to audit the sketch at fixture scale;
     * production callers use [[aggApproxPercentilesSketch]].
     */
-  def aggApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val exact = Tables.lineitem(s, dir)
+  def aggApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    // r11 (guide §2.4): exact and sketch used to be two separate
+    // aggregation pipelines over lineitem joined on the group key —
+    // two fact scans, two shuffles, one join. Both are aggregate
+    // functions over the same grouping, so ONE groupBy computes both
+    // in a single pass (identical values, the join disappears).
+    Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"))
+      .agg(
+        percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"),
+        approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(1000)).as("aps"))
       .select(col("l_returnflag"),
         round(element_at(col("ps"), 1), 6).as("p50"),
-        round(element_at(col("ps"), 2), 6).as("p90"))
-    exact.join(aggApproxPercentilesSketch(s, dir), Seq("l_returnflag"))
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        element_at(col("aps"), 1).as("ap50"),
+        element_at(col("aps"), 2).as("ap90"))
       .select(col("l_returnflag"), col("p50"), col("p90"),
         (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("ap50_ok"),
         (abs(col("ap90") - col("p90")) / col("p90") <= 0.05).as("ap90_ok"))
-  }
 
   /** HLL++ sketch — the production form (sketch only, no exact
     * counterpart in the same plan: pairing it with countDistinct at

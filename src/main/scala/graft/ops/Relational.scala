@@ -663,10 +663,16 @@ object Relational {
     * float threshold can flip a boundary part.
     */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
-    val perPart = derivedPartsupp(s, dir)
+    val perPart0 = derivedPartsupp(s, dir)
       .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
       .groupBy(col("ps_partkey"))
       .agg(sum(col("v")).as("part_value"))
+    // r11 lineage cut (the entity_resolution idiom): without it the
+    // broadcast `total` subtree re-derives the whole lineitem →
+    // partsupp → per-part aggregate chain (2 fact scans per run);
+    // behind the LogicalRDD leaf the total job shares perPart's
+    // shuffle map stages and lineitem is scanned once.
+    val perPart = s.createDataFrame(perPart0.rdd, perPart0.schema)
     // the global total is the sum of the per-part sums — exact
     // decimals are associative, so re-aggregating the (small) per-part
     // frame is bit-identical to a second pass over the derived
