@@ -201,14 +201,28 @@ object DedupOps {
     * [[containmentPrefixFilter]]). The rank window is per-doc, bounded
     * by the doc's own shingle count.
     */
-  private def rarityRanked(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val dfCount = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
-    sh.join(dfCount, Seq("sh_h"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
-  }
+  private def rarityRanked(s: SparkSession, dir: String): DataFrame =
+    // r11: memoized under the same substrate discipline as the shingle
+    // bag it derives from. Six registry queries (prefix, ppjoin, both
+    // containment rungs, the histogram, plus the fuzz sweeps) each
+    // rebuilt the df-count join + per-doc rank window from the bag —
+    // the dominant repeated work of the dedup sweep after the bag
+    // itself was memoized in round 4. The ranked frame is the bag
+    // minus the shingle STRINGS (8-byte hashes + 3 ints), so it pins
+    // LESS storage than the bag that every consumer would otherwise
+    // re-scan; MEMORY_AND_DISK like the bag, one pass per dataset.
+    substrate("rarity_ranked", s, dir) {
+      val sh = shingleRows(s, dir)
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+      val dfCount = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      val ranked = sh.join(dfCount, Seq("sh_h"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranked.count() // materialize once; self-join consumers would
+      // otherwise cold-compute the same blocks concurrently
+      ranked
+    }
 
   /** AllPairs candidate generation: prefix-only self-join, one row per
     * (doc_a < doc_b) pair. Exposed so PrefixFilterSpec can compare
@@ -242,13 +256,21 @@ object DedupOps {
     * shingle sets — shared by every symmetric prefix-family variant;
     * same output contract and rounding as [[ngramJaccard]].
     */
+  /** Per-doc full hashed shingle sets for exact verification — built
+    * from the memoized [[rarityRanked]] frame (8-byte hashes, no
+    * shingle strings), so the expensive bag scan + xxhash re-eval
+    * never repeats per verify call.
+    */
+  private def hashedSets(s: SparkSession, dir: String): DataFrame =
+    rarityRanked(s, dir)
+      .select(col("doc_id"), col("n_sh"), col("sh_h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+
   private def verifyJaccardPairs(
       s: SparkSession, dir: String, cand: DataFrame,
       t: Double = 0.8): DataFrame = {
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    val sets = hashedSets(s, dir)
     val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
       col("n_sh").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -531,10 +553,7 @@ object DedupOps {
   private def verifyContainmentPairs(
       s: SparkSession, dir: String, cand: DataFrame,
       t: Double = 0.9): DataFrame = {
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    val sets = hashedSets(s, dir)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n_sh").as("na")), Seq("doc_a"))
@@ -1975,10 +1994,7 @@ object DedupOps {
 
   def similarityHistogram(s: SparkSession, dir: String): DataFrame = {
     val cand = ppjoinCandidatesAt(s, dir, 1, 2)
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    val sets = hashedSets(s, dir)
     val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
       col("n_sh").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
