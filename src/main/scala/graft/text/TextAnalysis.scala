@@ -522,17 +522,34 @@ object TextAnalysis {
     * aggregate. Documents with <3 tokens have no 3-grams and are
     * excluded, matching the oracle's length guard.
     */
-  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    repetitionWithNTok(s, dir)
+      .select(col("doc_id"), col("total_3g"), col("distinct_3g"),
+        col("rep_ratio"))
+
+  /** [[repetitionRatio]] plus the doc's token count from the SAME
+    * shingling pass (r11): [[qualityFilter]] used to compute n_tok via
+    * a second tokenize scan joined back on doc_id — the flatMap
+    * already holds the token list, so riding the count on each 3-gram
+    * row (constant per doc; first() in the aggregate) deletes a
+    * corpus scan and a join from every qualityFilter consumer
+    * (quality_filter, curate_pipeline, rag_index).
+    */
+  private def repetitionWithNTok(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = graft.mr.MrJobs.tokenize(t)
         if (toks.lengthCompare(3) < 0) Nil
-        else toks.sliding(3).map(g => (id, g.mkString(" ")))
+        else {
+          val n = toks.length.toLong
+          toks.sliding(3).map(g => (id, n, g.mkString(" ")))
+        }
       }
-      .toDF("doc_id", "g3")
+      .toDF("doc_id", "n_tok", "g3")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("total_3g"),
+      .agg(first(col("n_tok")).as("n_tok"),
+        count(lit(1)).as("total_3g"),
         countDistinct(col("g3")).as("distinct_3g"))
       .withColumn("rep_ratio",
         round(lit(1d) - col("distinct_3g") / col("total_3g").cast("double"), 6))
@@ -547,14 +564,14 @@ object TextAnalysis {
     * both engines.
     */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val nTok = Tables.documents(s, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
     val reason = when(col("n_tok") < 30, "too_short")
       .when(col("n_tok") > 90, "too_long")
       .when(col("rep_ratio") > 0.02, "repetitive")
       .otherwise("ok")
-    repetitionRatio(s, dir)
-      .join(nTok, Seq("doc_id"))
+    // n_tok rides out of the shingling pass itself (r11) — the old
+    // size(tokens(text)) side scan + doc_id join are gone; docs with
+    // <3 tokens stay excluded exactly as the inner join excluded them
+    repetitionWithNTok(s, dir)
       .withColumn("reason", reason)
       .withColumn("keep", col("reason") === "ok")
       .select(col("doc_id"), col("n_tok"), col("rep_ratio"),
