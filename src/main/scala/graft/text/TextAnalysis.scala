@@ -411,22 +411,16 @@ object TextAnalysis {
     * Per-document match count and first hit position come from one
     * aggregate over the join output.
     */
+  // r11 note: a lossless lower(text)-contains pre-filter (a necessary
+  // condition for a token match) was implemented and MEASURED OUT —
+  // these fixture terms are mid-frequency (63 % of docs pass), so the
+  // extra substring pass cost more than the 37 % of tokenization it
+  // saved (0.42→0.45 s at sf0.1, 1.50→3.17 s at 100× docs). The
+  // production answer for selective phrases is the persisted postings
+  // index ([[phraseMatchIndexed]]); the inline form stays the plain
+  // scan.
   def phraseMatch(s: SparkSession, dir: String): DataFrame =
-    // Substring pre-filter before tokenization (r11, guide §2.3 —
-    // prune before the expensive operator): a doc can contribute a
-    // join row only if BOTH phrase terms occur as [a-z]+ tokens, and a
-    // token match implies plain substring containment in lower(text),
-    // so the contains-pair is a necessary condition — a superset
-    // filter that cannot drop a qualifying doc. It runs as two cheap
-    // codegen'd substring scans at the parquet scan, so the regex
-    // tokenizer + posexplode only see the candidate docs instead of
-    // the corpus (sf0.1: 3,153 of 5,000 docs survive — these terms
-    // are mid-frequency by design; the win grows with phrase rarity,
-    // which is the production case). Result provably identical; same
-    // oracle.
     phraseAdjacency(Tables.documents(s, dir)
-      .filter(lower(col("text")).contains(PhraseW1)
-        && lower(col("text")).contains(PhraseW2))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .filter(col("tok").isin(PhraseW1, PhraseW2)))
 
@@ -522,34 +516,22 @@ object TextAnalysis {
     * aggregate. Documents with <3 tokens have no 3-grams and are
     * excluded, matching the oracle's length guard.
     */
-  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
-    repetitionWithNTok(s, dir)
-      .select(col("doc_id"), col("total_3g"), col("distinct_3g"),
-        col("rep_ratio"))
-
-  /** [[repetitionRatio]] plus the doc's token count from the SAME
-    * shingling pass (r11): [[qualityFilter]] used to compute n_tok via
-    * a second tokenize scan joined back on doc_id — the flatMap
-    * already holds the token list, so riding the count on each 3-gram
-    * row (constant per doc; first() in the aggregate) deletes a
-    * corpus scan and a join from every qualityFilter consumer
-    * (quality_filter, curate_pipeline, rag_index).
-    */
-  private def repetitionWithNTok(s: SparkSession, dir: String): DataFrame = {
+  // r11 note: riding n_tok on each 3-gram row (to delete
+  // qualityFilter's second tokenize scan + join) was implemented and
+  // MEASURED OUT — the extra 8 bytes per shingle row through the
+  // shuffle cost more than the saved scan (0.65->0.76 s at sf0.1,
+  // 10.6->14.4 s at 100x docs on the quality_filter consumer).
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = graft.mr.MrJobs.tokenize(t)
         if (toks.lengthCompare(3) < 0) Nil
-        else {
-          val n = toks.length.toLong
-          toks.sliding(3).map(g => (id, n, g.mkString(" ")))
-        }
+        else toks.sliding(3).map(g => (id, g.mkString(" ")))
       }
-      .toDF("doc_id", "n_tok", "g3")
+      .toDF("doc_id", "g3")
       .groupBy("doc_id")
-      .agg(first(col("n_tok")).as("n_tok"),
-        count(lit(1)).as("total_3g"),
+      .agg(count(lit(1)).as("total_3g"),
         countDistinct(col("g3")).as("distinct_3g"))
       .withColumn("rep_ratio",
         round(lit(1d) - col("distinct_3g") / col("total_3g").cast("double"), 6))
@@ -564,14 +546,14 @@ object TextAnalysis {
     * both engines.
     */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val nTok = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
     val reason = when(col("n_tok") < 30, "too_short")
       .when(col("n_tok") > 90, "too_long")
       .when(col("rep_ratio") > 0.02, "repetitive")
       .otherwise("ok")
-    // n_tok rides out of the shingling pass itself (r11) — the old
-    // size(tokens(text)) side scan + doc_id join are gone; docs with
-    // <3 tokens stay excluded exactly as the inner join excluded them
-    repetitionWithNTok(s, dir)
+    repetitionRatio(s, dir)
+      .join(nTok, Seq("doc_id"))
       .withColumn("reason", reason)
       .withColumn("keep", col("reason") === "ok")
       .select(col("doc_id"), col("n_tok"), col("rep_ratio"),
@@ -914,37 +896,26 @@ object TextAnalysis {
   // DIFFERENT double than the oracle's literal 0.3
   val BigramLambda = 0.7
   val BigramLambdaComp = 0.3
+  // r11 note: a window-free rewrite (prev via element_at on the kept
+  // tokens array; uc/bc/cc derived from one (prev, tok) base aggregate
+  // behind a lineage cut) was implemented and MEASURED OUT: neutral at
+  // sf0.1 but 3.05->5.34 s at 10x docs and 10.7->19.7 s at 100x docs —
+  // the lag-window form wins because AQE reuses its one token-stream
+  // exchange across all four consumers at runtime, while the rewrite
+  // paid an InternalRow->Row->InternalRow conversion on the full
+  // stream at the cut plus a string-pair hash aggregate of the stream.
+  // Revisit only with an InternalRow-preserving cut that also carries
+  // partitioning (LogicalRDD.fromDataset).
   def perplexityBigram(s: SparkSession, dir: String): DataFrame = {
-    // r11 (guide §2.4 — remove shuffles outright): `prev` used to come
-    // from lag() over a per-doc window, which shuffles + sorts the
-    // ENTIRE token stream by doc_id before anything else can run. The
-    // previous token of position p is just t[p-1] of the same tokens
-    // array the posexplode walks, so keep the array alongside the
-    // generate and read prev map-side via element_at (1-based: for the
-    // 0-based pos > 0, element_at(t, pos) IS t[pos-1]; pos 0 stays
-    // NULL exactly like lag). Zero exchanges until the LM aggregates.
-    val allToks = tokensWithPrev(s, dir)
+    val allToks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
     val trainToks = allToks.filter(SplitHash.bucket(col("doc_id")) < 800)
-    // One corpus-side aggregate, everything derived from it (§2.3
-    // aggregate-before-shuffle): base = counts per (prev, tok)
-    // INCLUDING the null-prev first tokens; uc(tok) = Σ_prev base.c is
-    // bit-identical to counting the token stream directly (exact long
-    // sums of a disjoint partition), and bc is the prev-non-null
-    // slice. The lineage cut (the entity_resolution idiom) is what
-    // makes the sharing REAL: without it, each LeftOuter consumer
-    // pushes its own isnotnull filter under the aggregate, the three
-    // exchange subtrees stop being identical, and the corpus is
-    // re-tokenized per table (observed in the r11 before-plan: 5
-    // Generates). A LogicalRDD leaf is opaque to pushdown, and every
-    // consumer job shares the cut RDD's shuffle map stage by object
-    // identity — the model side tokenizes once per invocation.
-    val base0 = trainToks.groupBy(col("prev"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-    val base = s.createDataFrame(base0.rdd, base0.schema)
-    val uc = base.groupBy(col("tok")).agg(sum(col("c")).as("uc"))
+    val uc = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
     val nv = uc.agg(sum(col("uc")).cast("long").as("n"), count(lit(1)).as("v"))
-    val bc = base.filter(col("prev").isNotNull)
-      .select(col("prev"), col("tok"), col("c").as("bc"))
+    val bc = trainToks.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
     // context totals re-aggregate the bigram table (sum of per-(prev,
     // tok) counts per prev ≡ count per prev — bit-identical), instead
     // of shuffling the corpus-wide token stream a second time
@@ -964,20 +935,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), round(avg(-log(p)), 6).as("nll"))
   }
-
-  /** (doc_id, pos, tok, prev) for the bigram LMs, computed entirely
-    * map-side: the tokens array rides along the posexplode and `prev`
-    * is element_at(t, pos) (1-based, so for 0-based pos ≥ 1 that is
-    * t[pos-1]; the doc's first token keeps a NULL prev). Replaces the
-    * r10 lag()-over-doc-window form, whose Exchange+Sort moved the
-    * whole token stream before any LM table could aggregate.
-    */
-  private def tokensWithPrev(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), col("tok"),
-        when(col("pos") > 0, element_at(col("t"), col("pos"))).as("prev"))
 
   /** Absolute discount for [[kneserNey]] — the standard 0.75 of Chen &
     * Goodman (1998); a literal so both engines multiply the same
@@ -1007,15 +964,15 @@ object TextAnalysis {
     * Per-doc sums are DECIMAL(18,6) of 6-decimal-rounded logs.
     */
   def kneserNey(s: SparkSession, dir: String): DataFrame = {
-    // prev via element_at on the kept tokens array — no per-doc lag
-    // window, no token-stream shuffle (see perplexityBigram).
-    val big = tokensWithPrev(s, dir).filter(col("prev").isNotNull)
-    // lineage cut: cc/rev/btot all derive from bc — behind a
-    // LogicalRDD leaf their jobs share bc's shuffle map stage, so the
-    // model side tokenizes the corpus once, not three times (see
-    // perplexityBigram)
-    val bc0 = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
-    val bc = s.createDataFrame(bc0.rdd, bc0.schema)
+    // (same r11 measured-out note as perplexityBigram: the lag-window
+    // form with AQE exchange reuse beat the window-free rewrite at
+    // 10x/100x docs — 11.8 s vs 20.4 s at 100x.)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val big = toks.filter(col("prev").isNotNull)
+    val bc = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bc"))
     val cc = bc.groupBy(col("prev").as("w1"))
       .agg(sum(col("bc")).cast("long").as("cc"), count(lit(1)).as("n1p_fwd"))
     val rev = bc.groupBy(col("tok").as("w2")).agg(count(lit(1)).as("n1p_rev"))

@@ -79,12 +79,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k filter did not trigger group-limit pushdown:\n${p.take(1500)}")
   }
 
-  test("q11 derives the partsupp relation once (total reuses the per-part exchange)") {
+  test("q11 derives the partsupp relation once (total aggregates the per-part cut)") {
     val df = SparkEntry.queries("q11_important_stock")(spark, sfTiny)
-    df.collect() // AQE inserts the reuse during runtime re-planning
+    df.collect() // finalize the adaptive plan
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
-      "global total re-derived the partsupp relation instead of reusing the per-part exchange")
+    // r11: the per-part frame crosses a LogicalRDD lineage cut, so BOTH
+    // the HAVING side and the broadcast total consume one RDD whose
+    // shuffle map stages are shared by object identity — stronger than
+    // the r10 pin (AQE ReusedExchange), which depended on runtime
+    // re-planning finding identical subtrees and which filter pushdown
+    // could silently break. The lineitem scan lives inside the cut:
+    // no parquet scan may appear in the consuming plan.
+    assert(p.contains("Scan ExistingRDD"),
+      "per-part aggregate is no longer behind the lineage cut")
+    assert(!p.contains("Scan parquet"),
+      "a consumer re-derived the partsupp relation from the fact table:\n" + p.take(1500))
   }
 
   test("event_paths engages WindowGroupLimit for the per-user prefix") {
