@@ -114,7 +114,7 @@ object Bench {
 
       qs.foreach(q => runOne(q.name, q.fn)) // warm-up, untimed
       val loadBefore = loadAvg()
-      val timed = qs.map { q =>
+      val timed0 = qs.map { q =>
         val la = loadAvg()
         var passes = List(runOne(q.name, q.fn), runOne(q.name, q.fn))
         def minOk = passes.collect { case Right(t) => t }.minOption
@@ -128,11 +128,36 @@ object Bench {
           passes = passes :+ runOne(q.name, q.fn)
           extra += 1
         }
+        (q.name, passes, la, extra > 0, q.fn)
+      }
+      // End-of-sweep re-time (round 12): the r11 official record lost
+      // ~12 s to ONE sustained co-tenant spike that covered a contiguous
+      // registry segment (q4/q8/q15/q19/join_range/join_interval all
+      // re-timed inline and still published 5–14× their quiet-run
+      // times — four consecutive passes inside the same multi-minute
+      // spike agree with each other, so inline re-timing cannot reject
+      // it). A query whose min is STILL >3× its committed prior gets
+      // one more pass at the END of the sweep, minutes later, when the
+      // spike has either passed (the pass supersedes the spiked min) or
+      // persists (the number stands — a real regression survives). All
+      // passes stay in the published record; min-of-N is unchanged
+      // methodology, just sampled outside the spike window too.
+      val timed = timed0.map { case (name, passes0, la, retimedInline, fn) =>
+        val pr = prior.getOrElse(name, -1.0)
+        val minNow = passes0.collect { case Right(t) => t }.minOption
+        // threshold 2× (tighter than the inline 3×): the end-of-sweep
+        // pass is cheap (one pass, only for flagged names) and the r12
+        // spike evidence showed 1.5–3× inflation bands that 3× misses
+        val passes =
+          if (pr > 0 && minNow.exists(_ > 2.0 * pr)) passes0 :+ runOne(name, fn)
+          else passes0
+        def minOk = passes.collect { case Right(t) => t }.minOption
         val best: Either[String, Double] = minOk match {
           case Some(t) => Right(t)
           case None => Left(passes.collectFirst { case Left(e) => e }.getOrElse("unknown"))
         }
-        (q.name, best, passes.collect { case Right(t) => t }, la, extra > 0)
+        (name, best, passes.collect { case Right(t) => t }, la,
+          retimedInline || passes.size > passes0.size)
       }
       val loadAfter = loadAvg()
       val errors = timed.collect { case (n, Left(e), _, _, _) => s"""\"$n\":\"$e\"""" }

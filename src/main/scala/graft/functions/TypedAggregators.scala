@@ -36,8 +36,10 @@ object TypedAggregators {
   def aggWeightedMean(s: SparkSession, dir: String): DataFrame = {
     val wm = udaf(WeightedMean)
     // the Aggregator's input encoder is decimal(38,18); cast through
-    // (18,2) first so values carry exactly the 2-decimal money scale
-    Tables.lineitem(s, dir)
+    // (18,2) first so values carry exactly the 2-decimal money scale.
+    // lineitemSpread: the decimal(38,18) encoder work per row is the
+    // heaviest map side in the registry (r12: 1.06->0.43 s)
+    Tables.lineitemSpread(s, dir)
       .select(col("l_returnflag"),
         col("l_quantity").cast("decimal(18,2)").cast("decimal(38,18)").as("w"),
         col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,18)").as("x"))
@@ -154,8 +156,18 @@ object TypedAggregators {
     val cms = udaf(CountMinSketch)
     val a = Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("k"))
     val b = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k"))
-    val sA = a.agg(cms(col("k"))).head().getSeq[Long](0).toArray
-    val sB = b.agg(cms(col("k"))).head().getSeq[Long](0).toArray
+    // The two sketch builds are independent single-task-scan jobs over
+    // different tables — run them concurrently (guide §2.6: overlap
+    // independent jobs so the second job back-fills cores the first
+    // leaves idle). Results are bitwise order-independent (CMS cells
+    // are counter sums), so concurrency cannot perturb the estimate.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fA = Future(a.agg(cms(col("k"))).head().getSeq[Long](0).toArray)
+    val fB = Future(b.agg(cms(col("k"))).head().getSeq[Long](0).toArray)
+    val sA = Await.result(fA, Duration.Inf)
+    val sB = Await.result(fB, Duration.Inf)
     // BigInt, not Long: dot is bounded by |A|·|B|, which wraps a Long
     // well below the table sizes this operator is documented for
     val est = (0 until CmsDepth).map { d =>

@@ -51,7 +51,9 @@ object Aggregates {
   }
 
   def aggRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // lineitemSpread: rollup expands each row x3 before the partial
+    // aggregate; spread, the expansion runs on 32 tasks
+    Tables.lineitemSpread(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
@@ -125,7 +127,7 @@ object Aggregates {
     // two fact scans, two shuffles, one join. Both are aggregate
     // functions over the same grouping, so ONE groupBy computes both
     // in a single pass (identical values, the join disappears).
-    Tables.lineitem(s, dir)
+    Tables.lineitemSpread(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"),
@@ -433,7 +435,9 @@ object Aggregates {
     * spec-tested like HLL) — the exact one needs a per-group sort.
     */
   def aggPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // lineitemSpread: the per-group percentile count-maps build in the
+    // map stage; spread they build on 32 tasks (r12: 1.20->0.87 s)
+    Tables.lineitemSpread(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         // one array-typed percentile: a single sort serves all three
@@ -463,7 +467,8 @@ object Aggregates {
   def regrTrend(s: SparkSession, dir: String): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))
-    Tables.lineitem(s, dir)
+    // lineitemSpread: 6 decimal power sums per row (r12: 0.82->0.50 s)
+    Tables.lineitemSpread(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(x).cast("double").as("sx"),
@@ -534,7 +539,9 @@ object Aggregates {
         sxx: Column, syy: Column, n: Column) =>
       round((n * sxy - sx * sy)
         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-    Tables.lineitem(s, dir)
+    // lineitemSpread: 3 decimal casts + 6 decimal products + 10 sums
+    // per row - the heaviest map side of the family (r12: 1.28->0.60 s)
+    Tables.lineitemSpread(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(q).cast("double").as("sq"),
@@ -788,7 +795,9 @@ object Aggregates {
     * reuse that exchange rather than reshuffling.
     */
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    // eventsSpread: all three consumers key on user_id, so the one
+    // fan-out exchange feeds the whole plan (r12: 0.80→0.61 s)
+    val e = Tables.eventsSpread(s, dir)
       .select(col("event_id"), col("user_id"), col("value"))
     val med = e.groupBy("user_id")
       .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))

@@ -103,7 +103,10 @@ object Joins {
     // the 7%-hot-key Zipf fixture at R=8 vs 32). The cost of R is
     // build-side replication — dims are broadcast-sized, so ~free.
     val R = saltR
-    val li = Tables.lineitem(s, dir)
+    // lineitemSpread: the salted probe side is about to shuffle on
+    // (partkey, salt) anyway; spreading first parallelizes the cast +
+    // salt map work of the single-row-group scan (r12: 0.81->0.59 s)
+    val li = Tables.lineitemSpread(s, dir)
       .withColumn("salt", pmod(col("l_orderkey"), lit(R)).cast("int"))
     val p = Tables.part(s, dir)
       .withColumn("salt", explode(typedLit(List.range(0, R))))

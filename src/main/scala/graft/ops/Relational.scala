@@ -27,7 +27,8 @@ object Relational {
   // partial aggregation; one shuffle on a 6-value grouping key).
   // ---------------------------------------------------------------
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
+    // lineitemSpread: 4 decimal casts + 3 products per row
+    val l = Tables.lineitemSpread(s, dir)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -89,6 +90,9 @@ object Relational {
     // caller's session would clobber (and the cleanup drop would then
     // delete) a user view of the same name
     val s2 = s.newSession()
+    // raw lineitem, no fan-out: measured twice in r12 — the spread
+    // variant read +0.29 s in both full sweeps (unlike q1Agg, which
+    // keeps it), so the SQL entry path stays on the bare scan
     Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
     try s2.sql(q1Sql) finally s2.catalog.dropTempView("lineitem")
   }
@@ -610,12 +614,23 @@ object Relational {
     * total traded quantity. Both engines derive it with the same
     * aggregation, so Q2/Q11 shapes stay under the differential gate.
     */
-  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+  private def derivedPartsupp(s: SparkSession, dir: String,
+      spreadByPart: Boolean = false): DataFrame = {
+    // spreadByPart: the partkey-keyed fan-out exchange serves the pair
+    // aggregate here (subset rule) AND the consumer's per-part window
+    // (q2) / per-part re-aggregate (q11) — no further exchange in
+    // either plan (r12 full sweep: q11 1.18→0.60 s, q2 1.26→1.11 s).
+    // q20 keeps the raw scan: its consumer joins on BOTH keys and
+    // gains nothing from part clustering, so the fan-out only
+    // replaced its post-partial-agg exchange with a full-row one
+    // (measured +0.13 s).
+    val li = if (spreadByPart) Tables.lineitemSpreadByPart(s, dir)
+             else Tables.lineitem(s, dir)
+    li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .agg(
         min(dec(col("l_extendedprice"))).as("ps_supplycost"),
         sum(dec(col("l_quantity"))).as("ps_availqty"))
+  }
 
   private val partsuppSql =
     """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -639,7 +654,7 @@ object Relational {
             col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val ps = derivedPartsupp(s, dir)
+    val ps = derivedPartsupp(s, dir, spreadByPart = true)
       .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
     // correlated min as a per-part window, not a groupBy + self-join
     // re-match: one shuffle on ps_partkey and ONE derivation of the
@@ -663,7 +678,7 @@ object Relational {
     * float threshold can flip a boundary part.
     */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
-    val perPart0 = derivedPartsupp(s, dir)
+    val perPart0 = derivedPartsupp(s, dir, spreadByPart = true)
       .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
       .groupBy(col("ps_partkey"))
       .agg(sum(col("v")).as("part_value"))

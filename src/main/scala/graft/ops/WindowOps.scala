@@ -208,7 +208,10 @@ object WindowOps {
     */
   def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(s, dir)
+    // eventsSpread: the user_id fan-out doubles as the window exchange
+    // and parallelizes the ×8 generator + decimal products that would
+    // otherwise run inside the single scan task (r12: 1.17→0.58 s)
+    val ev = Tables.eventsSpread(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("rn", row_number().over(w).cast("long"))
     // exact decimal end-to-end: value is 2-decimal money (the cast the
