@@ -259,23 +259,49 @@ object DedupOps {
   /** Per-doc full hashed shingle sets for exact verification — built
     * from the memoized [[rarityRanked]] frame (8-byte hashes, no
     * shingle strings), so the expensive bag scan + xxhash re-eval
-    * never repeats per verify call. r12: memoized itself under the
-    * substrate discipline — five registry queries (prefix, ppjoin,
-    * both containment rungs, the histogram) each re-ran the
-    * collect_set aggregation over the ranked frame per verify call;
-    * the set frame is doc-count-sized (one hash array per doc, no
-    * strings) and pins less than either parent memo.
+    * never repeats per verify call. r12: memoized under the substrate
+    * discipline — five registry queries (prefix, ppjoin, both
+    * containment rungs, the histogram) each re-ran the collect_set
+    * aggregation over the ranked frame per verify call — but with
+    * SIZE-AWARE ADMISSION: pinning is only free while the frame is
+    * small next to the heap. Measured at the 100×-docs decade in the
+    * 8 GiB local JVM, the extra ~350 MB pin squeezed execution memory
+    * enough that the prefix family's largest verify join spilled
+    * (dedup_prefix_filter 21.2→37.2 s) while every smaller decade won
+    * (sf0.1 −0.2 s × 5 queries; 10×-docs prefix 3.64→2.76 s). The
+    * admission bound — estimated cells × 8 B ≤ 2% of max heap — keeps
+    * the memo at the decades where it pays and recomputes per call
+    * past them, exactly how a cache admission policy should degrade.
     */
-  private def hashedSets(s: SparkSession, dir: String): DataFrame =
-    substrate("hashed_sets", s, dir) {
-      val sets = rarityRanked(s, dir)
-        .select(col("doc_id"), col("n_sh"), col("sh_h"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+  private val setsAdmission =
+    scala.collection.mutable.Map[(SparkSession, String), Boolean]()
+
+  private def hashedSets(s: SparkSession, dir: String): DataFrame = {
+    def build = rarityRanked(s, dir)
+      .select(col("doc_id"), col("n_sh"), col("sh_h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh_h")).as("hs"), first(col("n_sh")).as("n_sh"))
+    val key = (s, dir)
+    val known = setsAdmission.synchronized {
+      setsAdmission.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      setsAdmission.get(key)
+    }
+    val admit = known.getOrElse {
+      // one count over the persisted parent (fast) — outside the lock,
+      // per the KeyedMemo rule: never run Spark jobs under a memo lock
+      val cells = rarityRanked(s, dir).count()
+      val a = cells * 8L * 50 <= Runtime.getRuntime.maxMemory
+      setsAdmission.synchronized { setsAdmission.update(key, a) }
+      a
+    }
+    if (!admit) build
+    else substrate("hashed_sets", s, dir) {
+      val sets = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sets.count() // materialize once (cold-race discipline of the family)
       sets
     }
+  }
 
   private def verifyJaccardPairs(
       s: SparkSession, dir: String, cand: DataFrame,

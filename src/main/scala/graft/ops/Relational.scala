@@ -301,7 +301,10 @@ object Relational {
     * "aggregate-then-enrich" query at 100 TB.
     */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
-    val big = Tables.lineitem(s, dir)
+    // orderkey fan-out doubles as the aggregate's exchange (no extra
+    // shuffle vs the raw form — the agg needed one on this key anyway)
+    // while the decimal-sum map side runs on 32 tasks, not one
+    val big = Tables.lineitemSpread(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("sq"))
       .filter(col("sq") > 150)
@@ -564,6 +567,11 @@ object Relational {
     * so no float rounding can flip a boundary row in either engine.
     */
   def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    // NO fan-out here (implemented, measured, REVERTED in r12): the
+    // raw form's two exchanges carry ~20k partial-aggregated /
+    // brand-filtered rows, so replacing them with one reused 600k-row
+    // fan-out exchange shuffles 15× the bytes it saves in map-side
+    // parallelism (full sweep read 0.71→1.40 s)
     val perPart = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))

